@@ -6,6 +6,15 @@ load/save time on the host; the TPU compute path never touches these byte
 layouts (weights are transcoded once into packed device planes, see
 llm_tpu/ops/packing.py).
 
+Every format decodes to a single canonical integer form:
+
+    value[e] = (q[e] - zero) * scale[e // gsize] + bias[e // gsize]
+
+where q is an unsigned (or, for Q8_0, signed) integer of small bit-width and
+scale/bias are per-group floats (K-quant two-level scales are flattened into
+per-group effective scales at decode time). Float dequantization and the
+packed on-device layout are both derived from this one decoding.
+
 Layouts follow the ggml C structs captured in the reference's bindgen output
 (/root/reference/crates/ggml/sys/src/lib.rs:2779-3516):
 
@@ -26,6 +35,8 @@ high-nibbles = elements 16..31 (ggml dequantize_row_* convention).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 from llm_tpu.ggml.types import GgmlType, QK_K, block_size, type_size
@@ -36,6 +47,11 @@ from llm_tpu.ggml.types import GgmlType, QK_K, block_size, type_size
 
 def _f16(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float32)
+
+
+def _scale_f16(b: np.ndarray, lo: int) -> np.ndarray:
+    """Read a f16 field at byte offset lo of each block -> f32 [nb, 1]."""
+    return _f16(b[:, lo : lo + 2].copy().view("<f2"))
 
 
 def _as_blocks(data: bytes | np.ndarray, t: GgmlType, n_elements: int) -> np.ndarray:
@@ -63,38 +79,51 @@ def _pack_nibbles(vals: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# dequantization
+# canonical integer decoding
 
 
-def dequantize(t: GgmlType, data: bytes | np.ndarray, n_elements: int) -> np.ndarray:
-    """Decode `n_elements` of on-disk type `t` from `data` into float32."""
-    if t == GgmlType.F32:
-        return np.frombuffer(data, dtype="<f4", count=n_elements).copy()
-    if t == GgmlType.F16:
-        return np.frombuffer(data, dtype="<f2", count=n_elements).astype(np.float32)
-    if t == GgmlType.I8:
-        return np.frombuffer(data, dtype=np.int8, count=n_elements).astype(np.float32)
-    if t == GgmlType.I32:
-        return np.frombuffer(data, dtype="<i4", count=n_elements).astype(np.float32)
+@dataclass
+class Decoded:
+    """Canonical integer decoding of a run of blocks.
 
-    fn = _DEQUANT.get(t)
+    value[i, e] = (q[i, e] - zero) * scale[i, e // gsize] + bias[i, e // gsize]
+    """
+
+    q: np.ndarray  # int32 [nb, block]
+    scale: np.ndarray  # f32 [nb, block // gsize]
+    bias: np.ndarray | None  # f32 [nb, block // gsize] (additive, already signed)
+    zero: int
+    gsize: int
+    bits: int  # significant bits in q (8 for Q8_0, signed)
+
+    def to_float(self) -> np.ndarray:
+        nb, blk = self.q.shape
+        g = self.gsize
+        s = np.repeat(self.scale, g, axis=1)
+        y = (self.q - self.zero) * s
+        if self.bias is not None:
+            y = y + np.repeat(self.bias, g, axis=1)
+        return y.astype(np.float32)
+
+
+def decode_blocks(t: GgmlType, data: bytes | np.ndarray, n_elements: int) -> Decoded:
+    fn = _DECODE.get(t)
     if fn is None:
-        raise NotImplementedError(f"dequantize for {t}")
-    blocks = _as_blocks(data, t, n_elements)
-    return fn(blocks).reshape(-1).astype(np.float32)
+        raise NotImplementedError(f"decode for {t}")
+    return fn(_as_blocks(data, t, n_elements))
 
 
-def _dq_q4_0(b: np.ndarray) -> np.ndarray:
-    d = _f16(b[:, 0:2].copy().view("<f2"))  # [nb,1]
-    q = _nibbles(b[:, 2:18]).astype(np.int32) - 8
-    return q * d
+def _dec_q4_0(b: np.ndarray) -> Decoded:
+    d = _scale_f16(b, 0)
+    q = _nibbles(b[:, 2:18]).astype(np.int32)
+    return Decoded(q, d, None, zero=8, gsize=32, bits=4)
 
 
-def _dq_q4_1(b: np.ndarray) -> np.ndarray:
-    d = _f16(b[:, 0:2].copy().view("<f2"))
-    m = _f16(b[:, 2:4].copy().view("<f2"))
+def _dec_q4_1(b: np.ndarray) -> Decoded:
+    d = _scale_f16(b, 0)
+    m = _scale_f16(b, 2)
     q = _nibbles(b[:, 4:20]).astype(np.int32)
-    return q * d + m
+    return Decoded(q, d, m, zero=0, gsize=32, bits=4)
 
 
 def _q5_high_bits(qh_bytes: np.ndarray) -> np.ndarray:
@@ -108,53 +137,49 @@ def _q5_high_bits(qh_bytes: np.ndarray) -> np.ndarray:
     return (((qh >> shifts) & 1) << 4).astype(np.int32)
 
 
-def _dq_q5_0(b: np.ndarray) -> np.ndarray:
-    d = _f16(b[:, 0:2].copy().view("<f2"))
-    hb = _q5_high_bits(b[:, 2:6])
-    q = (_nibbles(b[:, 6:22]).astype(np.int32) | hb) - 16
-    return q * d
+def _dec_q5_0(b: np.ndarray) -> Decoded:
+    d = _scale_f16(b, 0)
+    q = _nibbles(b[:, 6:22]).astype(np.int32) | _q5_high_bits(b[:, 2:6])
+    return Decoded(q, d, None, zero=16, gsize=32, bits=5)
 
 
-def _dq_q5_1(b: np.ndarray) -> np.ndarray:
-    d = _f16(b[:, 0:2].copy().view("<f2"))
-    m = _f16(b[:, 2:4].copy().view("<f2"))
-    hb = _q5_high_bits(b[:, 4:8])
-    q = _nibbles(b[:, 8:24]).astype(np.int32) | hb
-    return q * d + m
+def _dec_q5_1(b: np.ndarray) -> Decoded:
+    d = _scale_f16(b, 0)
+    m = _scale_f16(b, 2)
+    q = _nibbles(b[:, 8:24]).astype(np.int32) | _q5_high_bits(b[:, 4:8])
+    return Decoded(q, d, m, zero=0, gsize=32, bits=5)
 
 
-def _dq_q8_0(b: np.ndarray) -> np.ndarray:
-    d = _f16(b[:, 0:2].copy().view("<f2"))
+def _dec_q8_0(b: np.ndarray) -> Decoded:
+    d = _scale_f16(b, 0)
     q = b[:, 2:34].view(np.int8).astype(np.int32)
-    return q * d
+    return Decoded(q, d, None, zero=0, gsize=32, bits=8)
 
 
 # --- K-quants --------------------------------------------------------------
 
 
-def _dq_q2_k(b: np.ndarray) -> np.ndarray:
+def _dec_q2_k(b: np.ndarray) -> Decoded:
     nb = b.shape[0]
     scales = b[:, 0:16]  # u8[16]: low nibble scale, high nibble min
     qs = b[:, 16:80]  # u8[64], 2-bit packed
-    d = _f16(b[:, 80:82].copy().view("<f2"))  # [nb,1]
-    dmin = _f16(b[:, 82:84].copy().view("<f2"))
+    d = _scale_f16(b, 80)
+    dmin = _scale_f16(b, 82)
 
     # element order: half (2) x shift (4) x byte (32); 16-elem groups get
     # scale index = half*8 + shift*2 + (byte>=16)
     q = qs.reshape(nb, 2, 1, 32)
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
-    q2 = ((q >> shifts) & 3).astype(np.float32)  # [nb, 2, 4, 32]
+    q2 = ((q >> shifts) & 3).astype(np.int32).reshape(nb, QK_K)
 
-    sc = scales.reshape(nb, 2, 4, 2)  # [half, shift, sub]
-    dl = d[:, :, None, None] * (sc & 0xF)  # broadcast over [nb,2,4,2]
-    ml = dmin[:, :, None, None] * (sc >> 4)
-    q2 = q2.reshape(nb, 2, 4, 2, 16)
-    y = dl[..., None] * q2 - ml[..., None]
-    return y.reshape(nb, QK_K)
+    sc = scales.astype(np.int32)  # group order == scale byte order
+    dl = d * (sc & 0xF)  # [nb, 16]
+    ml = dmin * (sc >> 4)
+    return Decoded(q2, dl, -ml, zero=0, gsize=16, bits=2)
 
 
 def _q3k_scales(sb: np.ndarray) -> np.ndarray:
-    """[nb, 12] packed 6-bit scales -> [nb, 16] int32 in -32..31 range + 32 bias removed."""
+    """[nb, 12] packed 6-bit scales -> [nb, 16] int32, bias 32 removed."""
     b = sb.astype(np.uint8)
     sc = np.empty((b.shape[0], 16), dtype=np.int32)
     sc[:, 0:4] = (b[:, 0:4] & 0xF) | ((b[:, 8:12] & 3) << 4)
@@ -164,26 +189,26 @@ def _q3k_scales(sb: np.ndarray) -> np.ndarray:
     return sc - 32
 
 
-def _dq_q3_k(b: np.ndarray) -> np.ndarray:
+def _dec_q3_k(b: np.ndarray) -> Decoded:
     nb = b.shape[0]
     hmask = b[:, 0:32]
     qs = b[:, 32:96]
     scales = _q3k_scales(b[:, 96:108])  # [nb,16]
-    d = _f16(b[:, 108:110].copy().view("<f2"))
+    d = _scale_f16(b, 108)
 
     q = qs.reshape(nb, 2, 1, 32)
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8).reshape(1, 1, 4, 1)
     q2 = ((q >> shifts) & 3).astype(np.int32)  # [nb, 2, 4, 32]
 
-    # hmask bit index = half*4 + shift, byte = position within the 32-group
+    # hmask bit index = half*4 + shift, byte = position within the 32-group;
+    # q3 = low2 + 4*hbit, value = (q3 - 4) * dl
     hm = hmask.reshape(nb, 1, 1, 32)
-    bit = (np.arange(2).reshape(1, 2, 1, 1) * 4 + np.arange(4).reshape(1, 1, 4, 1)).astype(np.uint8)
-    hbit = (hm >> bit) & 1  # [nb, 2, 4, 32]
-    qv = q2 - np.where(hbit == 0, 4, 0)
-
-    dl = (d * scales).reshape(nb, 2, 4, 2)  # scale idx = half*8+shift*2+sub
-    y = dl[..., None] * qv.reshape(nb, 2, 4, 2, 16)
-    return y.reshape(nb, QK_K)
+    bit = (
+        np.arange(2).reshape(1, 2, 1, 1) * 4 + np.arange(4).reshape(1, 1, 4, 1)
+    ).astype(np.uint8)
+    hbit = ((hm >> bit) & 1).astype(np.int32)
+    q3 = (q2 | (hbit << 2)).reshape(nb, QK_K)
+    return Decoded(q3, d * scales, None, zero=4, gsize=16, bits=3)
 
 
 def _k4_scale_min(sb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -198,27 +223,24 @@ def _k4_scale_min(sb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return sc, mn
 
 
-def _dq_q4_k(b: np.ndarray) -> np.ndarray:
+def _dec_q4_k(b: np.ndarray) -> Decoded:
     nb = b.shape[0]
-    d = _f16(b[:, 0:2].copy().view("<f2"))
-    dmin = _f16(b[:, 2:4].copy().view("<f2"))
+    d = _scale_f16(b, 0)
+    dmin = _scale_f16(b, 2)
     sc, mn = _k4_scale_min(b[:, 4:16])
     qs = b[:, 16:144]
 
     q = qs.reshape(nb, 4, 32)  # 4 chunks of 64 elements
-    lo = (q & 0xF).astype(np.float32)
-    hi = (q >> 4).astype(np.float32)
-    qv = np.stack([lo, hi], axis=2)  # [nb, 4, 2, 32] — sub-block order
-    d1 = (d * sc).reshape(nb, 4, 2, 1)
-    m1 = (dmin * mn).reshape(nb, 4, 2, 1)
-    y = d1 * qv - m1
-    return y.reshape(nb, QK_K)
+    lo = (q & 0xF).astype(np.int32)
+    hi = (q >> 4).astype(np.int32)
+    qv = np.stack([lo, hi], axis=2).reshape(nb, QK_K)  # sub-block order
+    return Decoded(qv, d * sc, -(dmin * mn), zero=0, gsize=32, bits=4)
 
 
-def _dq_q5_k(b: np.ndarray) -> np.ndarray:
+def _dec_q5_k(b: np.ndarray) -> Decoded:
     nb = b.shape[0]
-    d = _f16(b[:, 0:2].copy().view("<f2"))
-    dmin = _f16(b[:, 2:4].copy().view("<f2"))
+    d = _scale_f16(b, 0)
+    dmin = _scale_f16(b, 2)
     sc, mn = _k4_scale_min(b[:, 4:16])
     qh = b[:, 16:48].reshape(nb, 1, 1, 32)
     qs = b[:, 48:176]
@@ -228,50 +250,65 @@ def _dq_q5_k(b: np.ndarray) -> np.ndarray:
     hi = (q >> 4).astype(np.int32)
     qv = np.stack([lo, hi], axis=2)  # [nb, 4, 2, 32]
     # chunk c, sub s uses qh bit 2c+s
-    bit = (2 * np.arange(4).reshape(1, 4, 1, 1) + np.arange(2).reshape(1, 1, 2, 1)).astype(np.uint8)
-    hbit = ((qh >> bit) & 1).astype(np.int32) * 16
-    qv = (qv + hbit).astype(np.float32)
-    d1 = (d * sc).reshape(nb, 4, 2, 1)
-    m1 = (dmin * mn).reshape(nb, 4, 2, 1)
-    y = d1 * qv - m1
-    return y.reshape(nb, QK_K)
+    bit = (
+        2 * np.arange(4).reshape(1, 4, 1, 1) + np.arange(2).reshape(1, 1, 2, 1)
+    ).astype(np.uint8)
+    hbit = ((qh >> bit) & 1).astype(np.int32)
+    qv = (qv | (hbit << 4)).reshape(nb, QK_K)
+    return Decoded(qv, d * sc, -(dmin * mn), zero=0, gsize=32, bits=5)
 
 
-def _dq_q6_k(b: np.ndarray) -> np.ndarray:
+def _dec_q6_k(b: np.ndarray) -> Decoded:
     nb = b.shape[0]
     ql = b[:, 0:128].reshape(nb, 2, 64)  # per half: 64 bytes
     qh = b[:, 128:192].reshape(nb, 2, 32)
     scales = b[:, 192:208].view(np.int8).astype(np.int32).reshape(nb, 2, 8)
-    d = _f16(b[:, 208:210].copy().view("<f2"))  # [nb,1]
+    d = _scale_f16(b, 208)  # [nb,1]
 
     l32 = ql[:, :, 0:32].astype(np.int32)
     h32 = ql[:, :, 32:64].astype(np.int32)
     hq = qh.astype(np.int32)
-    q1 = ((l32 & 0xF) | (((hq >> 0) & 3) << 4)) - 32  # elems   0..31 of half
-    q2 = ((h32 & 0xF) | (((hq >> 2) & 3) << 4)) - 32  # elems  32..63
-    q3 = ((l32 >> 4) | (((hq >> 4) & 3) << 4)) - 32  # elems  64..95
-    q4 = ((h32 >> 4) | (((hq >> 6) & 3) << 4)) - 32  # elems  96..127
-    qv = np.stack([q1, q2, q3, q4], axis=2).astype(np.float32)  # [nb,2,4,32]
+    q1 = (l32 & 0xF) | (((hq >> 0) & 3) << 4)  # elems   0..31 of half
+    q2 = (h32 & 0xF) | (((hq >> 2) & 3) << 4)  # elems  32..63
+    q3 = (l32 >> 4) | (((hq >> 4) & 3) << 4)  # elems  64..95
+    q4 = (h32 >> 4) | (((hq >> 6) & 3) << 4)  # elems  96..127
+    qv = np.stack([q1, q2, q3, q4], axis=2).reshape(nb, QK_K)
 
-    # scale idx within half for the 4 rows: [0,2,4,6] + l//16
-    sidx = np.array([0, 2, 4, 6]).reshape(4, 1) + (np.arange(32) // 16).reshape(1, 32)
-    sc = scales[:, :, sidx]  # [nb, 2, 4, 32]
-    y = d[:, :, None, None] * sc * qv
-    return y.reshape(nb, QK_K)
+    # scale idx within half for the 4 rows of 32: [0,2,4,6] + l//16
+    sidx = np.array([0, 2, 4, 6]).reshape(4, 1) + (np.arange(2) // 1).reshape(1, 2)
+    sc = scales[:, :, sidx].reshape(nb, 16)  # [nb, 2, 4, 2] -> group order
+    return Decoded(qv, d * sc, None, zero=32, gsize=16, bits=6)
 
 
-_DEQUANT = {
-    GgmlType.Q4_0: _dq_q4_0,
-    GgmlType.Q4_1: _dq_q4_1,
-    GgmlType.Q5_0: _dq_q5_0,
-    GgmlType.Q5_1: _dq_q5_1,
-    GgmlType.Q8_0: _dq_q8_0,
-    GgmlType.Q2_K: _dq_q2_k,
-    GgmlType.Q3_K: _dq_q3_k,
-    GgmlType.Q4_K: _dq_q4_k,
-    GgmlType.Q5_K: _dq_q5_k,
-    GgmlType.Q6_K: _dq_q6_k,
+_DECODE = {
+    GgmlType.Q4_0: _dec_q4_0,
+    GgmlType.Q4_1: _dec_q4_1,
+    GgmlType.Q5_0: _dec_q5_0,
+    GgmlType.Q5_1: _dec_q5_1,
+    GgmlType.Q8_0: _dec_q8_0,
+    GgmlType.Q2_K: _dec_q2_k,
+    GgmlType.Q3_K: _dec_q3_k,
+    GgmlType.Q4_K: _dec_q4_k,
+    GgmlType.Q5_K: _dec_q5_k,
+    GgmlType.Q6_K: _dec_q6_k,
 }
+
+
+# ---------------------------------------------------------------------------
+# float dequantization (derived from the canonical decoding)
+
+
+def dequantize(t: GgmlType, data: bytes | np.ndarray, n_elements: int) -> np.ndarray:
+    """Decode `n_elements` of on-disk type `t` from `data` into float32."""
+    if t == GgmlType.F32:
+        return np.frombuffer(data, dtype="<f4", count=n_elements).copy()
+    if t == GgmlType.F16:
+        return np.frombuffer(data, dtype="<f2", count=n_elements).astype(np.float32)
+    if t == GgmlType.I8:
+        return np.frombuffer(data, dtype=np.int8, count=n_elements).astype(np.float32)
+    if t == GgmlType.I32:
+        return np.frombuffer(data, dtype="<i4", count=n_elements).astype(np.float32)
+    return decode_blocks(t, data, n_elements).to_float().reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +371,9 @@ def _qz_q4_1(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     mx = xb.max(axis=1)
     d = (mx - mn) / 15.0
     inv = np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 0.0)
-    q = np.minimum(15, ((xb - mn[:, None]) * inv[:, None] + 0.5).astype(np.int8)).astype(np.uint8)
+    q = np.minimum(15, ((xb - mn[:, None]) * inv[:, None] + 0.5).astype(np.int8)).astype(
+        np.uint8
+    )
     out = np.empty((nb, 20), dtype=np.uint8)
     out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)
     out[:, 2:4] = mn.astype("<f2")[:, None].view(np.uint8)
@@ -371,7 +410,9 @@ def _qz_q5_1(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     mx = xb.max(axis=1)
     d = (mx - mn) / 31.0
     inv = np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 0.0)
-    q = np.minimum(31, ((xb - mn[:, None]) * inv[:, None] + 0.5).astype(np.int8)).astype(np.uint8)
+    q = np.minimum(31, ((xb - mn[:, None]) * inv[:, None] + 0.5).astype(np.int8)).astype(
+        np.uint8
+    )
     qs, qh = _pack_q5(q)
     out = np.empty((nb, 24), dtype=np.uint8)
     out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)

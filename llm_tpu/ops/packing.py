@@ -1,0 +1,254 @@
+"""Packed on-device representation of block-quantized weights.
+
+Every GGML quant format canonicalizes (llm_tpu/ggml/quant.py:decode_blocks) to
+
+    value[k, r] = (q[k, r] - zero) * scale[k // g, r] + bias[k // g, r]
+
+so on device a quantized matrix is at most three planes, all laid out
+**K-major** (reduction dim in sublanes, output dim in lanes) so that a Pallas
+kernel's bit-unpack `[K/pw, pw, R] -> [K, R]` reshape is a no-op view and the
+dequantized tile feeds the MXU without a transpose:
+
+    lo     uint32 [K/pw_lo, R]   pw = 32 // lo_bits   (int8 [K, R] for q8_0)
+    hi     uint32 [K/pw_hi, R]   optional extra high bits (5/3/6-bit formats)
+    scale  f32    [K/g, R]
+    bias   f32    [K/g, R]       optional (formats with per-group mins)
+
+This replaces the reference's per-qtype fused `ggml_vec_dot_*` type-traits
+table (/root/reference/crates/ggml/sys/src/lib.rs:2900-2974) — the TPU analog
+keeps weights packed until VMEM instead of dequantizing rows on the fly per
+dot product.
+
+K and R are padded up to hardware-friendly multiples at pack time; the
+logical (in_features, out_features) are kept as static metadata and padding
+regions carry scale 0 so they contribute nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_tpu.ggml.quant import decode_blocks
+from llm_tpu.ggml.types import GgmlType
+
+
+@dataclass(frozen=True)
+class QFormat:
+    """Static descriptor of a canonical quant layout."""
+
+    name: str
+    lo_bits: int  # 2, 4 or 8
+    hi_bits: int  # 0, 1 or 2
+    zero: int
+    gsize: int  # elements per scale group
+    has_bias: bool
+
+    @property
+    def bits(self) -> int:
+        return self.lo_bits + self.hi_bits
+
+
+FORMATS: dict[GgmlType, QFormat] = {
+    GgmlType.Q4_0: QFormat("q4_0", 4, 0, 8, 32, False),
+    GgmlType.Q4_1: QFormat("q4_1", 4, 0, 0, 32, True),
+    GgmlType.Q5_0: QFormat("q5_0", 4, 1, 16, 32, False),
+    GgmlType.Q5_1: QFormat("q5_1", 4, 1, 0, 32, True),
+    GgmlType.Q8_0: QFormat("q8_0", 8, 0, 0, 32, False),
+    GgmlType.Q2_K: QFormat("q2_k", 2, 0, 0, 16, True),
+    GgmlType.Q3_K: QFormat("q3_k", 2, 1, 4, 16, False),
+    GgmlType.Q4_K: QFormat("q4_k", 4, 0, 0, 32, True),
+    GgmlType.Q5_K: QFormat("q5_k", 4, 1, 0, 32, True),
+    GgmlType.Q6_K: QFormat("q6_k", 4, 2, 32, 16, False),
+}
+
+_BY_NAME = {f.name: (t, f) for t, f in FORMATS.items()}
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantTensor:
+    """A block-quantized matrix on device, logical shape (in_features, out_features).
+
+    `lo`/`hi`/`scale`/`bias` are the packed planes described in the module
+    docstring; `k`/`r` are the logical (unpadded) dims.
+    """
+
+    fmt_name: str  # static
+    k: int  # static, logical in_features
+    r: int  # static, logical out_features
+    lo: jnp.ndarray
+    hi: Optional[jnp.ndarray]
+    scale: jnp.ndarray
+    bias: Optional[jnp.ndarray]
+
+    @property
+    def fmt(self) -> QFormat:
+        return _BY_NAME[self.fmt_name][1]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.k, self.r)
+
+    @property
+    def k_padded(self) -> int:
+        g = self.fmt.gsize
+        return self.scale.shape[0] * g
+
+    @property
+    def r_padded(self) -> int:
+        return self.scale.shape[1]
+
+    def tree_flatten(self):
+        children = (self.lo, self.hi, self.scale, self.bias)
+        aux = (self.fmt_name, self.k, self.r)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        lo, hi, scale, bias = children
+        fmt_name, k, r = aux
+        return cls(fmt_name, k, r, lo, hi, scale, bias)
+
+
+def _pack_bits_np(q: np.ndarray, bits: int) -> np.ndarray:
+    """[K, R] small ints -> uint32 [K/(32//bits), R], element e at bit (e%pw)*bits."""
+    pw = 32 // bits
+    k, r = q.shape
+    assert k % pw == 0
+    q = q.astype(np.uint32).reshape(k // pw, pw, r)
+    shifts = (np.arange(pw, dtype=np.uint32) * bits).reshape(1, pw, 1)
+    return (q << shifts).sum(axis=1, dtype=np.uint32)
+
+
+def pack_ggml(
+    t: GgmlType,
+    data: bytes | np.ndarray,
+    dims: tuple[int, ...],
+    *,
+    r_multiple: int = 128,
+    k_multiple: int = 0,
+    scale_dtype=jnp.float32,
+) -> "QuantTensor | jnp.ndarray":
+    """Transcode raw GGML tensor bytes into the on-device representation.
+
+    `dims` is in ggml order: dims[0] = K (row length, quantized axis),
+    dims[1] = R (number of rows). Dense (F16/F32) tensors return a plain
+    [K, R] jnp array in their storage dtype.
+    """
+    K = dims[0]
+    R = dims[1] if len(dims) > 1 else 1
+
+    if t in (GgmlType.F32, GgmlType.F16):
+        dt = np.float32 if t == GgmlType.F32 else np.float16
+        w = np.frombuffer(data, dtype=dt, count=K * R).reshape(R, K)
+        return jnp.asarray(np.ascontiguousarray(w.T))
+
+    fmt = FORMATS[t]
+    dec = decode_blocks(t, data, K * R)
+    g = fmt.gsize
+
+    q = np.ascontiguousarray(dec.q.reshape(R, K).T)  # [K, R]
+    scale = np.ascontiguousarray(dec.scale.reshape(R, K // g).T)  # [K/g, R]
+    bias = (
+        np.ascontiguousarray(dec.bias.reshape(R, K // g).T)
+        if dec.bias is not None
+        else None
+    )
+
+    # pad R to a lane multiple, K to a requested multiple (both with zeros;
+    # padded scale stays 0 so padded K contributes nothing to dots)
+    Rp = _round_up(R, r_multiple) if r_multiple else R
+    Kp = _round_up(K, k_multiple) if k_multiple else K
+    Kp = _round_up(Kp, max(g, 32 // fmt.lo_bits if fmt.lo_bits < 8 else 1))
+    if Rp != R or Kp != K:
+        q = np.pad(q, ((0, Kp - K), (0, Rp - R)))
+        scale = np.pad(scale, ((0, Kp // g - K // g), (0, Rp - R)))
+        if bias is not None:
+            bias = np.pad(bias, ((0, Kp // g - K // g), (0, Rp - R)))
+
+    if fmt.lo_bits == 8:
+        lo = jnp.asarray(q.astype(np.int8))
+        hi = None
+    else:
+        lo_mask = (1 << fmt.lo_bits) - 1
+        lo = jnp.asarray(_pack_bits_np(q & lo_mask, fmt.lo_bits))
+        hi = (
+            jnp.asarray(_pack_bits_np(q >> fmt.lo_bits, fmt.hi_bits))
+            if fmt.hi_bits
+            else None
+        )
+
+    return QuantTensor(
+        fmt_name=fmt.name,
+        k=K,
+        r=R,
+        lo=lo,
+        hi=hi,
+        scale=jnp.asarray(scale.astype(np.float32), dtype=scale_dtype),
+        bias=jnp.asarray(bias.astype(np.float32), dtype=scale_dtype)
+        if bias is not None
+        else None,
+    )
+
+
+def pack_dense(w: np.ndarray) -> jnp.ndarray:
+    """Dense weight [R, K] (row-major, ggml orientation) -> [K, R] device array."""
+    return jnp.asarray(np.ascontiguousarray(np.asarray(w).T))
+
+
+# ---------------------------------------------------------------------------
+# device-side unpack / dequant (jnp; also used inside the Pallas kernels)
+
+
+def unpack_plane(words: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """uint32 [Kw, R] -> int32 [Kw * (32//bits), R] (no-op reshape layout)."""
+    pw = 32 // bits
+    shifts = (jnp.arange(pw, dtype=jnp.uint32) * bits)[None, :, None]
+    vals = (words[:, None, :] >> shifts) & ((1 << bits) - 1)
+    kw, _, r = vals.shape
+    return vals.reshape(kw * pw, r).astype(jnp.int32)
+
+
+def unpack_q(
+    fmt: QFormat, lo: jnp.ndarray, hi: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Combine planes into integer q [K, R] (int32; int8 passthrough widened)."""
+    if fmt.lo_bits == 8:
+        return lo.astype(jnp.int32)
+    q = unpack_plane(lo, fmt.lo_bits)
+    if fmt.hi_bits:
+        q = q | (unpack_plane(hi, fmt.hi_bits) << fmt.lo_bits)
+    return q
+
+
+def _expand_groups(a: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[K/g, R] -> [K, R] by repeating each group row g times (no-op reshape)."""
+    kg, r = a.shape
+    return jnp.broadcast_to(a[:, None, :], (kg, g, r)).reshape(kg * g, r)
+
+
+def dequant_jnp(qt: QuantTensor, dtype=jnp.float32, trim: bool = True) -> jnp.ndarray:
+    """Reference dequantization: QuantTensor -> dense [K, R] array.
+
+    Used by the XLA fallback matmul path and as the oracle for kernel tests.
+    """
+    fmt = qt.fmt
+    q = unpack_q(fmt, qt.lo, qt.hi)
+    w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
+        qt.scale.astype(jnp.float32), fmt.gsize
+    )
+    if qt.bias is not None:
+        w = w + _expand_groups(qt.bias.astype(jnp.float32), fmt.gsize)
+    if trim:
+        w = w[: qt.k, : qt.r]
+    return w.astype(dtype)

@@ -1,0 +1,236 @@
+"""Fused dequantize->matmul — the hot kernel of the framework.
+
+TPU analog of ggml's per-qtype fused `vec_dot` mul_mat kernels
+(/root/reference/crates/ggml/sys/src/lib.rs:2900-2974, type-traits table):
+weights stream from HBM *bit-packed*, are unpacked and dequantized in VMEM
+tiles, and feed the MXU as bf16 with f32 accumulation. HBM traffic is the
+packed size (e.g. 4.5 bits/weight for Q4_0), which is the roofline that
+matters for decode.
+
+Two paths:
+- Pallas kernel (TPU): grid (R_tiles, K_tiles), K innermost so the f32
+  accumulator tile stays resident in VMEM; per-tile unpack is a shift/mask
+  on uint32 lanes and a no-op reshape thanks to the K-major plane layout
+  (see llm_tpu/ops/packing.py).
+- XLA fallback (CPU / debugging): dequantize whole matrix, one jnp.dot.
+
+Backend selection: env LLM_TPU_KERNELS in {auto, pallas, xla, interpret}.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llm_tpu.ops.packing import (
+    QuantTensor,
+    QFormat,
+    _BY_NAME,
+    dequant_jnp,
+    unpack_plane,
+    _expand_groups,
+)
+
+
+def _backend_mode() -> str:
+    return os.environ.get("LLM_TPU_KERNELS", "auto")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _use_pallas() -> bool:
+    mode = _backend_mode()
+    if mode == "pallas":
+        return True
+    if mode in ("xla",):
+        return False
+    if mode == "interpret":
+        return True
+    return _on_tpu()
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(fmt: QFormat, n_k: int, out_dtype):
+    """Build the kernel body for a given static format."""
+
+    def kernel(*refs):
+        # refs: x, lo, [hi], scale, [bias], out, acc
+        x_ref = refs[0]
+        lo_ref = refs[1]
+        i = 2
+        hi_ref = None
+        if fmt.hi_bits:
+            hi_ref = refs[i]
+            i += 1
+        scale_ref = refs[i]
+        i += 1
+        bias_ref = None
+        if fmt.has_bias:
+            bias_ref = refs[i]
+            i += 1
+        out_ref = refs[i]
+        acc_ref = refs[i + 1]
+
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        if fmt.lo_bits == 8:
+            q = lo_ref[:].astype(jnp.int32)
+        else:
+            q = unpack_plane(lo_ref[:], fmt.lo_bits)
+            if hi_ref is not None:
+                q = q | (unpack_plane(hi_ref[:], fmt.hi_bits) << fmt.lo_bits)
+
+        w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
+            scale_ref[:].astype(jnp.float32), fmt.gsize
+        )
+        if bias_ref is not None:
+            w = w + _expand_groups(bias_ref[:].astype(jnp.float32), fmt.gsize)
+
+        x = x_ref[:].astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(
+            x, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("tile_r", "tile_k", "interpret"))
+def _qmatmul_pallas(
+    x: jnp.ndarray,
+    qt: QuantTensor,
+    *,
+    tile_r: int = 256,
+    tile_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [M, K] @ dequant(qt) [K, R] -> [M, R] (padded dims trimmed)."""
+    fmt = qt.fmt
+    Kp, Rp = qt.k_padded, qt.r_padded
+    tile_r = min(tile_r, Rp)
+    tile_k = min(tile_k, Kp)
+    assert Rp % tile_r == 0 and Kp % tile_k == 0, (Rp, tile_r, Kp, tile_k)
+
+    M = x.shape[0]
+    Mp = _round_up(max(M, 8), 8)
+    if x.shape != (Mp, Kp):
+        x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
+
+    n_r, n_k = Rp // tile_r, Kp // tile_k
+    g = fmt.gsize
+
+    in_specs = [
+        pl.BlockSpec((Mp, tile_k), lambda r, k: (0, k)),  # x
+    ]
+    operands = [x]
+    if fmt.lo_bits == 8:
+        in_specs.append(pl.BlockSpec((tile_k, tile_r), lambda r, k: (k, r)))
+    else:
+        pw = 32 // fmt.lo_bits
+        in_specs.append(pl.BlockSpec((tile_k // pw, tile_r), lambda r, k: (k, r)))
+    operands.append(qt.lo)
+    if fmt.hi_bits:
+        pwh = 32 // fmt.hi_bits
+        in_specs.append(pl.BlockSpec((tile_k // pwh, tile_r), lambda r, k: (k, r)))
+        operands.append(qt.hi)
+    in_specs.append(pl.BlockSpec((tile_k // g, tile_r), lambda r, k: (k, r)))
+    operands.append(qt.scale)
+    if fmt.has_bias:
+        in_specs.append(pl.BlockSpec((tile_k // g, tile_r), lambda r, k: (k, r)))
+        operands.append(qt.bias)
+
+    out_dtype = jnp.float32
+    kernel = _make_kernel(fmt, n_k, out_dtype)
+
+    flops = 2 * Mp * Kp * Rp
+    bytes_accessed = (
+        qt.lo.size * qt.lo.dtype.itemsize
+        + (qt.hi.size * 4 if qt.hi is not None else 0)
+        + qt.scale.size * qt.scale.dtype.itemsize
+        + (qt.bias.size * qt.bias.dtype.itemsize if qt.bias is not None else 0)
+        + x.size * 4
+        + Mp * Rp * 4
+    )
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_r, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Mp, tile_r), lambda r, k: (0, r)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Rp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_r), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*operands)
+    return y[:M, : qt.r]
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
+    """y = x @ W for dense ([K, R] array) or quantized (QuantTensor) weights.
+
+    x: [..., K] float; returns [..., R] float32.
+    """
+    if isinstance(w, QuantTensor):
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        mode = _backend_mode()
+        if _use_pallas():
+            y = _qmatmul_pallas(x2, w, interpret=(mode == "interpret"))
+        else:
+            y = x2 @ dequant_jnp(w, jnp.float32)
+        return y.reshape(*lead, w.r)
+    # dense: bf16 MXU with f32 accumulation
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def quant_rows_lookup(w, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup: dequantize the selected logical rows.
+
+    ggml get_rows analog: for a table stored K-major ([K-planes, R=vocab]),
+    gather columns `ids` then dequantize. Returns [len(ids), K] float32.
+    """
+    if isinstance(w, QuantTensor):
+        fmt = w.fmt
+        lo = w.lo[:, ids]
+        hi = w.hi[:, ids] if w.hi is not None else None
+        scale = w.scale[:, ids]
+        bias = w.bias[:, ids] if w.bias is not None else None
+        sub = QuantTensor(w.fmt_name, w.k, ids.shape[0], lo, hi, scale, bias)
+        return dequant_jnp(sub, jnp.float32).T
+    return w[:, ids].astype(jnp.float32).T

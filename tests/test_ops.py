@@ -1,0 +1,130 @@
+"""Packing + qmatmul tests: device representation equals the numpy codecs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from llm_tpu.ggml.types import GgmlType
+from llm_tpu.ggml.quant import quantize, dequantize
+from llm_tpu.ops import pack_ggml, dequant_jnp, qmatmul, quant_rows_lookup
+from llm_tpu.ops.packing import QuantTensor
+from llm_tpu.ops.qmatmul import _qmatmul_pallas
+
+ALL_QTYPES = [
+    GgmlType.Q4_0,
+    GgmlType.Q4_1,
+    GgmlType.Q5_0,
+    GgmlType.Q5_1,
+    GgmlType.Q8_0,
+    GgmlType.Q2_K,
+    GgmlType.Q3_K,
+    GgmlType.Q4_K,
+    GgmlType.Q5_K,
+    GgmlType.Q6_K,
+]
+
+
+# byte offsets of the f16 scale fields inside each K-quant block
+_KQ_SCALE_OFFSETS = {
+    GgmlType.Q2_K: (80, 82),
+    GgmlType.Q3_K: (108,),
+    GgmlType.Q4_K: (0, 2),
+    GgmlType.Q5_K: (0, 2),
+    GgmlType.Q6_K: (208,),
+}
+
+
+def _random_raw(rng, t, K, R):
+    """Random valid raw bytes for type t as a [K, R]-dim ggml tensor."""
+    if t in (GgmlType.Q4_0, GgmlType.Q4_1, GgmlType.Q5_0, GgmlType.Q5_1, GgmlType.Q8_0):
+        x = rng.normal(size=K * R).astype(np.float32)
+        return quantize(t, x)
+    # K-quants have no encoder yet: random bytes are a valid bitstream, but
+    # overwrite the f16 super-scales with sane magnitudes (random f16 bit
+    # patterns include NaN/65k values that make comparisons meaningless).
+    from llm_tpu.ggml.types import type_size, block_size
+
+    nb = K * R // block_size(t)
+    ts = type_size(t)
+    raw = rng.integers(0, 256, size=(nb, ts), dtype=np.uint8)
+    for off in _KQ_SCALE_OFFSETS[t]:
+        d = rng.uniform(0.01, 0.05, size=nb).astype(np.float16)
+        raw[:, off : off + 2] = d[:, None].view(np.uint8)
+    return raw.tobytes()
+
+
+@pytest.mark.parametrize("t", ALL_QTYPES)
+def test_pack_dequant_matches_codec(t):
+    rng = np.random.default_rng(11)
+    K, R = 256, 96  # R not a lane multiple -> exercises padding
+    raw = _random_raw(rng, t, K, R)
+    expected = dequantize(t, raw, K * R).reshape(R, K).T  # [K, R]
+
+    qt = pack_ggml(t, raw, (K, R))
+    assert isinstance(qt, QuantTensor)
+    assert qt.shape == (K, R)
+    assert qt.r_padded % 128 == 0
+    got = np.asarray(dequant_jnp(qt))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_pack_dense_f16():
+    rng = np.random.default_rng(1)
+    K, R = 64, 32
+    w = rng.normal(size=(R, K)).astype(np.float16)
+    arr = pack_ggml(GgmlType.F16, w.tobytes(), (K, R))
+    assert arr.shape == (K, R)
+    np.testing.assert_array_equal(np.asarray(arr), w.T)
+
+
+@pytest.mark.parametrize("t", [GgmlType.Q4_0, GgmlType.Q8_0, GgmlType.Q4_K])
+def test_qmatmul_xla_path(t, monkeypatch):
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    rng = np.random.default_rng(5)
+    K, R, M = 256, 128, 4
+    raw = _random_raw(rng, t, K, R)
+    qt = pack_ggml(t, raw, (K, R))
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    y = qmatmul(x, qt)
+    assert y.shape == (M, R)
+    wd = dequantize(t, raw, K * R).reshape(R, K).T
+    expected = np.asarray(x) @ wd
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t", ALL_QTYPES)
+def test_qmatmul_pallas_interpret_matches_xla(t):
+    """The Pallas kernel (interpreter mode on CPU) must equal the same math
+    (bf16 weights/activations, f32 accumulation) done in plain XLA."""
+    rng = np.random.default_rng(9)
+    K, R, M = 512, 256, 3
+    raw = _random_raw(rng, t, K, R)
+    qt = pack_ggml(t, raw, (K, R))
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+
+    wd = dequant_jnp(qt).astype(jnp.bfloat16)
+    y_ref = np.asarray(
+        jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            wd,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    y_pal = _qmatmul_pallas(x, qt, tile_r=128, tile_k=256, interpret=True)
+    assert y_pal.shape == (M, R)
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(np.asarray(y_pal), y_ref, atol=1e-5 * max(scale, 1.0), rtol=1e-5)
+
+
+def test_rows_lookup():
+    rng = np.random.default_rng(2)
+    K, R = 64, 160
+    raw = _random_raw(rng, GgmlType.Q8_0, K, R)
+    qt = pack_ggml(GgmlType.Q8_0, raw, (K, R))
+    ids = jnp.asarray([0, 5, 159])
+    rows = quant_rows_lookup(qt, ids)
+    assert rows.shape == (3, K)
+    full = dequantize(GgmlType.Q8_0, raw, K * R).reshape(R, K)
+    np.testing.assert_allclose(np.asarray(rows), full[np.asarray(ids)], rtol=1e-6)
