@@ -1,0 +1,254 @@
+"""The spec-driven decoder: one jitted forward function for all 7 archs.
+
+Replaces the reference's per-token graph rebuild (`ctx0.recreate()` +
+builder closure, /root/reference/crates/llm-base/src/inference_session.rs:220-295)
+with a pure function traced ONCE per (spec, chunk length) and compiled by XLA:
+
+    forward(params, ids[T], n_past, cache) -> (logits[T, V], hidden[T, E], cache')
+
+Design notes (TPU-first):
+- Static shapes: the KV cache is a dense [L, n_ctx, H_kv, D] ring of
+  absolute positions; `n_past` is a traced scalar. One compilation per
+  prompt-chunk bucket + one for T=1 decode.
+- Layers run under `lax.scan` over weight pytrees stacked along a leading
+  n_layer axis — compile time is O(1) in depth, and XLA pipelines the
+  dequant-matmul Pallas kernels across layers.
+- Cache update is a single dynamic_update_slice of the [L, T, H_kv, D]
+  new keys/values after the scan; attention inside the scan reads the
+  *cached* keys (masked to < n_past) plus the in-flight chunk keys, so the
+  cache is never copied inside the loop (decode HBM traffic = one cache
+  read + T-row write, the roofline minimum).
+- KQ path numerics mirror ggml: scale 1/sqrt(n_embd/n_head), optional
+  ALiBi added after scaling, causal mask, f32 softmax
+  (e.g. llama/src/lib.rs:265-281, bloom/src/lib.rs:230-246).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from llm_tpu.models.params import LayerParams, ModelParams, _register
+from llm_tpu.models.spec import ModelSpec
+from llm_tpu.ops.layers import (
+    alibi_slopes,
+    gelu,
+    layer_norm,
+    rms_norm,
+    rope,
+    silu,
+)
+from llm_tpu.ops.qmatmul import qmatmul, quant_rows_lookup
+
+NEG_INF = -1e30
+
+
+@_register
+@dataclass
+class KVCache:
+    """Dense per-layer KV cache, absolute positions. The analog of
+    memory_k/memory_v (inference_session.rs:49-94) with K stored ROPE'd,
+    exactly as the reference caches it (llama/src/lib.rs:242-244)."""
+
+    k: jnp.ndarray  # [L, S, H_kv, D]
+    v: jnp.ndarray  # [L, S, H_kv, D]
+
+
+def init_cache(spec: ModelSpec, dtype=jnp.bfloat16) -> KVCache:
+    shape = (spec.n_layer, spec.n_ctx, spec.n_head_kv, spec.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _norm(spec: ModelSpec, x, w, b):
+    if spec.norm == "rms":
+        return rms_norm(x, w)
+    return layer_norm(x, w, b)
+
+
+def _attention(
+    spec: ModelSpec,
+    layer: LayerParams,
+    a: jnp.ndarray,  # [T, E] normed input
+    positions: jnp.ndarray,  # [T] absolute
+    n_past: jnp.ndarray,  # scalar
+    k_cache: jnp.ndarray,  # [S, H_kv, D]
+    v_cache: jnp.ndarray,
+):
+    T = a.shape[0]
+    S = k_cache.shape[0]
+    H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
+    rep = H // Hkv
+
+    q = qmatmul(a, layer.wq)
+    if layer.bq is not None:
+        q = q + layer.bq
+    k = qmatmul(a, layer.wk)
+    if layer.bk is not None:
+        k = k + layer.bk
+    v = qmatmul(a, layer.wv)
+    if layer.bv is not None:
+        v = v + layer.bv
+
+    q = q.reshape(T, H, D)
+    k = k.reshape(T, Hkv, D)
+    v = v.reshape(T, Hkv, D)
+
+    if spec.rope_mode >= 0 and spec.n_rot > 0:
+        q = rope(
+            q, positions, spec.n_rot, spec.rope_mode,
+            spec.rope_freq_base, spec.rope_freq_scale,
+        )
+        k = rope(
+            k, positions, spec.n_rot, spec.rope_mode,
+            spec.rope_freq_base, spec.rope_freq_scale,
+        )
+
+    qf = q.astype(jnp.float32).reshape(T, Hkv, rep, D)
+    kc = k_cache.astype(jnp.float32)
+    vc = v_cache.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # scores over cached keys [T, Hkv, rep, S] and in-flight keys [T, Hkv, rep, T]
+    sc = jnp.einsum("thrd,shd->thrs", qf, kc, preferred_element_type=jnp.float32)
+    sn = jnp.einsum("thrd,uhd->thru", qf, kf, preferred_element_type=jnp.float32)
+    scores = jnp.concatenate([sc, sn], axis=-1) * spec.kq_scale
+
+    # absolute key positions: cache slot j holds position j; chunk key i is
+    # at n_past + i
+    key_pos = jnp.concatenate(
+        [jnp.arange(S, dtype=jnp.int32), n_past + jnp.arange(T, dtype=jnp.int32)]
+    )
+
+    if spec.alibi_bias_max > 0.0:
+        slopes = alibi_slopes(H, spec.alibi_bias_max).reshape(Hkv, rep)
+        scores = scores + (
+            slopes[None, :, :, None] * key_pos.astype(jnp.float32)[None, None, None, :]
+        )
+
+    # mask: cached keys valid iff slot < n_past; chunk key u valid iff u <= t
+    cache_valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_past  # [1, S]
+    cache_valid = jnp.broadcast_to(cache_valid, (T, S))
+    chunk_valid = (
+        jnp.arange(T, dtype=jnp.int32)[None, :]
+        <= jnp.arange(T, dtype=jnp.int32)[:, None]
+    )  # [T, T]
+    valid = jnp.concatenate([cache_valid, chunk_valid], axis=-1)  # [T, S+T]
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    pc, pn = probs[..., :S], probs[..., S:]
+    out = jnp.einsum("thrs,shd->thrd", pc, vc, preferred_element_type=jnp.float32)
+    out = out + jnp.einsum(
+        "thru,uhd->thrd", pn, vf, preferred_element_type=jnp.float32
+    )
+    out = out.reshape(T, H * D)
+
+    out = qmatmul(out, layer.wo)
+    if layer.bo is not None:
+        out = out + layer.bo
+    return out, k, v
+
+
+def _ffn(spec: ModelSpec, layer: LayerParams, x: jnp.ndarray) -> jnp.ndarray:
+    if spec.ffn == "swiglu":
+        up = qmatmul(x, layer.w_up)
+        gate = silu(qmatmul(x, layer.w_gate))
+        h = gate * up
+    else:
+        h = qmatmul(x, layer.w_up)
+        if layer.b_up is not None:
+            h = h + layer.b_up
+        h = gelu(h)
+    h = qmatmul(h, layer.w_down)
+    if layer.b_down is not None:
+        h = h + layer.b_down
+    return h
+
+
+def _layer(
+    spec: ModelSpec,
+    h: jnp.ndarray,
+    layer: LayerParams,
+    positions: jnp.ndarray,
+    n_past: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+):
+    if spec.residual == "sequential":
+        a = _norm(spec, h, layer.ln1_w, layer.ln1_b)
+        attn, k_new, v_new = _attention(
+            spec, layer, a, positions, n_past, k_cache, v_cache
+        )
+        h = h + attn
+        f = _norm(spec, h, layer.ln2_w, layer.ln2_b)
+        h = h + _ffn(spec, layer, f)
+    elif spec.residual == "parallel_shared_ln":  # gptj, falcon-7b
+        a = _norm(spec, h, layer.ln1_w, layer.ln1_b)
+        attn, k_new, v_new = _attention(
+            spec, layer, a, positions, n_past, k_cache, v_cache
+        )
+        h = h + attn + _ffn(spec, layer, a)
+    elif spec.residual == "parallel_two_ln":  # gptneox parallel, falcon-40b
+        a = _norm(spec, h, layer.ln1_w, layer.ln1_b)
+        attn, k_new, v_new = _attention(
+            spec, layer, a, positions, n_past, k_cache, v_cache
+        )
+        f = _norm(spec, h, layer.ln2_w, layer.ln2_b)
+        h = h + attn + _ffn(spec, layer, f)
+    else:
+        raise ValueError(f"unknown residual topology {spec.residual}")
+    return h, k_new, v_new
+
+
+def forward(
+    spec: ModelSpec,
+    params: ModelParams,
+    ids: jnp.ndarray,  # [T] int32
+    n_past: jnp.ndarray,  # scalar int32
+    cache: KVCache,
+):
+    """Returns (logits [T, n_vocab] f32, hidden [T, E] f32, new cache)."""
+    T = ids.shape[0]
+    positions = n_past + jnp.arange(T, dtype=jnp.int32)
+
+    h = quant_rows_lookup(params.wte, ids)  # [T, E] f32
+    if spec.post_embed_norm:
+        h = layer_norm(h, params.emb_norm_w, params.emb_norm_b)
+    if spec.learned_pos:
+        h = h + quant_rows_lookup(params.wpe, positions)
+
+    def body(carry, xs):
+        layer, k_l, v_l = xs
+        hh, k_new, v_new = _layer(spec, carry, layer, positions, n_past, k_l, v_l)
+        return hh, (k_new, v_new)
+
+    h, (k_news, v_news) = lax.scan(body, h, (params.layers, cache.k, cache.v))
+
+    new_k = lax.dynamic_update_slice(
+        cache.k, k_news.astype(cache.k.dtype), (0, n_past, 0, 0)
+    )
+    new_v = lax.dynamic_update_slice(
+        cache.v, v_news.astype(cache.v.dtype), (0, n_past, 0, 0)
+    )
+
+    h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
+    head = params.lm_head if params.lm_head is not None else params.wte
+    logits = qmatmul(h, head)
+    if params.lm_head_b is not None:
+        logits = logits + params.lm_head_b
+    return logits.astype(jnp.float32), h.astype(jnp.float32), KVCache(new_k, new_v)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
+def forward_step(spec, params, ids, n_past, cache):
+    """Jitted entry point; one compilation per (spec, len(ids)) bucket.
+
+    The cache argument is donated so XLA updates it in place.
+    """
+    return forward(spec, params, ids, n_past, cache)

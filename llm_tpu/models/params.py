@@ -1,0 +1,473 @@
+"""Canonical model parameters: one weight layout for all seven architectures.
+
+The reference keeps each architecture's idiosyncratic tensor layout (fused vs
+split QKV, interleaved heads, etc.) and encodes the difference in each crate's
+`evaluate()` graph builder. TPU-first we instead normalize *at load time*:
+fused QKV tensors are split into canonical q/k/v by logical-row selection on
+the decoded quant blocks (quant blocks span only the K axis, so row selection
+is exact — no requantization), and every model becomes the same pytree:
+
+    ModelParams
+      wte [E, V]  (quantized or dense, K-major)
+      wpe (gpt2), emb_norm (bloom), final_norm, lm_head (None = tied to wte)
+      layers: LayerParams stacked along a leading n_layer axis (lax.scan-able)
+
+QKV packing evidence per arch:
+- gpt2/bloom/mpt: contiguous thirds (gpt2/src/lib.rs:192-195,
+  bloom/src/lib.rs:167-185, mpt/src/lib.rs:135-137)
+- gptneox: per-head interleave [q k v] x n_head, stride 3*head_dim
+  (gptneox/src/lib.rs:206-223)
+- falcon: [q x n_head, k x n_head_kv, v x n_head_kv] contiguous
+  (falcon/src/lib.rs:220-241)
+- llama/gptj: already split (llama/src/lib.rs:69-76, gptj/src/lib.rs:79-87)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_tpu.ggml.quant import dequantize
+from llm_tpu.ggml.reader import GgmlReader, TensorInfo
+from llm_tpu.ggml.types import GgmlType
+from llm_tpu.models.spec import ModelSpec
+from llm_tpu.ops.packing import QuantTensor, pack_ggml
+
+Weight = Union[QuantTensor, jnp.ndarray]
+
+
+def _register(cls):
+    """Register a dataclass whose every field is a child (possibly None)."""
+
+    def flatten(obj):
+        names = [f.name for f in fields(obj)]
+        return tuple(getattr(obj, n) for n in names), tuple(names)
+
+    def unflatten(aux, children):
+        return cls(**dict(zip(aux, children)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_register
+@dataclass
+class LayerParams:
+    """One decoder layer, canonical form. All matrices K-major [in, out]."""
+
+    ln1_w: jnp.ndarray
+    ln1_b: Optional[jnp.ndarray]
+    ln2_w: Optional[jnp.ndarray]  # None: parallel_shared_ln archs
+    ln2_b: Optional[jnp.ndarray]
+    wq: Weight
+    bq: Optional[jnp.ndarray]
+    wk: Weight
+    bk: Optional[jnp.ndarray]
+    wv: Weight
+    bv: Optional[jnp.ndarray]
+    wo: Weight
+    bo: Optional[jnp.ndarray]
+    w_gate: Optional[Weight]  # swiglu only (llama w1)
+    w_up: Weight  # llama w3 / c_fc / dense_h_to_4h / up_proj
+    b_up: Optional[jnp.ndarray]
+    w_down: Weight
+    b_down: Optional[jnp.ndarray]
+
+
+@_register
+@dataclass
+class ModelParams:
+    wte: Weight  # [E, V]
+    wpe: Optional[Weight]  # [E, n_ctx_train] (gpt2)
+    emb_norm_w: Optional[jnp.ndarray]  # bloom post-embedding LN
+    emb_norm_b: Optional[jnp.ndarray]
+    final_norm_w: jnp.ndarray
+    final_norm_b: Optional[jnp.ndarray]
+    lm_head: Optional[Weight]  # None => tied to wte
+    lm_head_b: Optional[jnp.ndarray]  # gptj
+    layers: LayerParams  # stacked: every leaf has leading n_layer axis
+
+
+def stack_layers(layers: list[LayerParams]) -> LayerParams:
+    """Stack per-layer pytrees along a new leading axis for lax.scan.
+
+    Requires homogeneous layers (same quant formats / shapes / bias
+    presence) — true for every real GGML checkpoint, where the quantizer
+    applies one target type to all matching 2-D tensors.
+    """
+    try:
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    except ValueError as e:
+        raise ValueError(
+            "model layers are not homogeneous (mixed quant formats or "
+            f"shapes across layers); cannot build scan-stacked params: {e}"
+        ) from e
+
+
+class WeightSource:
+    """Fetch-and-pack adapter over a GgmlReader (+ optional LoRA patches).
+
+    The analog of MmapCompatibleLoader/FileContext::get_tensor
+    (/root/reference/crates/llm-base/src/loader.rs:641-756), producing packed
+    device tensors instead of arena copies.
+    """
+
+    def __init__(self, reader: GgmlReader, progress=None, lora_adapters=None):
+        self.reader = reader
+        self.progress = progress
+        self.lora_adapters = lora_adapters or []
+        self._loaded = 0
+
+    def has(self, name: str) -> bool:
+        return name in self.reader.tensors
+
+    def _raw(self, name: str) -> tuple[TensorInfo, np.ndarray]:
+        info = self.reader.tensors[name]
+        data = self.reader.fetch(name)
+        for lora in self.lora_adapters:
+            patched = lora.patch(name, info, data)
+            if patched is not None:
+                info, data = patched
+        self._loaded += 1
+        if self.progress is not None:
+            self.progress(name, self._loaded, len(self.reader.tensors))
+        return info, data
+
+    def matrix(self, name: str, rows: Optional[np.ndarray] = None) -> Weight:
+        info, data = self._raw(name)
+        return pack_ggml(info.element_type, data, info.dims, rows=rows)
+
+    def vec(self, name: str, rows: Optional[np.ndarray] = None) -> jnp.ndarray:
+        """1-D tensor (norm weight / bias) as f32 on device."""
+        info, data = self._raw(name)
+        v = dequantize(info.element_type, data, info.n_elements)
+        if rows is not None:
+            v = v[rows]
+        return jnp.asarray(v, dtype=jnp.float32)
+
+    def maybe_matrix(self, name: str) -> Optional[Weight]:
+        return self.matrix(name) if self.has(name) else None
+
+
+# ---------------------------------------------------------------------------
+# fused-QKV row index helpers
+
+
+def _thirds(n_embd: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    i = np.arange(n_embd)
+    return i, n_embd + i, 2 * n_embd + i
+
+
+def _neox_interleaved(n_head: int, head_dim: int):
+    base = np.arange(n_head)[:, None] * 3 * head_dim + np.arange(head_dim)[None, :]
+    return base.ravel(), (base + head_dim).ravel(), (base + 2 * head_dim).ravel()
+
+
+def _falcon_rows(n_head: int, n_head_kv: int, head_dim: int):
+    q = np.arange(n_head * head_dim)
+    k = n_head * head_dim + np.arange(n_head_kv * head_dim)
+    v = (n_head + n_head_kv) * head_dim + np.arange(n_head_kv * head_dim)
+    return q, k, v
+
+
+# ---------------------------------------------------------------------------
+# per-arch parameter builders
+
+
+def _build_llama(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    layers = []
+    for i in range(spec.n_layer):
+        p = f"layers.{i}"
+        layers.append(
+            LayerParams(
+                ln1_w=ws.vec(f"{p}.attention_norm.weight"),
+                ln1_b=None,
+                ln2_w=ws.vec(f"{p}.ffn_norm.weight"),
+                ln2_b=None,
+                wq=ws.matrix(f"{p}.attention.wq.weight"),
+                bq=None,
+                wk=ws.matrix(f"{p}.attention.wk.weight"),
+                bk=None,
+                wv=ws.matrix(f"{p}.attention.wv.weight"),
+                bv=None,
+                wo=ws.matrix(f"{p}.attention.wo.weight"),
+                bo=None,
+                w_gate=ws.matrix(f"{p}.feed_forward.w1.weight"),
+                w_up=ws.matrix(f"{p}.feed_forward.w3.weight"),
+                b_up=None,
+                w_down=ws.matrix(f"{p}.feed_forward.w2.weight"),
+                b_down=None,
+            )
+        )
+    return ModelParams(
+        wte=ws.matrix("tok_embeddings.weight"),
+        wpe=None,
+        emb_norm_w=None,
+        emb_norm_b=None,
+        final_norm_w=ws.vec("norm.weight"),
+        final_norm_b=None,
+        lm_head=ws.matrix("output.weight"),
+        lm_head_b=None,
+        layers=stack_layers(layers),
+    )
+
+
+def _build_gpt2(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    q, k, v = _thirds(spec.n_embd)
+    layers = []
+    for i in range(spec.n_layer):
+        p = f"model/h{i}"
+        layers.append(
+            LayerParams(
+                ln1_w=ws.vec(f"{p}/ln_1/g"),
+                ln1_b=ws.vec(f"{p}/ln_1/b"),
+                ln2_w=ws.vec(f"{p}/ln_2/g"),
+                ln2_b=ws.vec(f"{p}/ln_2/b"),
+                wq=ws.matrix(f"{p}/attn/c_attn/w", rows=q),
+                bq=ws.vec(f"{p}/attn/c_attn/b", rows=q),
+                wk=ws.matrix(f"{p}/attn/c_attn/w", rows=k),
+                bk=ws.vec(f"{p}/attn/c_attn/b", rows=k),
+                wv=ws.matrix(f"{p}/attn/c_attn/w", rows=v),
+                bv=ws.vec(f"{p}/attn/c_attn/b", rows=v),
+                wo=ws.matrix(f"{p}/attn/c_proj/w"),
+                bo=ws.vec(f"{p}/attn/c_proj/b"),
+                w_gate=None,
+                w_up=ws.matrix(f"{p}/mlp/c_fc/w"),
+                b_up=ws.vec(f"{p}/mlp/c_fc/b"),
+                w_down=ws.matrix(f"{p}/mlp/c_proj/w"),
+                b_down=ws.vec(f"{p}/mlp/c_proj/b"),
+            )
+        )
+    return ModelParams(
+        wte=ws.matrix("model/wte"),
+        wpe=ws.matrix("model/wpe"),
+        emb_norm_w=None,
+        emb_norm_b=None,
+        final_norm_w=ws.vec("model/ln_f/g"),
+        final_norm_b=ws.vec("model/ln_f/b"),
+        lm_head=ws.maybe_matrix("model/lm_head"),
+        lm_head_b=None,
+        layers=stack_layers(layers),
+    )
+
+
+def _build_gptj(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    layers = []
+    for i in range(spec.n_layer):
+        p = f"transformer.h.{i}"
+        layers.append(
+            LayerParams(
+                ln1_w=ws.vec(f"{p}.ln_1.weight"),
+                ln1_b=ws.vec(f"{p}.ln_1.bias"),
+                ln2_w=None,
+                ln2_b=None,
+                wq=ws.matrix(f"{p}.attn.q_proj.weight"),
+                bq=None,
+                wk=ws.matrix(f"{p}.attn.k_proj.weight"),
+                bk=None,
+                wv=ws.matrix(f"{p}.attn.v_proj.weight"),
+                bv=None,
+                wo=ws.matrix(f"{p}.attn.out_proj.weight"),
+                bo=None,
+                w_gate=None,
+                w_up=ws.matrix(f"{p}.mlp.fc_in.weight"),
+                b_up=ws.vec(f"{p}.mlp.fc_in.bias"),
+                w_down=ws.matrix(f"{p}.mlp.fc_out.weight"),
+                b_down=ws.vec(f"{p}.mlp.fc_out.bias"),
+            )
+        )
+    return ModelParams(
+        wte=ws.matrix("transformer.wte.weight"),
+        wpe=None,
+        emb_norm_w=None,
+        emb_norm_b=None,
+        final_norm_w=ws.vec("transformer.ln_f.weight"),
+        final_norm_b=ws.vec("transformer.ln_f.bias"),
+        lm_head=ws.matrix("lm_head.weight"),
+        lm_head_b=ws.vec("lm_head.bias"),
+        layers=stack_layers(layers),
+    )
+
+
+def _build_gptneox(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    q, k, v = _neox_interleaved(spec.n_head, spec.head_dim)
+    layers = []
+    for i in range(spec.n_layer):
+        p = f"gpt_neox.layers.{i}"
+        layers.append(
+            LayerParams(
+                ln1_w=ws.vec(f"{p}.input_layernorm.weight"),
+                ln1_b=ws.vec(f"{p}.input_layernorm.bias"),
+                ln2_w=ws.vec(f"{p}.post_attention_layernorm.weight"),
+                ln2_b=ws.vec(f"{p}.post_attention_layernorm.bias"),
+                wq=ws.matrix(f"{p}.attention.query_key_value.weight", rows=q),
+                bq=ws.vec(f"{p}.attention.query_key_value.bias", rows=q),
+                wk=ws.matrix(f"{p}.attention.query_key_value.weight", rows=k),
+                bk=ws.vec(f"{p}.attention.query_key_value.bias", rows=k),
+                wv=ws.matrix(f"{p}.attention.query_key_value.weight", rows=v),
+                bv=ws.vec(f"{p}.attention.query_key_value.bias", rows=v),
+                wo=ws.matrix(f"{p}.attention.dense.weight"),
+                bo=ws.vec(f"{p}.attention.dense.bias"),
+                w_gate=None,
+                w_up=ws.matrix(f"{p}.mlp.dense_h_to_4h.weight"),
+                b_up=ws.vec(f"{p}.mlp.dense_h_to_4h.bias"),
+                w_down=ws.matrix(f"{p}.mlp.dense_4h_to_h.weight"),
+                b_down=ws.vec(f"{p}.mlp.dense_4h_to_h.bias"),
+            )
+        )
+    return ModelParams(
+        wte=ws.matrix("gpt_neox.embed_in.weight"),
+        wpe=None,
+        emb_norm_w=None,
+        emb_norm_b=None,
+        final_norm_w=ws.vec("gpt_neox.final_layer_norm.weight"),
+        final_norm_b=ws.vec("gpt_neox.final_layer_norm.bias"),
+        lm_head=ws.matrix("embed_out.weight"),
+        lm_head_b=None,
+        layers=stack_layers(layers),
+    )
+
+
+def _build_bloom(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    q, k, v = _thirds(spec.n_embd)
+    layers = []
+    for i in range(spec.n_layer):
+        p = f"layers.{i}"
+        layers.append(
+            LayerParams(
+                ln1_w=ws.vec(f"{p}.attention_norm.weight"),
+                ln1_b=ws.vec(f"{p}.attention_norm.bias"),
+                ln2_w=ws.vec(f"{p}.ffn_norm.weight"),
+                ln2_b=ws.vec(f"{p}.ffn_norm.bias"),
+                wq=ws.matrix(f"{p}.attention.query_key_value.weight", rows=q),
+                bq=ws.vec(f"{p}.attention.query_key_value.bias", rows=q),
+                wk=ws.matrix(f"{p}.attention.query_key_value.weight", rows=k),
+                bk=ws.vec(f"{p}.attention.query_key_value.bias", rows=k),
+                wv=ws.matrix(f"{p}.attention.query_key_value.weight", rows=v),
+                bv=ws.vec(f"{p}.attention.query_key_value.bias", rows=v),
+                wo=ws.matrix(f"{p}.attention.wo.weight"),
+                bo=ws.vec(f"{p}.attention.wo.bias"),
+                w_gate=None,
+                w_up=ws.matrix(f"{p}.feed_forward.w1.weight"),
+                b_up=ws.vec(f"{p}.feed_forward.w1.bias"),
+                w_down=ws.matrix(f"{p}.feed_forward.w2.weight"),
+                b_down=ws.vec(f"{p}.feed_forward.w2.bias"),
+            )
+        )
+    return ModelParams(
+        wte=ws.matrix("tok_embeddings.weight"),
+        wpe=None,
+        emb_norm_w=ws.vec("norm.weight"),
+        emb_norm_b=ws.vec("norm.bias"),
+        final_norm_w=ws.vec("output_norm.weight"),
+        final_norm_b=ws.vec("output_norm.bias"),
+        lm_head=ws.matrix("output.weight"),
+        lm_head_b=None,
+        layers=stack_layers(layers),
+    )
+
+
+def _build_mpt(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    q, k, v = _thirds(spec.n_embd)
+    layers = []
+    for i in range(spec.n_layer):
+        p = f"transformer.blocks.{i}"
+        layers.append(
+            LayerParams(
+                ln1_w=ws.vec(f"{p}.norm_1.weight"),
+                ln1_b=None,
+                ln2_w=ws.vec(f"{p}.norm_2.weight"),
+                ln2_b=None,
+                wq=ws.matrix(f"{p}.attn.Wqkv.weight", rows=q),
+                bq=None,
+                wk=ws.matrix(f"{p}.attn.Wqkv.weight", rows=k),
+                bk=None,
+                wv=ws.matrix(f"{p}.attn.Wqkv.weight", rows=v),
+                bv=None,
+                wo=ws.matrix(f"{p}.attn.out_proj.weight"),
+                bo=None,
+                w_gate=None,
+                w_up=ws.matrix(f"{p}.ffn.up_proj.weight"),
+                b_up=None,
+                w_down=ws.matrix(f"{p}.ffn.down_proj.weight"),
+                b_down=None,
+            )
+        )
+    return ModelParams(
+        wte=ws.matrix("transformer.wte.weight"),
+        wpe=None,
+        emb_norm_w=None,
+        emb_norm_b=None,
+        final_norm_w=ws.vec("transformer.norm_f.weight"),
+        final_norm_b=None,
+        lm_head=None,  # tied (mpt/src/lib.rs:243-244)
+        lm_head_b=None,
+        layers=stack_layers(layers),
+    )
+
+
+def _build_falcon(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    q, k, v = _falcon_rows(spec.n_head, spec.n_head_kv, spec.head_dim)
+    layers = []
+    for i in range(spec.n_layer):
+        p = f"transformer.h.{i}"
+        if spec.n_head_kv == 1:  # falcon 7B: single shared LN
+            ln1_w = ws.vec(f"{p}.input_layernorm.weight")
+            ln1_b = ws.vec(f"{p}.input_layernorm.bias")
+            ln2_w = ln2_b = None
+        else:  # falcon 40B: ln_attn feeds attention, ln_mlp feeds the FFN
+            ln1_w = ws.vec(f"{p}.ln_attn.weight")
+            ln1_b = ws.vec(f"{p}.ln_attn.bias")
+            ln2_w = ws.vec(f"{p}.ln_mlp.weight")
+            ln2_b = ws.vec(f"{p}.ln_mlp.bias")
+        layers.append(
+            LayerParams(
+                ln1_w=ln1_w,
+                ln1_b=ln1_b,
+                ln2_w=ln2_w,
+                ln2_b=ln2_b,
+                wq=ws.matrix(f"{p}.self_attention.query_key_value.weight", rows=q),
+                bq=None,
+                wk=ws.matrix(f"{p}.self_attention.query_key_value.weight", rows=k),
+                bk=None,
+                wv=ws.matrix(f"{p}.self_attention.query_key_value.weight", rows=v),
+                bv=None,
+                wo=ws.matrix(f"{p}.self_attention.dense.weight"),
+                bo=None,
+                w_gate=None,
+                w_up=ws.matrix(f"{p}.mlp.dense_h_to_4h.weight"),
+                b_up=None,
+                w_down=ws.matrix(f"{p}.mlp.dense_4h_to_h.weight"),
+                b_down=None,
+            )
+        )
+    return ModelParams(
+        wte=ws.matrix("transformer.word_embeddings.weight"),
+        wpe=None,
+        emb_norm_w=None,
+        emb_norm_b=None,
+        final_norm_w=ws.vec("transformer.ln_f.weight"),
+        final_norm_b=ws.vec("transformer.ln_f.bias"),
+        lm_head=ws.matrix("lm_head.weight"),
+        lm_head_b=None,
+        layers=stack_layers(layers),
+    )
+
+
+_BUILDERS = {
+    "llama": _build_llama,
+    "gpt2": _build_gpt2,
+    "gptj": _build_gptj,
+    "gptneox": _build_gptneox,
+    "bloom": _build_bloom,
+    "mpt": _build_mpt,
+    "falcon": _build_falcon,
+}
+
+
+def build_params(ws: WeightSource, spec: ModelSpec) -> ModelParams:
+    return _BUILDERS[spec.arch](ws, spec)

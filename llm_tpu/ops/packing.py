@@ -135,6 +135,7 @@ def pack_ggml(
     data: bytes | np.ndarray,
     dims: tuple[int, ...],
     *,
+    rows: Optional[np.ndarray] = None,
     r_multiple: int = 128,
     k_multiple: int = 0,
     scale_dtype=jnp.float32,
@@ -144,6 +145,11 @@ def pack_ggml(
     `dims` is in ggml order: dims[0] = K (row length, quantized axis),
     dims[1] = R (number of rows). Dense (F16/F32) tensors return a plain
     [K, R] jnp array in their storage dtype.
+
+    `rows` optionally selects a subset/permutation of the R logical rows
+    (output features) before packing — this is how fused QKV tensors are
+    split into canonical q/k/v at load time (quant blocks span K only, so
+    row selection never crosses a block boundary).
     """
     K = dims[0]
     R = dims[1] if len(dims) > 1 else 1
@@ -151,19 +157,26 @@ def pack_ggml(
     if t in (GgmlType.F32, GgmlType.F16):
         dt = np.float32 if t == GgmlType.F32 else np.float16
         w = np.frombuffer(data, dtype=dt, count=K * R).reshape(R, K)
+        if rows is not None:
+            w = w[rows]
         return jnp.asarray(np.ascontiguousarray(w.T))
 
     fmt = FORMATS[t]
     dec = decode_blocks(t, data, K * R)
     g = fmt.gsize
 
-    q = np.ascontiguousarray(dec.q.reshape(R, K).T)  # [K, R]
-    scale = np.ascontiguousarray(dec.scale.reshape(R, K // g).T)  # [K/g, R]
-    bias = (
-        np.ascontiguousarray(dec.bias.reshape(R, K // g).T)
-        if dec.bias is not None
-        else None
-    )
+    q2 = dec.q.reshape(R, K)
+    scale2 = dec.scale.reshape(R, K // g)
+    bias2 = dec.bias.reshape(R, K // g) if dec.bias is not None else None
+    if rows is not None:
+        q2, scale2 = q2[rows], scale2[rows]
+        if bias2 is not None:
+            bias2 = bias2[rows]
+        R = len(rows)
+
+    q = np.ascontiguousarray(q2.T)  # [K, R]
+    scale = np.ascontiguousarray(scale2.T)  # [K/g, R]
+    bias = np.ascontiguousarray(bias2.T) if bias2 is not None else None
 
     # pad R to a lane multiple, K to a requested multiple (both with zeros;
     # padded scale stays 0 so padded K contributes nothing to dots)
@@ -201,9 +214,12 @@ def pack_ggml(
     )
 
 
-def pack_dense(w: np.ndarray) -> jnp.ndarray:
+def pack_dense(w: np.ndarray, rows: Optional[np.ndarray] = None) -> jnp.ndarray:
     """Dense weight [R, K] (row-major, ggml orientation) -> [K, R] device array."""
-    return jnp.asarray(np.ascontiguousarray(np.asarray(w).T))
+    w = np.asarray(w)
+    if rows is not None:
+        w = w[rows]
+    return jnp.asarray(np.ascontiguousarray(w.T))
 
 
 # ---------------------------------------------------------------------------

@@ -210,10 +210,14 @@ def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
         else:
             y = x2 @ dequant_jnp(w, jnp.float32)
         return y.reshape(*lead, w.r)
-    # dense: bf16 MXU with f32 accumulation
+    # dense: bf16 feeds the MXU with f32 accumulation on TPU; plain f32 on
+    # CPU (bf16 there is emulated and only loses precision). Override with
+    # LLM_TPU_MATMUL_DTYPE=float32|bfloat16.
+    md = os.environ.get("LLM_TPU_MATMUL_DTYPE")
+    dt = jnp.dtype(md) if md else (jnp.bfloat16 if _on_tpu() else jnp.float32)
     return jax.lax.dot_general(
-        x.astype(jnp.bfloat16),
-        w.astype(jnp.bfloat16),
+        x.astype(dt),
+        w.astype(dt),
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

@@ -1,0 +1,206 @@
+"""Test-support: synthesize tiny random GGML checkpoints for every arch.
+
+The reference integration harness (binaries/llm-test) downloads small real
+models from HF; with zero egress we instead generate tiny random checkpoints
+through our own writer, which exercises the same loader/graph/session paths.
+Golden-output determinism comes from the greedy DeterministicSampler analog
+(llm-test/src/inference.rs:94-117), not from fixed weights.
+"""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+
+import numpy as np
+
+from llm_tpu.ggml.quant import quantize
+from llm_tpu.ggml.types import (
+    ELEMENT_TYPE_TO_FILE_TYPE,
+    QNT_VERSION,
+    ContainerType,
+    FileType,
+    GgmlType,
+)
+from llm_tpu.ggml.writer import GgmlWriter
+from llm_tpu.models.spec import Hyperparameters
+
+
+def tiny_hparams(arch: str) -> Hyperparameters:
+    h = Hyperparameters(arch=arch)
+    h.n_vocab = 96
+    h.n_embd = 64
+    h.n_head = 4
+    h.n_head_kv = 4
+    h.n_layer = 2
+    h.n_ctx = 64
+    h.n_mult = 32
+    h.n_rot = 16  # = head_dim
+    h.max_seq_len = 64
+    h.alibi_bias_max = 8.0
+    h.use_parallel_residual = True
+    if arch == "falcon":
+        h.n_head_kv = 1
+    return h
+
+
+def _tensor_names(arch: str, h: Hyperparameters) -> list[tuple[str, tuple[int, ...]]]:
+    """(name, ggml dims (K, R)) for every tensor of a tiny model."""
+    E, V, L = h.n_embd, h.n_vocab, h.n_layer
+    F = 2 * E  # tiny FFN; real models derive n_ff from tensor shapes anyway
+    hd = E // h.n_head
+    out = []
+
+    if arch == "llama":
+        out += [("tok_embeddings.weight", (E, V)), ("norm.weight", (E,)),
+                ("output.weight", (E, V))]
+        for i in range(L):
+            p = f"layers.{i}"
+            out += [
+                (f"{p}.attention_norm.weight", (E,)),
+                (f"{p}.attention.wq.weight", (E, E)),
+                (f"{p}.attention.wk.weight", (E, E)),
+                (f"{p}.attention.wv.weight", (E, E)),
+                (f"{p}.attention.wo.weight", (E, E)),
+                (f"{p}.ffn_norm.weight", (E,)),
+                (f"{p}.feed_forward.w1.weight", (E, F)),
+                (f"{p}.feed_forward.w2.weight", (F, E)),
+                (f"{p}.feed_forward.w3.weight", (E, F)),
+            ]
+    elif arch == "gpt2":
+        out += [("model/wte", (E, V)), ("model/wpe", (E, h.n_ctx)),
+                ("model/ln_f/g", (E,)), ("model/ln_f/b", (E,))]
+        for i in range(L):
+            p = f"model/h{i}"
+            out += [
+                (f"{p}/ln_1/g", (E,)), (f"{p}/ln_1/b", (E,)),
+                (f"{p}/ln_2/g", (E,)), (f"{p}/ln_2/b", (E,)),
+                (f"{p}/attn/c_attn/w", (E, 3 * E)), (f"{p}/attn/c_attn/b", (3 * E,)),
+                (f"{p}/attn/c_proj/w", (E, E)), (f"{p}/attn/c_proj/b", (E,)),
+                (f"{p}/mlp/c_fc/w", (E, F)), (f"{p}/mlp/c_fc/b", (F,)),
+                (f"{p}/mlp/c_proj/w", (F, E)), (f"{p}/mlp/c_proj/b", (E,)),
+            ]
+    elif arch == "gptj":
+        out += [("transformer.wte.weight", (E, V)),
+                ("transformer.ln_f.weight", (E,)), ("transformer.ln_f.bias", (E,)),
+                ("lm_head.weight", (E, V)), ("lm_head.bias", (V,))]
+        for i in range(L):
+            p = f"transformer.h.{i}"
+            out += [
+                (f"{p}.ln_1.weight", (E,)), (f"{p}.ln_1.bias", (E,)),
+                (f"{p}.attn.q_proj.weight", (E, E)),
+                (f"{p}.attn.k_proj.weight", (E, E)),
+                (f"{p}.attn.v_proj.weight", (E, E)),
+                (f"{p}.attn.out_proj.weight", (E, E)),
+                (f"{p}.mlp.fc_in.weight", (E, F)), (f"{p}.mlp.fc_in.bias", (F,)),
+                (f"{p}.mlp.fc_out.weight", (F, E)), (f"{p}.mlp.fc_out.bias", (E,)),
+            ]
+    elif arch == "gptneox":
+        out += [("gpt_neox.embed_in.weight", (E, V)),
+                ("gpt_neox.final_layer_norm.weight", (E,)),
+                ("gpt_neox.final_layer_norm.bias", (E,)),
+                ("embed_out.weight", (E, V))]
+        for i in range(L):
+            p = f"gpt_neox.layers.{i}"
+            out += [
+                (f"{p}.input_layernorm.weight", (E,)),
+                (f"{p}.input_layernorm.bias", (E,)),
+                (f"{p}.post_attention_layernorm.weight", (E,)),
+                (f"{p}.post_attention_layernorm.bias", (E,)),
+                (f"{p}.attention.query_key_value.weight", (E, 3 * E)),
+                (f"{p}.attention.query_key_value.bias", (3 * E,)),
+                (f"{p}.attention.dense.weight", (E, E)),
+                (f"{p}.attention.dense.bias", (E,)),
+                (f"{p}.mlp.dense_h_to_4h.weight", (E, F)),
+                (f"{p}.mlp.dense_h_to_4h.bias", (F,)),
+                (f"{p}.mlp.dense_4h_to_h.weight", (F, E)),
+                (f"{p}.mlp.dense_4h_to_h.bias", (E,)),
+            ]
+    elif arch == "bloom":
+        out += [("tok_embeddings.weight", (E, V)),
+                ("norm.weight", (E,)), ("norm.bias", (E,)),
+                ("output_norm.weight", (E,)), ("output_norm.bias", (E,)),
+                ("output.weight", (E, V))]
+        for i in range(L):
+            p = f"layers.{i}"
+            out += [
+                (f"{p}.attention_norm.weight", (E,)), (f"{p}.attention_norm.bias", (E,)),
+                (f"{p}.attention.query_key_value.weight", (E, 3 * E)),
+                (f"{p}.attention.query_key_value.bias", (3 * E,)),
+                (f"{p}.attention.wo.weight", (E, E)), (f"{p}.attention.wo.bias", (E,)),
+                (f"{p}.ffn_norm.weight", (E,)), (f"{p}.ffn_norm.bias", (E,)),
+                (f"{p}.feed_forward.w1.weight", (E, F)),
+                (f"{p}.feed_forward.w1.bias", (F,)),
+                (f"{p}.feed_forward.w2.weight", (F, E)),
+                (f"{p}.feed_forward.w2.bias", (E,)),
+            ]
+    elif arch == "mpt":
+        out += [("transformer.wte.weight", (E, V)),
+                ("transformer.norm_f.weight", (E,))]
+        for i in range(L):
+            p = f"transformer.blocks.{i}"
+            out += [
+                (f"{p}.norm_1.weight", (E,)),
+                (f"{p}.attn.Wqkv.weight", (E, 3 * E)),
+                (f"{p}.attn.out_proj.weight", (E, E)),
+                (f"{p}.norm_2.weight", (E,)),
+                (f"{p}.ffn.up_proj.weight", (E, F)),
+                (f"{p}.ffn.down_proj.weight", (F, E)),
+            ]
+    elif arch == "falcon":
+        kv = h.n_head_kv
+        fused = hd * (h.n_head + 2 * kv)
+        out += [("transformer.word_embeddings.weight", (E, V)),
+                ("transformer.ln_f.weight", (E,)), ("transformer.ln_f.bias", (E,)),
+                ("lm_head.weight", (E, V))]
+        for i in range(L):
+            p = f"transformer.h.{i}"
+            out += [
+                (f"{p}.input_layernorm.weight", (E,)),
+                (f"{p}.input_layernorm.bias", (E,)),
+                (f"{p}.self_attention.query_key_value.weight", (E, fused)),
+                (f"{p}.self_attention.dense.weight", (E, E)),
+                (f"{p}.mlp.dense_h_to_4h.weight", (E, F)),
+                (f"{p}.mlp.dense_4h_to_h.weight", (F, E)),
+            ]
+    else:
+        raise ValueError(arch)
+    return out
+
+
+def make_tiny_file(
+    arch: str,
+    path: str | Path,
+    element_type: GgmlType = GgmlType.F32,
+    seed: int = 0,
+) -> Hyperparameters:
+    """Write a tiny random checkpoint; 2-D tensors use `element_type`."""
+    rng = np.random.default_rng(seed)
+    h = tiny_hparams(arch)
+    h.file_type = FileType(
+        format=ELEMENT_TYPE_TO_FILE_TYPE[element_type],
+        quantization_version=QNT_VERSION if element_type.is_quantized else 0,
+    )
+
+    hb = io.BytesIO()
+    h.write_ggml(hb)
+
+    vocab = []
+    for i in range(h.n_vocab):
+        tok = f"<t{i}>".encode()
+        vocab.append((tok, float(len(tok) * len(tok))))
+
+    with open(path, "wb") as f:
+        w = GgmlWriter(f, ContainerType("ggjt", 3))
+        w.write_header(hb.getvalue(), vocab)
+        for name, dims in _tensor_names(arch, h):
+            n = int(np.prod(dims))
+            data = (rng.standard_normal(n, dtype=np.float32) * 0.1).astype(np.float32)
+            if len(dims) == 2 and element_type != GgmlType.F32:
+                if element_type == GgmlType.F16:
+                    w.write_tensor(name, element_type, dims, data.astype(np.float16).tobytes())
+                else:
+                    w.write_tensor(name, element_type, dims, quantize(element_type, data))
+            else:
+                w.write_tensor(name, GgmlType.F32, dims, data.tobytes())
+    return h
