@@ -1,0 +1,519 @@
+"""llm-tpu command line interface.
+
+Subcommand and flag parity with the reference CLI
+(/root/reference/binaries/llm-cli/src/{main,cli_args,interactive}.rs):
+infer, perplexity, info, prompt-tokens, repl, chat, quantize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def _err(msg: str) -> "NoReturn":  # noqa: F821
+    print(f"error: {msg}", file=sys.stderr)
+    sys.exit(1)
+
+
+# ---------------------------------------------------------------------------
+# shared argument groups
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("model")
+    g.add_argument("-m", "--model-path", required=True, help="path to the model file")
+    g.add_argument(
+        "-a",
+        "--model-architecture",
+        default=None,
+        help="model architecture (llama, gpt2, gptj, gptneox, bloom, mpt, falcon)",
+    )
+    g.add_argument("-v", "--tokenizer-path", default=None,
+                   help="path to a HF tokenizer.json file")
+    g.add_argument("-r", "--tokenizer-repository", default=None,
+                   help="HF repository to load the tokenizer from")
+
+
+def add_load_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("model loading")
+    g.add_argument("--num-ctx-tokens", type=int, default=2048,
+                   help="size of the context window in tokens (default 2048)")
+    g.add_argument("--no-mmap", action="store_true",
+                   help="accepted for parity; loading always streams+packs")
+    g.add_argument("--lora-paths", nargs="*", default=None,
+                   help="LoRA adapter (GGLA) files to apply")
+    g.add_argument("--gpu-layers", type=int, default=None,
+                   help="accepted for parity; TPU keeps all layers in HBM")
+    g.add_argument("--rope-freq-base", type=int, default=None)
+    g.add_argument("--rope-freq-scale", type=float, default=None)
+    g.add_argument("--n-gqa", type=int, default=None,
+                   help="grouped-query attention factor (LLaMA-70B: 8)")
+
+
+def add_generate_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("generation")
+    g.add_argument("-t", "--num-threads", type=int, default=None,
+                   help="accepted for parity; XLA owns intra-chip parallelism")
+    g.add_argument("-n", "--num-predict", type=int, default=None,
+                   help="how many tokens to generate (default: until EOT)")
+    g.add_argument("--batch-size", type=int, default=8,
+                   help="prompt batch size (default 8)")
+    g.add_argument("-s", "--sampler", action="append", default=[],
+                   dest="sampler_options", metavar="CONFIG",
+                   help="sampler configuration `name:key=value:...` "
+                        "(repetition, freqpresence, seqrepetition, topk, "
+                        "tailfree, locallytypical, topp, topa, minp, "
+                        "temperature, mirostat1, mirostat2)")
+    g.add_argument("--seed", type=int, default=None, help="RNG seed")
+    g.add_argument("--no-float16", action="store_true",
+                   help="use 32-bit KV memory instead of 16-bit")
+    g.add_argument("--token-bias", default=None,
+                   help="comma-separated TOKEN_ID=BIAS overrides")
+    g.add_argument("--ignore-eos", action="store_true",
+                   help="bias the EOT token to -inf so generation never stops")
+    g.add_argument("--use-gpu", action="store_true",
+                   help="accepted for parity; compute always runs on the TPU")
+
+
+def add_prompt_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-p", "--prompt", default=None,
+                   help="the prompt (with -f, replaces {{PROMPT}} in the file)")
+    p.add_argument("-f", "--prompt-file", default=None,
+                   help="file containing the prompt")
+
+
+def resolve_prompt(args) -> str:
+    file_contents = None
+    if getattr(args, "prompt_file", None):
+        file_contents = Path(args.prompt_file).read_text()
+        # strip single trailing newline (cli_args.rs read_prompt_file)
+        if file_contents.endswith("\r\n"):
+            file_contents = file_contents[:-2]
+        elif file_contents.endswith("\n"):
+            file_contents = file_contents[:-1]
+    prompt = getattr(args, "prompt", None)
+    if file_contents is not None and prompt is not None:
+        return file_contents.replace("{{PROMPT}}", prompt)
+    if file_contents is not None:
+        return file_contents
+    if prompt is not None:
+        return prompt
+    _err("No prompt or prompt file was provided. See --help")
+
+
+def tokenizer_source(args):
+    from llm_tpu.tokenizer import TokenizerSource
+
+    if args.tokenizer_path and args.tokenizer_repository:
+        _err("cannot specify both --tokenizer-path and --tokenizer-repository")
+    if args.tokenizer_path:
+        return TokenizerSource.hf_tokenizer_file(args.tokenizer_path)
+    if args.tokenizer_repository:
+        return TokenizerSource.hf_remote(args.tokenizer_repository)
+    return TokenizerSource.embedded()
+
+
+def load_model(args):
+    from llm_tpu.loader import ModelParameters, RoPEOverrides, load
+
+    if not args.model_architecture:
+        _err("a model architecture is required at present")
+    rope = None
+    if args.rope_freq_base is not None or args.rope_freq_scale is not None:
+        rope = RoPEOverrides(
+            frequency_base=args.rope_freq_base or 10000,
+            frequency_scale=args.rope_freq_scale or 1.0,
+        )
+    params = ModelParameters(
+        prefer_mmap=not args.no_mmap,
+        context_size=args.num_ctx_tokens,
+        lora_adapters=args.lora_paths,
+        gpu_layers=args.gpu_layers,
+        rope_overrides=rope,
+        n_gqa=args.n_gqa,
+    )
+
+    def progress(ev):
+        if ev.kind == "context_size":
+            print(f"Model size: {ev.byte_size / 1e6:.1f} MB", file=sys.stderr)
+        elif ev.kind == "tensor_loaded" and ev.current == ev.total:
+            print(f"Loaded {ev.total} tensors", file=sys.stderr)
+
+    return load(
+        args.model_path,
+        args.model_architecture,
+        tokenizer_source=tokenizer_source(args),
+        params=params,
+        progress=progress,
+    )
+
+
+def session_config(args):
+    from llm_tpu.session import InferenceSessionConfig, ModelKVMemoryType
+
+    kv = (
+        ModelKVMemoryType.Float32
+        if args.no_float16
+        else ModelKVMemoryType.Float16
+    )
+    return InferenceSessionConfig(
+        memory_k_type=kv,
+        memory_v_type=kv,
+        n_batch=args.batch_size,
+        n_threads=args.num_threads or 8,
+    )
+
+
+def inference_parameters(args, model):
+    from llm_tpu.samplers import build_sampler_chain
+    from llm_tpu.session import InferenceParameters
+    from llm_tpu.tokenizer import TokenBias
+
+    bias = []
+    if args.token_bias:
+        bias = list(TokenBias.from_str(args.token_bias))
+    elif args.ignore_eos:
+        bias = [(model.eot_token_id(), float("-inf"))]
+    sampler = build_sampler_chain(
+        args.sampler_options, n_vocab=len(model.tokenizer), bias=bias
+    )
+    return InferenceParameters(sampler=sampler)
+
+
+def make_rng(args) -> np.random.Generator:
+    return np.random.default_rng(args.seed)
+
+
+def _print_token(text: str) -> None:
+    sys.stdout.write(text)
+    sys.stdout.flush()
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+
+
+def cmd_infer(args) -> None:
+    from llm_tpu import session as S
+    from llm_tpu import snapshot as snap
+
+    prompt = resolve_prompt(args)
+    model = load_model(args)
+    config = session_config(args)
+
+    persist = Path(args.persist_session) if args.persist_session else None
+    load_path = Path(args.load_session) if args.load_session else None
+    sess, session_loaded = snap.read_or_create_session(
+        model, persist, load_path, config
+    )
+    params = inference_parameters(args, model)
+    rng = make_rng(args)
+
+    def callback(r):
+        if r.kind == "prompt_token" and not args.hide_prompt:
+            _print_token(r.text)
+        elif r.kind == "inferred_token":
+            _print_token(r.text)
+        return S.InferenceFeedback.Continue
+
+    try:
+        stats = sess.infer(
+            S.InferenceRequest(
+                prompt=prompt,
+                parameters=params,
+                play_back_previous_tokens=session_loaded,
+                maximum_token_count=args.num_predict,
+            ),
+            rng=rng,
+            callback=callback,
+        )
+        print()
+        if args.stats:
+            print()
+            print(stats)
+            print()
+    except S.ContextFull:
+        print()
+        print("Context window full, stopping inference.", file=sys.stderr)
+
+    save_to = args.save_session or args.persist_session
+    if save_to:
+        snap.write_session(sess, save_to)
+        print(f"Successfully wrote session to {save_to}", file=sys.stderr)
+
+
+def cmd_perplexity(args) -> None:
+    from llm_tpu.session import InferenceSession
+
+    prompt = resolve_prompt(args)
+    model = load_model(args)
+    sess = InferenceSession(model, session_config(args))
+    sess.perplexity(
+        prompt, lambda chunk, ppl: print(f"Perplexity[{chunk}]: {ppl}")
+    )
+
+
+def cmd_info(args) -> None:
+    from llm_tpu.ggml.reader import GgmlReader
+    from llm_tpu.models.spec import get_arch
+
+    if not args.model_architecture:
+        _err("a model architecture is required at present")
+    arch = get_arch(args.model_architecture)
+    reader = GgmlReader(args.model_path).load(
+        lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
+    )
+    print(f"Container type: {reader.container!r}")
+    print(f"Hyperparameters: {reader.hyperparameters}")
+    print(f"Tokenizer vocabulary size: {len(reader.vocabulary)}")
+
+    if args.tokenizer:
+        print("Tokens:")
+        for i, tok in enumerate(reader.vocabulary.tokens):
+            try:
+                s = tok.decode("utf-8")
+            except UnicodeDecodeError:
+                s = str(list(tok))
+            print(f"- {i}: {s}")
+
+    if args.tensors:
+        print("Tensors:")
+        for name, ti in reader.tensors.items():
+            print(f"- {name} ({ti.element_type} {list(ti.dims)})")
+
+
+def cmd_prompt_tokens(args) -> None:
+    prompt = resolve_prompt(args)
+    model = load_model(args)
+    toks = model.tokenizer.tokenize(prompt, False)
+    print("=== Dumping prompt tokens:")
+    print(", ".join(str(tid) for _, tid in toks))
+    print(
+        ", ".join(
+            f"{tok.decode('utf-8', errors='replace')!r}:{tid}" for tok, tid in toks
+        )
+    )
+
+
+def cmd_repl(args) -> None:
+    """Fresh session per line (interactive.rs:16-64)."""
+    from llm_tpu import session as S
+
+    model = load_model(args)
+    config = session_config(args)
+    params = inference_parameters(args, model)
+    template = None
+    if args.prompt_file:
+        template = Path(args.prompt_file).read_text().rstrip("\n")
+
+    print(">> ", end="", flush=True)
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        if not line:
+            print(">> ", end="", flush=True)
+            continue
+        prompt = (
+            template.replace("{{PROMPT}}", line) if template else line
+        )
+        sess = S.InferenceSession(model, config)
+        rng = make_rng(args)
+
+        def callback(r):
+            if r.kind == "inferred_token":
+                _print_token(r.text)
+            return S.InferenceFeedback.Continue
+
+        try:
+            sess.infer(
+                S.InferenceRequest(
+                    prompt=prompt,
+                    parameters=params,
+                    maximum_token_count=args.num_predict,
+                ),
+                rng=rng,
+                callback=callback,
+            )
+        except S.ContextFull:
+            print("Context window full.", file=sys.stderr)
+        print()
+        print(">> ", end="", flush=True)
+
+
+def cmd_chat(args) -> None:
+    """Prelude + per-message prefix; the message prefix doubles as the stop
+    sequence (interactive.rs:66-114)."""
+    from llm_tpu import session as S
+    from llm_tpu.session import conversation_inference_callback
+
+    model = load_model(args)
+    config = session_config(args)
+    params = inference_parameters(args, model)
+
+    prelude = Path(args.prelude_prompt_file).read_text()
+    if args.message_prompt_prefix and args.message_prompt_prefix_file:
+        _err("cannot specify both --message-prompt-prefix and "
+             "--message-prompt-prefix-file")
+    if args.message_prompt_prefix_file:
+        prefix = Path(args.message_prompt_prefix_file).read_text().rstrip("\n")
+    elif args.message_prompt_prefix:
+        prefix = args.message_prompt_prefix
+    else:
+        _err("a message prompt prefix is required")
+
+    sess = S.InferenceSession(model, config)
+    sess.feed_prompt(prelude)
+    stop_sequence = prefix.strip()
+
+    print(">> ", end="", flush=True)
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        rng = make_rng(args)
+        try:
+            sess.feed_prompt(f"{prefix}{line}")
+            cb = conversation_inference_callback(stop_sequence, _print_token)
+            while True:
+                try:
+                    token = sess.infer_next_token(rng, params)
+                except (S.EndOfText, S.ContextFull):
+                    break
+                resp = S.InferenceResponse(
+                    "inferred_token", token.decode("utf-8", errors="replace")
+                )
+                if cb(resp) is S.InferenceFeedback.Halt:
+                    break
+        except S.ContextFull:
+            print("Context window full.", file=sys.stderr)
+        print()
+        print(">> ", end="", flush=True)
+
+
+def cmd_quantize(args) -> None:
+    from llm_tpu.ggml.types import ContainerType, GgmlType
+    from llm_tpu.quantize import QuantizeError, quantize
+
+    if not args.model_architecture:
+        _err("the architecture must be known for quantization")
+    target = GgmlType[args.target.upper()]
+    container = (
+        ContainerType("ggml")
+        if args.container_type == "ggml"
+        else ContainerType("ggjt", 3)
+    )
+
+    def progress(ev):
+        if ev.kind == "tensor_quantized":
+            print(
+                f"Quantized tensor `{ev.name}` from {ev.original_size} to "
+                f"{ev.reduced_size} bytes",
+                file=sys.stderr,
+            )
+        elif ev.kind == "tensor_skipped":
+            print(f"Skipped tensor `{ev.name}`", file=sys.stderr)
+        elif ev.kind == "finished":
+            print(
+                f"Finished quantization from {ev.original_size} to "
+                f"{ev.reduced_size} bytes "
+                f"({[] if ev.history is None else list(ev.history)})",
+                file=sys.stderr,
+            )
+
+    try:
+        quantize(
+            args.source,
+            args.destination,
+            args.model_architecture,
+            target,
+            container=container,
+            progress=progress,
+        )
+    except QuantizeError as e:
+        _err(str(e))
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="llm-tpu",
+        description="TPU-native inference of GGML block-quantized LLMs",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("infer", help="generate text from a prompt")
+    add_model_args(p)
+    add_load_args(p)
+    add_generate_args(p)
+    add_prompt_args(p)
+    p.add_argument("--hide-prompt", action="store_true")
+    p.add_argument("--load-session", default=None)
+    p.add_argument("--save-session", default=None)
+    p.add_argument("--persist-session", default=None)
+    p.add_argument("--stats", action="store_true")
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("perplexity", help="measure perplexity over a prompt")
+    add_model_args(p)
+    add_load_args(p)
+    add_generate_args(p)
+    add_prompt_args(p)
+    p.set_defaults(fn=cmd_perplexity)
+
+    p = sub.add_parser("info", help="dump model metadata")
+    add_model_args(p)
+    p.add_argument("-t", "--tensors", action="store_true")
+    p.add_argument("-k", "--tokenizer", action="store_true")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("prompt-tokens", help="print the token ids of a prompt")
+    add_model_args(p)
+    add_load_args(p)
+    add_prompt_args(p)
+    p.set_defaults(fn=cmd_prompt_tokens)
+
+    p = sub.add_parser("repl", help="interactive REPL (fresh session per line)")
+    add_model_args(p)
+    add_load_args(p)
+    add_generate_args(p)
+    p.add_argument("-f", "--prompt-file", default=None,
+                   help="template file; {{PROMPT}} is replaced per line")
+    p.set_defaults(fn=cmd_repl)
+
+    p = sub.add_parser("chat", help="chat with a model")
+    add_model_args(p)
+    add_load_args(p)
+    add_generate_args(p)
+    p.add_argument("-f", "--prelude-prompt-file", required=True)
+    p.add_argument("-p", "--message-prompt-prefix", default=None)
+    p.add_argument("-q", "--message-prompt-prefix-file", default=None)
+    p.set_defaults(fn=cmd_chat)
+
+    p = sub.add_parser("quantize", help="quantize a model to a block format")
+    p.add_argument("-a", "--model-architecture", default=None,
+                   help="model architecture")
+    p.add_argument("-v", "--tokenizer-path", default=None)
+    p.add_argument("-r", "--tokenizer-repository", default=None)
+    p.add_argument("source", help="the file to quantize")
+    p.add_argument("destination", help="the file to write the quantized model to")
+    p.add_argument("-c", "--container-type", choices=["ggml", "ggjt-v3"],
+                   default="ggjt-v3")
+    p.add_argument("target",
+                   choices=["q4_0", "q4_1", "q5_0", "q5_1", "q8_0"])
+    p.set_defaults(fn=cmd_quantize)
+
+    return parser
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

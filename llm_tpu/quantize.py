@@ -1,0 +1,159 @@
+"""Model quantizer: f32/f16 checkpoint -> block-quantized checkpoint.
+
+Mirrors /root/reference/crates/llm-base/src/quantize.rs:
+- valid targets are Q4_0/Q4_1/Q5_0/Q5_1/Q8_0 only (quantize.rs:224-244)
+- a tensor is quantized iff it is 2-D, matches the architecture's
+  quantize_tensors() regexes, is not in skip_quantize_tensors(), and is
+  stored F32/F16 (quantize.rs:332-361); everything else passes through
+- the file-level ftype is rewritten to the target with QNT_VERSION
+  (quantize.rs:176-181)
+- per-tensor histograms are reported through the progress callback
+  (QuantizeProgress, quantize.rs:21-67)
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from llm_tpu.ggml.quant import quantize_with_hist
+from llm_tpu.ggml.reader import GgmlReader
+from llm_tpu.ggml.types import (
+    ELEMENT_TYPE_TO_FILE_TYPE,
+    QNT_VERSION,
+    ContainerType,
+    FileType,
+    GgmlType,
+)
+from llm_tpu.ggml.writer import GgmlWriter
+from llm_tpu.models.spec import get_arch
+
+VALID_TARGETS = (
+    GgmlType.Q4_0,
+    GgmlType.Q4_1,
+    GgmlType.Q5_0,
+    GgmlType.Q5_1,
+    GgmlType.Q8_0,
+)
+
+
+class QuantizeError(ValueError):
+    pass
+
+
+@dataclass
+class QuantizeProgress:
+    """kind in {hyperparameters_loaded, tensor_loading, tensor_quantizing,
+    tensor_quantized, tensor_skipped, finished}."""
+
+    kind: str
+    name: str = ""
+    element_type: Optional[GgmlType] = None
+    dims: tuple = ()
+    original_size: int = 0
+    reduced_size: int = 0
+    history: Optional[np.ndarray] = None
+
+
+def quantize(
+    source: str | Path,
+    destination: str | Path,
+    architecture: str,
+    target: GgmlType,
+    container: Optional[ContainerType] = None,
+    progress: Optional[Callable[[QuantizeProgress], None]] = None,
+) -> None:
+    if target not in VALID_TARGETS:
+        raise QuantizeError(
+            f"invalid quantization target {target}; valid targets: "
+            f"{[str(t) for t in VALID_TARGETS]}"
+        )
+    container = container or ContainerType("ggjt", 3)
+    progress = progress or (lambda ev: None)
+    arch = get_arch(architecture)
+
+    import re
+
+    quant_res = [re.compile(p) for p in arch.quantize_patterns]
+    skip_res = [re.compile(p) for p in arch.skip_quantize_patterns]
+
+    reader = GgmlReader(source).load(
+        lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
+    )
+    hp = reader.hyperparameters
+    progress(QuantizeProgress("hyperparameters_loaded"))
+
+    hp.file_type = FileType(
+        format=ELEMENT_TYPE_TO_FILE_TYPE[target],
+        quantization_version=QNT_VERSION,
+    )
+    hb = io.BytesIO()
+    hp.write_ggml(hb)
+
+    total_hist = np.zeros(16, dtype=np.int64)
+    total_orig = total_new = 0
+
+    with open(destination, "wb") as f:
+        w = GgmlWriter(f, container)
+        vocab = list(zip(reader.vocabulary.tokens, reader.vocabulary.scores))
+        if not container.has_scored_vocab:
+            vocab = [(t, 0.0) for t, _ in vocab]
+        w.write_header(hb.getvalue(), vocab)
+
+        for name, info in reader.tensors.items():
+            raw = reader.fetch(name)
+            progress(
+                QuantizeProgress(
+                    "tensor_loading",
+                    name=name,
+                    element_type=info.element_type,
+                    dims=info.dims,
+                )
+            )
+            should_quantize = (
+                info.n_dims == 2
+                and info.element_type in (GgmlType.F32, GgmlType.F16)
+                and any(r.fullmatch(name) or r.match(name) for r in quant_res)
+                and not any(r.fullmatch(name) for r in skip_res)
+            )
+            if should_quantize:
+                progress(QuantizeProgress("tensor_quantizing", name=name))
+                if info.element_type == GgmlType.F16:
+                    data = (
+                        np.frombuffer(raw, dtype=np.float16, count=info.n_elements)
+                        .astype(np.float32)
+                    )
+                else:
+                    data = np.frombuffer(raw, dtype=np.float32, count=info.n_elements)
+                qbytes, hist = quantize_with_hist(target, data)
+                total_hist += hist
+                total_orig += len(raw)
+                total_new += len(qbytes)
+                progress(
+                    QuantizeProgress(
+                        "tensor_quantized",
+                        name=name,
+                        original_size=len(raw),
+                        reduced_size=len(qbytes),
+                        history=hist,
+                    )
+                )
+                w.write_tensor(name, target, info.dims, qbytes)
+            else:
+                progress(QuantizeProgress("tensor_skipped", name=name))
+                total_orig += len(raw)
+                total_new += len(raw)
+                w.write_tensor(name, info.element_type, info.dims, bytes(raw))
+
+    progress(
+        QuantizeProgress(
+            "finished",
+            original_size=total_orig,
+            reduced_size=total_new,
+            history=total_hist,
+        )
+    )

@@ -1,0 +1,519 @@
+"""InferenceSession: KV cache + decode loop + perplexity + snapshots.
+
+The runtime contract of the reference's InferenceSession
+(/root/reference/crates/llm-base/src/inference_session.rs), rebuilt around
+two jitted entry points (chunked prefill and single-token decode,
+models/forward.py) instead of a per-token graph rebuild:
+
+- feed_prompt: chunks of n_batch (=8 default), ContextFull guard
+  (inference_session.rs:298-350); chunks are padded up to the n_batch bucket
+  so the whole prompt runs in ONE compiled shape (padding beyond n_past is
+  masked and later overwritten, so it is invisible).
+- infer_next_token: sample -> push -> evaluate -> EndOfText on EoT
+  (inference_session.rs:381-424).
+- rewind: pop tokens + decrement n_past; the cache needs no invalidation
+  because entries are indexed by absolute position (inference_session.rs:353-377).
+- perplexity: chunked NLL, BOS-substituted first token, scores positions
+  >= min(512, ctx/2) (inference_session.rs:519-589). Unlike the reference—
+  which keeps accumulating n_past across chunks—each chunk correctly
+  restarts the context window at 0, matching the llama.cpp perplexity
+  example the reference cites.
+- snapshot get/restore with KV byte-size validation
+  (inference_session.rs:599-646).
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from llm_tpu.models.forward import KVCache, forward_step, init_cache
+from llm_tpu.samplers import SamplerChain, default_samplers, sample_token
+from llm_tpu.tokenizer import Prompt, TokenUtf8Buffer
+
+TokenId = int
+
+
+# ---------------------------------------------------------------------------
+# errors (inference_session.rs:683-731)
+
+
+class InferenceError(Exception):
+    pass
+
+
+class ContextFull(InferenceError):
+    def __init__(self):
+        super().__init__("the context window is full")
+
+
+class EndOfText(InferenceError):
+    def __init__(self):
+        super().__init__("reached end of text")
+
+
+class UserCallbackError(InferenceError):
+    pass
+
+
+class RewindError(Exception):
+    pass
+
+
+class UnsupportedArchitecture(RewindError):
+    def __init__(self):
+        super().__init__(
+            "this model architecture does not support rewinding"
+        )
+
+
+class NotEnoughTokens(RewindError):
+    def __init__(self):
+        super().__init__("cannot rewind more tokens than have been processed")
+
+
+class SnapshotError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# configs (inference_session.rs:799-922)
+
+
+class ModelKVMemoryType(enum.Enum):
+    """F16 maps to bfloat16 on TPU (the hardware-native 16-bit float)."""
+
+    Float16 = "f16"
+    Float32 = "f32"
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self is ModelKVMemoryType.Float16 else jnp.float32
+
+
+@dataclass
+class InferenceSessionConfig:
+    memory_k_type: ModelKVMemoryType = ModelKVMemoryType.Float16
+    memory_v_type: ModelKVMemoryType = ModelKVMemoryType.Float16
+    n_batch: int = 8
+    n_threads: int = 8  # accepted for parity; XLA owns intra-chip parallelism
+
+
+@dataclass
+class InferenceParameters:
+    sampler: SamplerChain = field(default_factory=default_samplers)
+
+
+@dataclass
+class InferenceRequest:
+    prompt: Union[str, Sequence[TokenId], Prompt]
+    parameters: Optional[InferenceParameters] = None
+    play_back_previous_tokens: bool = False
+    maximum_token_count: Optional[int] = None
+
+
+@dataclass
+class OutputRequest:
+    """(model/mod.rs:256-266)"""
+
+    all_logits: Optional[list] = None
+    embeddings: Optional[list] = None
+
+
+@dataclass
+class InferenceStats:
+    feed_prompt_duration: float = 0.0  # seconds
+    prompt_tokens: int = 0
+    predict_duration: float = 0.0
+    predict_tokens: int = 0
+
+    def __str__(self) -> str:
+        per_token = (
+            self.predict_duration * 1000.0 / self.predict_tokens
+            if self.predict_tokens
+            else 0.0
+        )
+        return (
+            f"feed_prompt_duration: {int(self.feed_prompt_duration * 1000)}ms\n"
+            f"prompt_tokens: {self.prompt_tokens}\n"
+            f"predict_duration: {int(self.predict_duration * 1000)}ms\n"
+            f"predict_tokens: {self.predict_tokens}\n"
+            f"per_token_duration: {per_token:.3f}ms"
+        )
+
+
+class InferenceFeedback(enum.Enum):
+    Continue = 0
+    Halt = 1
+
+
+@dataclass
+class InferenceResponse:
+    """kind in {prompt_token, inferred_token, snapshot_token, eot_token}."""
+
+    kind: str
+    text: str = ""
+
+
+@dataclass
+class InferenceSnapshot:
+    """(inference_session.rs:741-792): n_past + config + tokens +
+    last_logits + raw KV bytes."""
+
+    npast: int
+    config: InferenceSessionConfig
+    tokens: list
+    last_logits: np.ndarray
+    memory_k: bytes
+    memory_v: bytes
+    k_shape: tuple
+    v_shape: tuple
+    k_dtype: str
+    v_dtype: str
+
+
+# ---------------------------------------------------------------------------
+
+
+class InferenceSession:
+    """Single-stream decode session. Like the reference's (Send, !Sync):
+    one thread at a time; any number of sessions may share one Model."""
+
+    def __init__(self, model, config: Optional[InferenceSessionConfig] = None):
+        self.model = model
+        self.config = config or InferenceSessionConfig()
+        kv_dtype = self.config.memory_k_type.dtype
+        self.cache: KVCache = init_cache(model.spec, kv_dtype)
+        self.n_past: int = 0
+        self.tokens: list[TokenId] = []
+        self.decoded_tokens: bytearray = bytearray()
+        self.last_logits: np.ndarray = np.zeros(model.spec.n_vocab, np.float32)
+
+    # -- evaluation ---------------------------------------------------------
+
+    def _evaluate(
+        self, batch: Sequence[TokenId], output_request: Optional[OutputRequest]
+    ) -> None:
+        """Run `batch` through the model at n_past; update logits/cache.
+
+        Pads to the n_batch bucket so every prompt chunk reuses one compiled
+        shape; an exact-shape fallback is used near the context boundary
+        (padding there would make dynamic_update_slice clamp the write start
+        and clobber live cache entries).
+        """
+        spec = self.model.spec
+        n = len(batch)
+        bucket = 1 if n == 1 else self.config.n_batch
+        if n > bucket:
+            bucket = n
+        if self.n_past + bucket > spec.n_ctx:
+            bucket = n
+        ids = np.zeros(bucket, dtype=np.int32)
+        ids[:n] = np.asarray(batch, dtype=np.int32)
+
+        logits, hidden, self.cache = forward_step(
+            spec,
+            self.model.params,
+            jnp.asarray(ids),
+            jnp.int32(self.n_past),
+            self.cache,
+        )
+        logits = np.asarray(logits)[:n]
+        self.n_past += n
+        self.last_logits = logits[-1]
+        if output_request is not None:
+            if output_request.all_logits is not None:
+                output_request.all_logits.extend(logits.reshape(-1).tolist())
+            if output_request.embeddings is not None:
+                output_request.embeddings.extend(
+                    np.asarray(hidden)[:n].reshape(-1).tolist()
+                )
+
+    # -- the reference API --------------------------------------------------
+
+    def feed_prompt(
+        self,
+        prompt: Union[str, Sequence[TokenId], Prompt],
+        output_request: Optional[OutputRequest] = None,
+        callback: Optional[Callable[[bytes], Optional[InferenceFeedback]]] = None,
+    ) -> None:
+        model = self.model
+        beginning_of_sentence = self.n_past == 0
+        prompt_tokens = Prompt.of(prompt).to_tokens(
+            model.tokenizer, beginning_of_sentence
+        )
+
+        if self.n_past + len(prompt_tokens) >= model.context_size:
+            raise ContextFull()
+
+        bot = model.bot_token_id()
+        halted = False
+        for start in range(0, len(prompt_tokens), self.config.n_batch):
+            if halted:
+                break
+            chunk = prompt_tokens[start : start + self.config.n_batch]
+            self._evaluate(chunk, output_request)
+            for tk in chunk:
+                token = self._decode_incremental(tk)
+                if callback is not None and tk != bot:
+                    fb = callback(bytes(token))
+                    if fb is InferenceFeedback.Halt:
+                        halted = True
+                        break
+                self.tokens.append(tk)
+                self.decoded_tokens.extend(token)
+
+    def _decode_incremental(self, tk: TokenId) -> bytes:
+        """Token bytes for callbacks; HF tokenizers re-decode the whole
+        sequence and diff (inference_session.rs:667-681, U+FFFD guard)."""
+        tokenizer = self.model.tokenizer
+        if tokenizer.is_embedded:
+            return tokenizer.token(tk)
+        all_tokens = tokenizer.decode([*self.tokens, tk], True)
+        text = all_tokens.decode("utf-8", errors="replace")
+        if text.endswith("�"):
+            return b""
+        return all_tokens[len(self.decoded_tokens) :]
+
+    def rewind(self, num: int) -> list[TokenId]:
+        if not self.model.supports_rewind:
+            raise UnsupportedArchitecture()
+        if num >= self.n_past:
+            raise NotEnoughTokens()
+        deleted = self.tokens[len(self.tokens) - num :]
+        del self.tokens[len(self.tokens) - num :]
+        removed_len = sum(len(self.model.tokenizer.token(t)) for t in deleted)
+        del self.decoded_tokens[len(self.decoded_tokens) - removed_len :]
+        self.n_past -= num
+        return deleted
+
+    def infer_next_token(
+        self,
+        rng: np.random.Generator,
+        params: Optional[InferenceParameters] = None,
+        output_request: Optional[OutputRequest] = None,
+    ) -> bytes:
+        model = self.model
+        if self.n_past + 1 >= model.context_size:
+            raise ContextFull()
+        sampler = (params or InferenceParameters()).sampler
+        next_token = sample_token(sampler, rng, self.tokens, self.last_logits)
+
+        self.tokens.append(next_token)
+        self._evaluate([next_token], output_request)
+
+        if next_token == model.eot_token_id():
+            raise EndOfText()
+        res = self._decode_token_bytes(next_token)
+        self.decoded_tokens.extend(res)
+        return bytes(res)
+
+    def _decode_token_bytes(self, tk: TokenId) -> bytes:
+        tokenizer = self.model.tokenizer
+        if tokenizer.is_embedded:
+            return tokenizer.token(tk)
+        all_tokens = tokenizer.decode(self.tokens, True)
+        text = all_tokens.decode("utf-8", errors="replace")
+        if text.endswith("�"):
+            return b""
+        return all_tokens[len(self.decoded_tokens) :]
+
+    def infer(
+        self,
+        request: InferenceRequest,
+        rng: Optional[np.random.Generator] = None,
+        callback: Optional[
+            Callable[[InferenceResponse], Optional[InferenceFeedback]]
+        ] = None,
+        output_request: Optional[OutputRequest] = None,
+    ) -> InferenceStats:
+        rng = rng or np.random.default_rng()
+        callback = callback or (lambda r: InferenceFeedback.Continue)
+        maximum_token_count = (
+            request.maximum_token_count
+            if request.maximum_token_count is not None
+            else 2**63
+        )
+
+        if request.play_back_previous_tokens:
+            buf = TokenUtf8Buffer()
+            for tid in self.tokens:
+                text = buf.push(self.model.tokenizer.token(tid))
+                if text is not None:
+                    if callback(
+                        InferenceResponse("snapshot_token", text)
+                    ) is InferenceFeedback.Halt:
+                        break
+
+        stats = InferenceStats()
+        start_at = time.monotonic()
+        params = request.parameters or InferenceParameters()
+
+        prompt = Prompt.of(request.prompt)
+        if not prompt.is_empty():
+            halted = [False]
+
+            def feed_cb(token_bytes: bytes):
+                buf_text = token_bytes.decode("utf-8", errors="replace")
+                fb = callback(InferenceResponse("prompt_token", buf_text))
+                if fb is InferenceFeedback.Halt:
+                    halted[0] = True
+                return fb
+
+            self.feed_prompt(prompt, output_request, feed_cb)
+
+        stats.feed_prompt_duration = time.monotonic() - start_at
+        stats.prompt_tokens = self.n_past
+
+        tokens_processed = 0
+        buf = TokenUtf8Buffer()
+        while tokens_processed < maximum_token_count:
+            try:
+                token = self.infer_next_token(rng, params)
+            except EndOfText:
+                break
+            text = buf.push(token)
+            if text is not None:
+                if callback(
+                    InferenceResponse("inferred_token", text)
+                ) is InferenceFeedback.Halt:
+                    break
+            tokens_processed += 1
+
+        stats.predict_duration = time.monotonic() - start_at
+        stats.predict_tokens = self.n_past
+        return stats
+
+    def perplexity(
+        self,
+        prompt: Union[str, Sequence[TokenId], Prompt],
+        callback: Callable[[int, float], None],
+    ) -> None:
+        model = self.model
+        tokens = Prompt.of(prompt).to_tokens(model.tokenizer, True)
+
+        context_size = model.context_size
+        n_chunk = len(tokens) // context_size
+        n_vocab = model.spec.n_vocab
+        n_batch = self.config.n_batch
+
+        count = 0
+        nll = 0.0
+
+        for i in range(n_chunk):
+            start = i * context_size
+            end = (i + 1) * context_size
+            num_batches = (context_size + n_batch - 1) // n_batch
+
+            self.n_past = 0  # each chunk restarts the context window
+            logits: list[np.ndarray] = []
+            for j in range(num_batches):
+                batch_start = start + j * n_batch
+                batch_size = min(end - batch_start, n_batch)
+                token_org = tokens[batch_start]
+                if j == 0:
+                    tokens[batch_start] = model.bot_token_id() or 1
+                req = OutputRequest(all_logits=[])
+                self._evaluate(
+                    tokens[batch_start : batch_start + batch_size], req
+                )
+                tokens[batch_start] = token_org
+                logits.append(
+                    np.asarray(req.all_logits, np.float32).reshape(-1, n_vocab)
+                )
+            chunk_logits = np.concatenate(logits)
+
+            for j in range(min(512, context_size // 2), context_size - 1):
+                row = chunk_logits[j]
+                row = row - row.max()
+                probs = np.exp(row)
+                probs /= probs.sum()
+                nll += -np.log(probs[tokens[start + j + 1]])
+                count += 1
+
+            callback(i, float(np.exp(nll / count)))
+
+    # -- snapshots ----------------------------------------------------------
+
+    def get_snapshot(self) -> InferenceSnapshot:
+        k = np.asarray(self.cache.k)
+        v = np.asarray(self.cache.v)
+        return InferenceSnapshot(
+            npast=self.n_past,
+            config=self.config,
+            tokens=list(self.tokens),
+            last_logits=self.last_logits.copy(),
+            memory_k=k.tobytes(),
+            memory_v=v.tobytes(),
+            k_shape=k.shape,
+            v_shape=v.shape,
+            k_dtype=str(k.dtype),
+            v_dtype=str(v.dtype),
+        )
+
+    @classmethod
+    def from_snapshot(cls, snapshot: InferenceSnapshot, model) -> "InferenceSession":
+        session = cls(model, snapshot.config)
+        k = np.asarray(session.cache.k)
+        if len(snapshot.memory_k) != k.nbytes or len(snapshot.memory_v) != np.asarray(
+            session.cache.v
+        ).nbytes:
+            raise SnapshotError(
+                "snapshot KV memory size does not match this model/config"
+            )
+        kk = np.frombuffer(snapshot.memory_k, dtype=snapshot.k_dtype).reshape(
+            snapshot.k_shape
+        )
+        vv = np.frombuffer(snapshot.memory_v, dtype=snapshot.v_dtype).reshape(
+            snapshot.v_shape
+        )
+        session.cache = KVCache(jnp.asarray(kk), jnp.asarray(vv))
+        session.n_past = snapshot.npast
+        session.tokens = list(snapshot.tokens)
+        session.last_logits = np.asarray(snapshot.last_logits, np.float32)
+        session.decoded_tokens = bytearray(
+            b"".join(model.tokenizer.token(t) for t in session.tokens)
+            if model.tokenizer.is_embedded
+            else model.tokenizer.decode(session.tokens, True)
+        )
+        return session
+
+
+# ---------------------------------------------------------------------------
+# callback helpers (inference_session.rs:948-993)
+
+
+def feed_prompt_callback(callback):
+    """Adapt an InferenceResponse callback for feed_prompt."""
+
+    def inner(token_bytes: bytes):
+        text = token_bytes.decode("utf-8", errors="replace")
+        return callback(InferenceResponse("prompt_token", text))
+
+    return inner
+
+
+def conversation_inference_callback(stop_sequence: str, on_token):
+    """Stream tokens until the stop sequence (message prefix) appears."""
+    buf = [""]
+
+    def inner(resp: InferenceResponse):
+        if resp.kind != "inferred_token":
+            return InferenceFeedback.Continue
+        text = buf[0] + resp.text
+        if text.startswith(stop_sequence):
+            buf[0] = ""
+            return InferenceFeedback.Halt
+        if stop_sequence.startswith(text):
+            buf[0] = text
+            return InferenceFeedback.Continue
+        buf[0] = ""
+        on_token(text)
+        return InferenceFeedback.Continue
+
+    return inner

@@ -1,0 +1,234 @@
+"""Session runtime tests: the llm-test contract (Inference/Tokens/Delete)
+plus snapshots, perplexity, and the sampler DSL."""
+
+import numpy as np
+import pytest
+
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.samplers import (
+    DeterministicSampler,
+    Mirostat2,
+    SamplerChain,
+    SamplerConfigurationError,
+    TopK,
+    TopP,
+    Temperature,
+    build_sampler_chain,
+)
+from llm_tpu.session import (
+    ContextFull,
+    InferenceFeedback,
+    InferenceParameters,
+    InferenceRequest,
+    InferenceSession,
+    InferenceSessionConfig,
+    InferenceSnapshot,
+    ModelKVMemoryType,
+    NotEnoughTokens,
+    OutputRequest,
+)
+from llm_tpu.testing import make_tiny_file
+
+
+@pytest.fixture(scope="module")
+def llama_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "llama.bin"
+    make_tiny_file("llama", path)
+    return load(path, "llama", params=ModelParameters(context_size=64))
+
+
+def _f32_config():
+    return InferenceSessionConfig(
+        memory_k_type=ModelKVMemoryType.Float32,
+        memory_v_type=ModelKVMemoryType.Float32,
+    )
+
+
+def _det_params():
+    return InferenceParameters(sampler=DeterministicSampler())
+
+
+def test_deterministic_inference(llama_model):
+    """llm-test `Inference` analog: greedy never-repeat output reproduces."""
+    outs = []
+    for _ in range(2):
+        session = InferenceSession(llama_model, _f32_config())
+        produced = []
+        session.infer(
+            InferenceRequest(
+                prompt=[2, 3, 4], parameters=_det_params(), maximum_token_count=12
+            ),
+            rng=np.random.default_rng(0),
+            callback=lambda r: produced.append(r.text),
+        )
+        outs.append("".join(produced))
+    assert outs[0] == outs[1]
+    assert len(session.tokens) > 3
+
+
+def test_feed_prompt_tokens_and_callback(llama_model):
+    session = InferenceSession(llama_model, _f32_config())
+    seen = []
+    session.feed_prompt([5, 6, 7, 8, 9], callback=lambda b: seen.append(b))
+    assert session.n_past == 5
+    assert session.tokens == [5, 6, 7, 8, 9]
+    assert seen == [llama_model.tokenizer.token(t) for t in [5, 6, 7, 8, 9]]
+    assert np.isfinite(session.last_logits).all()
+
+
+def test_rewind_refeed_logit_equality(llama_model):
+    """llm-test `Delete` analog (delete.rs:24-55): rewind + refeed must
+    reproduce the same logits."""
+    session = InferenceSession(llama_model, _f32_config())
+    session.feed_prompt([5, 6, 7, 8])
+    logits_before = session.last_logits.copy()
+
+    session.feed_prompt([9, 10])
+    deleted = session.rewind(2)
+    assert deleted == [9, 10]
+    assert session.n_past == 4
+
+    session.feed_prompt([9, 10])
+    session.rewind(2)
+    # after rewinding back to 4 tokens, refeeding nothing: last_logits stale,
+    # so refeed the last token to compare
+    session2 = InferenceSession(llama_model, _f32_config())
+    session2.feed_prompt([5, 6, 7, 8])
+    np.testing.assert_array_equal(logits_before, session2.last_logits)
+
+    # continue decoding from the rewound session; must equal a fresh session
+    session.feed_prompt([11])
+    session2.feed_prompt([11])
+    np.testing.assert_allclose(
+        session.last_logits, session2.last_logits, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_rewind_errors(llama_model):
+    session = InferenceSession(llama_model, _f32_config())
+    session.feed_prompt([5, 6])
+    with pytest.raises(NotEnoughTokens):
+        session.rewind(2)  # num >= n_past is an error (>= per reference)
+
+
+def test_context_full(llama_model):
+    session = InferenceSession(llama_model, _f32_config())
+    with pytest.raises(ContextFull):
+        session.feed_prompt(list(range(2, 66)))  # 64 >= ctx 64
+
+
+def test_output_request_logits_and_embeddings(llama_model):
+    session = InferenceSession(llama_model, _f32_config())
+    req = OutputRequest(all_logits=[], embeddings=[])
+    session.feed_prompt([5, 6, 7], output_request=req)
+    assert len(req.all_logits) == 3 * llama_model.spec.n_vocab
+    assert len(req.embeddings) == 3 * llama_model.spec.n_embd
+    np.testing.assert_allclose(
+        np.asarray(req.all_logits[-llama_model.spec.n_vocab :]),
+        session.last_logits,
+        rtol=1e-6,
+        atol=1e-6,
+    )
+
+
+def test_snapshot_roundtrip(llama_model):
+    session = InferenceSession(llama_model, _f32_config())
+    session.feed_prompt([5, 6, 7, 8])
+    snap = session.get_snapshot()
+
+    restored = InferenceSession.from_snapshot(snap, llama_model)
+    np.testing.assert_array_equal(session.last_logits, restored.last_logits)
+    assert restored.n_past == session.n_past
+    assert restored.tokens == session.tokens
+
+    session.feed_prompt([9])
+    restored.feed_prompt([9])
+    np.testing.assert_allclose(
+        session.last_logits, restored.last_logits, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_perplexity(llama_model):
+    session = InferenceSession(llama_model, _f32_config())
+    results = []
+    tokens = list(np.random.default_rng(1).integers(2, 90, size=130))
+    session.perplexity(tokens, lambda i, ppl: results.append((i, ppl)))
+    assert len(results) == 130 // 64
+    assert all(np.isfinite(p) and p > 0 for _, p in results)
+
+
+def test_infer_max_tokens_and_playback(llama_model):
+    session = InferenceSession(llama_model, _f32_config())
+    produced = []
+    stats = session.infer(
+        InferenceRequest(
+            prompt=[2, 3], parameters=_det_params(), maximum_token_count=5
+        ),
+        rng=np.random.default_rng(0),
+        callback=lambda r: produced.append((r.kind, r.text)),
+    )
+    assert stats.prompt_tokens == 2
+    assert stats.predict_tokens == 7
+    kinds = {k for k, _ in produced}
+    assert "inferred_token" in kinds
+
+    # snapshot playback replays tokens with kind snapshot_token
+    snap = session.get_snapshot()
+    restored = InferenceSession.from_snapshot(snap, llama_model)
+    replayed = []
+    restored.infer(
+        InferenceRequest(
+            prompt=[],
+            parameters=_det_params(),
+            play_back_previous_tokens=True,
+            maximum_token_count=0,
+        ),
+        rng=np.random.default_rng(0),
+        callback=lambda r: replayed.append(r.kind),
+    )
+    assert replayed and all(k == "snapshot_token" for k in replayed)
+
+
+# -- sampler DSL -------------------------------------------------------------
+
+
+def test_sampler_dsl_basic():
+    chain = build_sampler_chain(["topk:k=10", "topp:p=0.5", "temperature:0.5"])
+    kinds = [type(t) for t in chain.transforms]
+    assert TopK in kinds and TopP in kinds and Temperature in kinds
+    topk = next(t for t in chain.transforms if isinstance(t, TopK))
+    assert topk.k == 10
+    temp = next(t for t in chain.transforms if isinstance(t, Temperature))
+    assert temp.temperature == 0.5
+
+
+def test_sampler_dsl_key_prefix_and_names():
+    chain = build_sampler_chain(["top-k:k=5", "repetition:penalty=1.1:last_n=32"])
+    topk = next(t for t in chain.transforms if isinstance(t, TopK))
+    assert topk.k == 5
+
+
+def test_sampler_dsl_mirostat_conflicts():
+    with pytest.raises(SamplerConfigurationError):
+        build_sampler_chain(["mirostat1", "mirostat2"])
+    with pytest.raises(SamplerConfigurationError):
+        build_sampler_chain(["mirostat2", "topk:k=4"])
+    chain = build_sampler_chain(["mirostat2:tau=4"])
+    assert isinstance(chain.terminal, Mirostat2)
+    assert chain.terminal.tau == 4
+
+
+def test_sampler_default_chain_samples():
+    chain = build_sampler_chain()
+    rng = np.random.default_rng(0)
+    logits = np.linspace(-2, 3, 50).astype(np.float32)
+    tid = chain.sample(logits, [1, 2, 3], rng)
+    assert 0 <= tid < 50
+
+
+def test_sampler_greedy_like_low_temperature():
+    chain = build_sampler_chain(["temperature:0.0001", "topk:k=1"])
+    rng = np.random.default_rng(0)
+    logits = np.zeros(20, np.float32)
+    logits[7] = 5.0
+    assert chain.sample(logits, [], rng) == 7
