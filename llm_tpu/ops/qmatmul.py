@@ -68,6 +68,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_tile(n: int, pref: int, step: int) -> int:
+    """Largest multiple of `step` that divides n and is <= pref (n itself
+    as fallback when n has no such divisor)."""
+    t = min(pref, n)
+    t = (t // step) * step
+    while t >= step:
+        if n % t == 0:
+            return t
+        t -= step
+    return n
+
+
 def _make_kernel(fmt: QFormat, n_k: int, out_dtype):
     """Build the kernel body for a given static format."""
 
@@ -132,8 +144,16 @@ def _qmatmul_pallas(
     """x [M, K] @ dequant(qt) [K, R] -> [M, R] (padded dims trimmed)."""
     fmt = qt.fmt
     Kp, Rp = qt.k_padded, qt.r_padded
-    tile_r = min(tile_r, Rp)
-    tile_k = min(tile_k, Kp)
+    # tiles must divide the padded dims and stay multiples of the packing
+    # granularity (K: lcm of plane packing widths and the scale group;
+    # R: 128 lanes)
+    k_step = fmt.gsize
+    if fmt.lo_bits < 8:
+        k_step = max(k_step, 32 // fmt.lo_bits)
+    if fmt.hi_bits:
+        k_step = max(k_step, 32 // fmt.hi_bits)
+    tile_r = _pick_tile(Rp, tile_r, 128)
+    tile_k = _pick_tile(Kp, tile_k, k_step)
     assert Rp % tile_r == 0 and Kp % tile_k == 0, (Rp, tile_r, Kp, tile_k)
 
     M = x.shape[0]

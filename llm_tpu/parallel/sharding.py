@@ -1,0 +1,179 @@
+"""Tensor/data parallelism over a jax.sharding.Mesh.
+
+The reference has NO distributed layer (SURVEY.md §2.5): its only scale
+mechanism is a CPU thread pool and a vestigial multi-GPU row-split hook
+(crates/ggml/src/accelerator/mod.rs:68-77, hardcoded split=1.0). This module
+is the TPU-native replacement, designed per the scaling-book recipe: pick a
+mesh, annotate weight shardings with NamedSharding, and let XLA's SPMD
+partitioner insert the all-gather/reduce-scatter collectives over ICI.
+
+Mesh axes:
+    data  — replicates weights, shards the stream batch (continuous batching)
+    model — tensor parallelism: attention heads + FFN hidden dim
+
+Sharding rules (Megatron-style, one all-reduce per block):
+    wq/wk/wv, w_up/w_gate : output features (R lanes)   -> heads/ffn split
+    wo, w_down            : input features (K sublanes) -> partial sums,
+                            XLA inserts the psum on the residual add
+    lm_head               : vocab (R) split -> logits all-gathered
+    norms, biases of reduced outputs : replicated
+    KV cache              : sharded over kv heads
+
+QuantTensor planes co-shard: lo/hi/scale/bias all carry R in the last axis
+and K-grouped rows in the leading axes, so one PartitionSpec per logical
+axis maps onto every plane.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llm_tpu.models.forward import KVCache, forward
+from llm_tpu.models.params import LayerParams, ModelParams
+from llm_tpu.ops.packing import QuantTensor
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1
+    model: int = 1
+
+
+def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if config is None:
+        config = MeshConfig(data=1, model=len(devices))
+    n = config.data * config.model
+    assert n <= len(devices), (config, len(devices))
+    dm = mesh_utils.create_device_mesh(
+        (config.data, config.model), devices=devices[:n]
+    )
+    return Mesh(dm, axis_names=("data", "model"))
+
+
+def _put(x, mesh: Mesh, spec: P):
+    """device_put with per-dimension divisibility fallback: an axis whose
+    mesh size does not divide the dim is dropped (replicated) — keeps tiny
+    test models working while real shapes shard fully."""
+    if x is None:
+        return None
+    entries = list(spec) + [None] * (x.ndim - len(spec))
+    fixed = []
+    for dim, axis in zip(x.shape, entries):
+        if axis is not None and dim % mesh.shape[axis] != 0:
+            axis = None
+        fixed.append(axis)
+    return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
+
+
+def _put_weight(w, mesh: Mesh, axis: Optional[str], shard_r: bool, stacked: bool):
+    """Shard a (possibly stacked) weight on its R (lanes) or K (rows) axis.
+
+    Plane layouts (packing.py): lo/hi [.., K/pw, R], scale/bias [.., K/g, R].
+    """
+    lead = (None,) if stacked else ()
+
+    if w is None:
+        return None
+    if isinstance(w, QuantTensor):
+        if axis is None:
+            spec = P(*lead, None, None)
+        elif shard_r:
+            spec = P(*lead, None, axis)
+        else:
+            spec = P(*lead, axis, None)
+        return QuantTensor(
+            w.fmt_name,
+            w.k,
+            w.r,
+            _put(w.lo, mesh, spec),
+            _put(w.hi, mesh, spec),
+            _put(w.scale, mesh, spec),
+            _put(w.bias, mesh, spec),
+        )
+    # dense [.., K, R]
+    if axis is None:
+        spec = P(*lead, None, None)
+    elif shard_r:
+        spec = P(*lead, None, axis)
+    else:
+        spec = P(*lead, axis, None)
+    return _put(w, mesh, spec)
+
+
+def _put_vec(v, mesh: Mesh, axis: Optional[str], stacked: bool):
+    if v is None:
+        return None
+    lead = (None,) if stacked else ()
+    return _put(v, mesh, P(*lead, axis))
+
+
+def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
+    """Apply TP shardings to a loaded parameter pytree (weights move to the
+    mesh; XLA SPMD later partitions the compute to match)."""
+    ax = "model"
+    L = params.layers
+
+    layers = LayerParams(
+        ln1_w=_put_vec(L.ln1_w, mesh, None, True),
+        ln1_b=_put_vec(L.ln1_b, mesh, None, True),
+        ln2_w=_put_vec(L.ln2_w, mesh, None, True),
+        ln2_b=_put_vec(L.ln2_b, mesh, None, True),
+        wq=_put_weight(L.wq, mesh, ax, True, True),
+        bq=_put_vec(L.bq, mesh, ax, True),
+        wk=_put_weight(L.wk, mesh, ax, True, True),
+        bk=_put_vec(L.bk, mesh, ax, True),
+        wv=_put_weight(L.wv, mesh, ax, True, True),
+        bv=_put_vec(L.bv, mesh, ax, True),
+        wo=_put_weight(L.wo, mesh, ax, False, True),
+        bo=_put_vec(L.bo, mesh, None, True),
+        w_gate=_put_weight(L.w_gate, mesh, ax, True, True),
+        w_up=_put_weight(L.w_up, mesh, ax, True, True),
+        b_up=_put_vec(L.b_up, mesh, ax, True),
+        w_down=_put_weight(L.w_down, mesh, ax, False, True),
+        b_down=_put_vec(L.b_down, mesh, None, True),
+    )
+    return ModelParams(
+        wte=_put_weight(params.wte, mesh, None, True, False),
+        wpe=_put_weight(params.wpe, mesh, None, True, False),
+        emb_norm_w=_put_vec(params.emb_norm_w, mesh, None, False),
+        emb_norm_b=_put_vec(params.emb_norm_b, mesh, None, False),
+        final_norm_w=_put_vec(params.final_norm_w, mesh, None, False),
+        final_norm_b=_put_vec(params.final_norm_b, mesh, None, False),
+        lm_head=_put_weight(params.lm_head, mesh, ax, True, False),
+        lm_head_b=_put_vec(params.lm_head_b, mesh, ax, False),
+        layers=layers,
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh, batched: bool = False) -> KVCache:
+    """KV cache [L, S, H_kv, D] sharded over kv heads (TP); a leading batch
+    axis, when present, shards over the data axis."""
+    if batched:
+        spec = P("data", None, None, "model", None)
+    else:
+        spec = P(None, None, "model", None)
+    return KVCache(
+        k=_put(cache.k, mesh, spec), v=_put(cache.v, mesh, spec)
+    )
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
+def batched_forward_step(spec, params, ids, n_past, cache):
+    """Data-parallel decode: vmap the single-stream forward over a leading
+    stream-batch axis of (ids [B, T], n_past [B], cache [B, ...]).
+
+    Weights are broadcast (in_axes=None) — replicated over `data`, TP-sharded
+    over `model`; the batch axis rides the `data` mesh axis.
+    """
+    return jax.vmap(
+        lambda i, n, c: forward(spec, params, i, n, c),
+        in_axes=(0, 0, 0),
+    )(ids, n_past, cache)
