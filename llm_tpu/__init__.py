@@ -21,4 +21,55 @@ __all__ = [
     "FileType",
     "FileTypeFormat",
     "ContainerType",
+    "load",
+    "Model",
+    "ModelParameters",
+    "InferenceSession",
+    "InferenceSessionConfig",
+    "InferenceRequest",
+    "InferenceParameters",
+    "OutputRequest",
+    "TokenizerSource",
+    "Prompt",
+    "SUPPORTED_ARCHITECTURES",
 ]
+
+
+def __getattr__(name):
+    """Lazy public API (the analog of the reference `llm` facade crate,
+    /root/reference/crates/llm/src/lib.rs) — deferred so that importing
+    llm_tpu does not pull in jax until a model is touched."""
+    if name in ("load", "Model", "ModelParameters", "RoPEOverrides"):
+        import llm_tpu.loader as m
+
+        return getattr(m, name)
+    if name in (
+        "InferenceSession",
+        "InferenceSessionConfig",
+        "InferenceRequest",
+        "InferenceParameters",
+        "InferenceStats",
+        "InferenceError",
+        "InferenceFeedback",
+        "InferenceResponse",
+        "OutputRequest",
+        "ModelKVMemoryType",
+        "conversation_inference_callback",
+        "feed_prompt_callback",
+    ):
+        import llm_tpu.session as m
+
+        return getattr(m, name)
+    if name in ("TokenizerSource", "Tokenizer", "Prompt", "TokenBias"):
+        import llm_tpu.tokenizer as m
+
+        return getattr(m, name)
+    if name in ("SUPPORTED_ARCHITECTURES", "ModelSpec", "get_arch"):
+        import llm_tpu.models.spec as m
+
+        return getattr(m, name)
+    if name == "quantize":
+        from llm_tpu.quantize import quantize
+
+        return quantize
+    raise AttributeError(f"module 'llm_tpu' has no attribute {name!r}")

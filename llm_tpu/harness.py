@@ -1,0 +1,261 @@
+"""Integration-test harness: the analog of binaries/llm-test.
+
+Config-driven per-architecture end-to-end runs with JSON reports
+(/root/reference/binaries/llm-test/src/main.rs). The reference downloads
+small real models from HF; with zero egress this harness synthesizes tiny
+checkpoints into `.tests/models/` (a config may instead point `model_path`
+at a real local GGML file). Test cases mirror llm-test:
+
+- Inference (inference.rs): 128 tokens with the deterministic greedy
+  never-repeat sampler; when the config carries an expected `output` string
+  it is compared, otherwise two runs must agree (determinism).
+- Tokens (tokens.rs): argmax of next-token logits equals a known id.
+- Delete (delete.rs): rewind + refeed reproduces logits within epsilon.
+- always-run: hyperparameter write/read round-trip (common.rs:3-30).
+
+Run: python -m llm_tpu.harness [arch ...] [--configs DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+DEFAULT_CONFIG_DIR = REPO_ROOT / "test_configs"
+TEST_DIR = REPO_ROOT / ".tests"
+
+
+@dataclass
+class TestCaseReport:
+    name: str
+    status: str  # "passed" | "failed"
+    message: str = ""
+    duration_s: float = 0.0
+
+
+@dataclass
+class Report:
+    architecture: str
+    status: str = "ok"  # "ok" | "load_fail"
+    error: str = ""
+    cases: list = field(default_factory=list)
+
+
+def _ensure_model(config: dict, arch: str) -> Path:
+    if config.get("model_path"):
+        return Path(config["model_path"])
+    from llm_tpu.ggml.types import GgmlType
+    from llm_tpu.testing import make_tiny_file
+
+    et = GgmlType[config.get("element_type", "q4_0").upper()]
+    models = TEST_DIR / "models"
+    models.mkdir(parents=True, exist_ok=True)
+    path = models / f"{arch}-{config.get('element_type', 'q4_0')}.bin"
+    if not path.exists():
+        make_tiny_file(arch, path, element_type=et, seed=config.get("seed", 0))
+    return path
+
+
+def _deterministic_generate(model, prompt: str, max_tokens: int) -> str:
+    from llm_tpu.samplers import DeterministicSampler
+    from llm_tpu.session import (
+        EndOfText,
+        InferenceParameters,
+        InferenceRequest,
+        InferenceSession,
+        InferenceSessionConfig,
+        ModelKVMemoryType,
+    )
+
+    session = InferenceSession(
+        model,
+        InferenceSessionConfig(
+            memory_k_type=ModelKVMemoryType.Float32,
+            memory_v_type=ModelKVMemoryType.Float32,
+        ),
+    )
+    out = []
+    session.infer(
+        InferenceRequest(
+            prompt=prompt,
+            parameters=InferenceParameters(sampler=DeterministicSampler()),
+            maximum_token_count=max_tokens,
+        ),
+        rng=np.random.default_rng(0),  # StepRng analog: fixed seed
+        callback=lambda r: out.append(r.text),
+    )
+    return "".join(out)
+
+
+def case_inference(model, case: dict) -> None:
+    prompt = case.get("input", "")
+    max_tokens = case.get("maximum_token_count", 128)
+    text1 = _deterministic_generate(model, prompt, max_tokens)
+    expected = case.get("output")
+    if expected is not None:
+        assert text1 == expected, f"expected {expected!r}, got {text1!r}"
+    else:
+        text2 = _deterministic_generate(model, prompt, max_tokens)
+        assert text1 == text2, "deterministic generation did not reproduce"
+
+
+def case_tokens(model, case: dict) -> None:
+    from llm_tpu.session import (
+        InferenceSession,
+        InferenceSessionConfig,
+        ModelKVMemoryType,
+    )
+
+    session = InferenceSession(
+        model,
+        InferenceSessionConfig(memory_k_type=ModelKVMemoryType.Float32,
+                               memory_v_type=ModelKVMemoryType.Float32),
+    )
+    session.feed_prompt(case.get("input", ""))
+    got = int(np.argmax(session.last_logits))
+    expected = case.get("output")
+    if expected is not None:
+        assert got == expected, f"expected argmax {expected}, got {got}"
+    else:
+        session2 = InferenceSession(
+            model,
+            InferenceSessionConfig(memory_k_type=ModelKVMemoryType.Float32,
+                                   memory_v_type=ModelKVMemoryType.Float32),
+        )
+        session2.feed_prompt(case.get("input", ""))
+        assert got == int(np.argmax(session2.last_logits))
+
+
+def case_delete(model, case: dict) -> None:
+    from llm_tpu.session import (
+        InferenceSession,
+        InferenceSessionConfig,
+        ModelKVMemoryType,
+    )
+
+    if not model.supports_rewind:
+        return
+    session = InferenceSession(
+        model,
+        InferenceSessionConfig(memory_k_type=ModelKVMemoryType.Float32,
+                               memory_v_type=ModelKVMemoryType.Float32),
+    )
+    tokens = [2, 5, 7, 9]
+    session.feed_prompt(tokens)
+    logits_before = session.last_logits.copy()
+    session.feed_prompt([11, 13])
+    session.rewind(2)
+    session.feed_prompt([11, 13])
+    session.rewind(2)
+    # refeed the final prompt token to recompute last_logits at n_past-1
+    session.rewind(1)
+    session.feed_prompt([tokens[-1]])
+    np.testing.assert_allclose(
+        session.last_logits, logits_before, rtol=1e-5, atol=1e-5,
+        err_msg="logits after rewind+refeed differ",
+    )
+
+
+def case_hyperparameters_roundtrip(model, case: dict) -> None:
+    import io
+
+    from llm_tpu.models.spec import get_arch
+
+    hp = model.hyperparameters
+    buf = io.BytesIO()
+    hp.write_ggml(buf)
+    buf.seek(0)
+    hp2 = get_arch(hp.arch).read_hparams(buf)
+    hp2.n_head_kv = hp.n_head_kv  # runtime GQA override is not stored
+    assert hp == hp2, f"hyperparameters round-trip mismatch: {hp} != {hp2}"
+
+
+CASE_RUNNERS = {
+    "Inference": case_inference,
+    "Tokens": case_tokens,
+    "Delete": case_delete,
+}
+
+
+def run_arch(arch: str, config_dir: Path) -> Report:
+    report = Report(architecture=arch)
+    config_path = config_dir / f"{arch}.json"
+    config = json.loads(config_path.read_text()) if config_path.exists() else {}
+
+    try:
+        from llm_tpu.loader import ModelParameters, load
+
+        path = _ensure_model(config, arch)
+        model = load(
+            path, arch,
+            params=ModelParameters(context_size=config.get("context_size", 64)),
+        )
+    except Exception as e:
+        report.status = "load_fail"
+        report.error = f"{e}\n{traceback.format_exc()}"
+        return report
+
+    cases = [{"Hyperparameters": {}}] + config.get(
+        "test_cases",
+        [{"Inference": {"input": "<t2><t3>", "maximum_token_count": 24}},
+         {"Tokens": {"input": "<t5><t7>"}},
+         {"Delete": {}}],
+    )
+    for case in cases:
+        (name, body), = case.items()
+        runner = CASE_RUNNERS.get(name, case_hyperparameters_roundtrip)
+        t0 = time.time()
+        try:
+            runner(model, body)
+            report.cases.append(
+                TestCaseReport(name, "passed", duration_s=time.time() - t0)
+            )
+        except Exception as e:
+            report.cases.append(
+                TestCaseReport(
+                    name, "failed", message=str(e), duration_s=time.time() - t0
+                )
+            )
+    return report
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    from llm_tpu.models.spec import SUPPORTED_ARCHITECTURES
+
+    config_dir = DEFAULT_CONFIG_DIR
+    if "--configs" in argv:
+        i = argv.index("--configs")
+        config_dir = Path(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    archs = argv or list(SUPPORTED_ARCHITECTURES)
+
+    results_dir = TEST_DIR / "results"
+    results_dir.mkdir(parents=True, exist_ok=True)
+
+    failed = False
+    for arch in archs:
+        report = run_arch(arch, config_dir)
+        out = results_dir / f"{arch}.json"
+        out.write_text(json.dumps(asdict(report), indent=2))
+        ok = report.status == "ok" and all(
+            c.status == "passed" for c in report.cases
+        )
+        failed |= not ok
+        status = "PASS" if ok else "FAIL"
+        print(f"[{status}] {arch}: "
+              + ", ".join(f"{c.name}={c.status}" for c in report.cases)
+              + (f" ({report.error.splitlines()[0]})" if report.error else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -185,9 +185,11 @@ def make_tiny_file(
     hb = io.BytesIO()
     h.write_ggml(hb)
 
+    # token 0 is the architecture's EOT string so eot_token_id() resolves
+    eot = b"</s>" if arch in ("llama", "bloom") else b"<|endoftext|>"
     vocab = []
     for i in range(h.n_vocab):
-        tok = f"<t{i}>".encode()
+        tok = eot if i == 0 else f"<t{i}>".encode()
         vocab.append((tok, float(len(tok) * len(tok))))
 
     with open(path, "wb") as f:
