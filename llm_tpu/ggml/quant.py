@@ -308,6 +308,11 @@ def dequantize(t: GgmlType, data: bytes | np.ndarray, n_elements: int) -> np.nda
         return np.frombuffer(data, dtype=np.int8, count=n_elements).astype(np.float32)
     if t == GgmlType.I32:
         return np.frombuffer(data, dtype="<i4", count=n_elements).astype(np.float32)
+    from llm_tpu import native
+
+    fast = native.dequantize(int(t), data, n_elements)
+    if fast is not None:
+        return fast
     return decode_blocks(t, data, n_elements).to_float().reshape(-1)
 
 

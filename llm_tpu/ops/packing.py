@@ -162,8 +162,43 @@ def pack_ggml(
         return jnp.asarray(np.ascontiguousarray(w.T))
 
     fmt = FORMATS[t]
-    dec = decode_blocks(t, data, K * R)
     g = fmt.gsize
+
+    # fast path: single-pass native transcode (llm_tpu/native/codecs.cpp)
+    n_out = len(rows) if rows is not None else R
+    Rp_n = _round_up(n_out, r_multiple) if r_multiple else n_out
+    Kp_n = _round_up(K, k_multiple) if k_multiple else K
+    Kp_n = _round_up(Kp_n, max(g, 32 // fmt.lo_bits if fmt.lo_bits < 8 else 1))
+    from llm_tpu import native
+
+    res = native.transcode(
+        int(t),
+        data,
+        K,
+        np.asarray(rows, dtype=np.int64) if rows is not None else None,
+        n_out,
+        Kp_n,
+        Rp_n,
+        fmt.lo_bits,
+        fmt.hi_bits,
+        fmt.gsize,
+        fmt.has_bias,
+    )
+    if res is not None:
+        lo_np, hi_np, scale_np, bias_np = res
+        return QuantTensor(
+            fmt_name=fmt.name,
+            k=K,
+            r=n_out,
+            lo=jnp.asarray(lo_np),
+            hi=jnp.asarray(hi_np) if hi_np is not None else None,
+            scale=jnp.asarray(scale_np, dtype=scale_dtype),
+            bias=jnp.asarray(bias_np, dtype=scale_dtype)
+            if bias_np is not None
+            else None,
+        )
+
+    dec = decode_blocks(t, data, K * R)
 
     q2 = dec.q.reshape(R, K)
     scale2 = dec.scale.reshape(R, K // g)
