@@ -252,3 +252,195 @@ def forward_step(spec, params, ids, n_past, cache):
     The cache argument is donated so XLA updates it in place.
     """
     return forward(spec, params, ids, n_past, cache)
+
+
+# ---------------------------------------------------------------------------
+# natively-batched forward (continuous batching / data parallel)
+#
+# Deliberately NOT a vmap of `forward`: vmapping would batch the Pallas
+# dequant-matmul calls (fragile, and it would re-stream the packed weights
+# per stream). Instead all projections run as single [B*T, E] matmuls over
+# the shared weights — B mat-vecs become one MXU matmul — and only the pure
+# jnp attention/cache ops carry an explicit batch axis.
+
+
+def _attention_batched(
+    spec: ModelSpec,
+    layer: LayerParams,
+    a: jnp.ndarray,  # [B, T, E] normed input
+    positions: jnp.ndarray,  # [B, T] absolute
+    n_past: jnp.ndarray,  # [B]
+    k_cache: jnp.ndarray,  # [B, S, H_kv, D]
+    v_cache: jnp.ndarray,
+):
+    B, T, E = a.shape
+    S = k_cache.shape[1]
+    H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
+    rep = H // Hkv
+
+    flat = a.reshape(B * T, E)
+    q = qmatmul(flat, layer.wq)
+    if layer.bq is not None:
+        q = q + layer.bq
+    k = qmatmul(flat, layer.wk)
+    if layer.bk is not None:
+        k = k + layer.bk
+    v = qmatmul(flat, layer.wv)
+    if layer.bv is not None:
+        v = v + layer.bv
+
+    q = q.reshape(B, T, H, D)
+    k = k.reshape(B, T, Hkv, D)
+    v = v.reshape(B, T, Hkv, D)
+
+    if spec.rope_mode >= 0 and spec.n_rot > 0:
+        q = rope(q, positions, spec.n_rot, spec.rope_mode,
+                 spec.rope_freq_base, spec.rope_freq_scale)
+        k = rope(k, positions, spec.n_rot, spec.rope_mode,
+                 spec.rope_freq_base, spec.rope_freq_scale)
+
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, D)
+    kc = k_cache.astype(jnp.float32)
+    vc = v_cache.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    sc = jnp.einsum("bthrd,bshd->bthrs", qf, kc,
+                    preferred_element_type=jnp.float32)
+    sn = jnp.einsum("bthrd,buhd->bthru", qf, kf,
+                    preferred_element_type=jnp.float32)
+    scores = jnp.concatenate([sc, sn], axis=-1) * spec.kq_scale
+
+    cache_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+    new_pos = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B,T]
+    key_pos = jnp.concatenate(
+        [jnp.broadcast_to(cache_pos, (B, S)), new_pos], axis=-1
+    )  # [B, S+T]
+
+    if spec.alibi_bias_max > 0.0:
+        slopes = alibi_slopes(H, spec.alibi_bias_max).reshape(Hkv, rep)
+        scores = scores + (
+            slopes[None, None, :, :, None]
+            * key_pos.astype(jnp.float32)[:, None, None, None, :]
+        )
+
+    cache_valid = cache_pos < n_past[:, None]  # [B, S]
+    cache_valid = jnp.broadcast_to(cache_valid[:, None, :], (B, T, S))
+    chunk_valid = (
+        jnp.arange(T, dtype=jnp.int32)[None, :]
+        <= jnp.arange(T, dtype=jnp.int32)[:, None]
+    )
+    chunk_valid = jnp.broadcast_to(chunk_valid[None], (B, T, T))
+    valid = jnp.concatenate([cache_valid, chunk_valid], axis=-1)  # [B, T, S+T]
+    scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    pc, pn = probs[..., :S], probs[..., S:]
+    out = jnp.einsum("bthrs,bshd->bthrd", pc, vc,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bthru,buhd->bthrd", pn, vf,
+                           preferred_element_type=jnp.float32)
+    out = out.reshape(B * T, H * D)
+
+    out = qmatmul(out, layer.wo)
+    if layer.bo is not None:
+        out = out + layer.bo
+    return out.reshape(B, T, E), k, v
+
+
+def _layer_batched(spec, h, layer, positions, n_past, k_cache, v_cache):
+    B, T, E = h.shape
+
+    def norm1(x):
+        return _norm(spec, x, layer.ln1_w, layer.ln1_b)
+
+    def norm2(x):
+        return _norm(spec, x, layer.ln2_w, layer.ln2_b)
+
+    def ffn(x):
+        return _ffn(spec, layer, x.reshape(B * T, E)).reshape(B, T, E)
+
+    if spec.residual == "sequential":
+        a = norm1(h)
+        attn, k_new, v_new = _attention_batched(
+            spec, layer, a, positions, n_past, k_cache, v_cache
+        )
+        h = h + attn
+        h = h + ffn(norm2(h))
+    elif spec.residual == "parallel_shared_ln":
+        a = norm1(h)
+        attn, k_new, v_new = _attention_batched(
+            spec, layer, a, positions, n_past, k_cache, v_cache
+        )
+        h = h + attn + ffn(a)
+    elif spec.residual == "parallel_two_ln":
+        a = norm1(h)
+        attn, k_new, v_new = _attention_batched(
+            spec, layer, a, positions, n_past, k_cache, v_cache
+        )
+        h = h + attn + ffn(norm2(h))
+    else:
+        raise ValueError(f"unknown residual topology {spec.residual}")
+    return h, k_new, v_new
+
+
+def forward_batched(
+    spec: ModelSpec,
+    params: ModelParams,
+    ids: jnp.ndarray,  # [B, T] int32
+    n_past: jnp.ndarray,  # [B] int32
+    cache: KVCache,  # [B, L, S, H_kv, D]
+):
+    """Batched forward over B independent streams sharing the weights.
+
+    Returns (logits [B, T, V] f32, hidden [B, T, E] f32, new cache).
+    """
+    B, T = ids.shape
+    positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    h = quant_rows_lookup(params.wte, ids.reshape(-1)).reshape(B, T, -1)
+    if spec.post_embed_norm:
+        h = layer_norm(h, params.emb_norm_w, params.emb_norm_b)
+    if spec.learned_pos:
+        h = h + quant_rows_lookup(params.wpe, positions.reshape(-1)).reshape(
+            B, T, -1
+        )
+
+    # cache is [B, L, ...]; scan over layers wants L leading
+    ck = jnp.swapaxes(cache.k, 0, 1)  # [L, B, S, H, D]
+    cv = jnp.swapaxes(cache.v, 0, 1)
+
+    def body(carry, xs):
+        layer, k_l, v_l = xs
+        hh, k_new, v_new = _layer_batched(
+            spec, carry, layer, positions, n_past, k_l, v_l
+        )
+        return hh, (k_new, v_new)
+
+    h, (k_news, v_news) = lax.scan(body, h, (params.layers, ck, cv))
+    # k_news: [L, B, T, H, D] -> per-stream DUS at its own n_past
+    k_news = jnp.swapaxes(k_news, 0, 1).astype(cache.k.dtype)  # [B, L, T, H, D]
+    v_news = jnp.swapaxes(v_news, 0, 1).astype(cache.v.dtype)
+
+    def write(c, new, p):
+        return lax.dynamic_update_slice(c, new, (0, p, 0, 0))
+
+    new_k = jax.vmap(write)(cache.k, k_news, n_past)
+    new_v = jax.vmap(write)(cache.v, v_news, n_past)
+
+    E = h.shape[-1]
+    h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
+    head = params.lm_head if params.lm_head is not None else params.wte
+    logits = qmatmul(h.reshape(B * T, E), head)
+    if params.lm_head_b is not None:
+        logits = logits + params.lm_head_b
+    return (
+        logits.reshape(B, T, -1).astype(jnp.float32),
+        h.astype(jnp.float32),
+        KVCache(new_k, new_v),
+    )
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
+def forward_batched_step(spec, params, ids, n_past, cache):
+    return forward_batched(spec, params, ids, n_past, cache)

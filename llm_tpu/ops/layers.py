@@ -75,26 +75,29 @@ def rope(
 ) -> jnp.ndarray:
     """Rotary position embedding over the first `n_rot` dims of each head.
 
-    x: [T, H, D]; positions: [T] absolute token positions.
+    x: [..., H, D]; positions: [...] absolute token positions (same leading
+    shape as x minus the head/dim axes).
     mode 0 = GPT/LLaMA interleaved pairs (2j, 2j+1);
     mode 2 = NeoX pairs (j, j + n_rot/2).
     theta_j(p) = freq_scale * p * freq_base^(-2j/n_rot), j in [0, n_rot/2).
     """
-    T, H, D = x.shape
+    *lead, H, D = x.shape
     half = n_rot // 2
     xf = x.astype(jnp.float32)
 
     inv_freq = freq_base ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / n_rot)
-    theta = (freq_scale * positions.astype(jnp.float32))[:, None] * inv_freq[None, :]
-    cos = jnp.cos(theta)[:, None, :]  # [T, 1, half]
-    sin = jnp.sin(theta)[:, None, :]
+    theta = (
+        freq_scale * positions.astype(jnp.float32)
+    )[..., None] * inv_freq  # [..., half]
+    cos = jnp.cos(theta)[..., None, :]  # [..., 1, half]
+    sin = jnp.sin(theta)[..., None, :]
 
     if mode == 0:
-        xr = xf[..., :n_rot].reshape(T, H, half, 2)
+        xr = xf[..., :n_rot].reshape(*lead, H, half, 2)
         x0, x1 = xr[..., 0], xr[..., 1]
         r0 = x0 * cos - x1 * sin
         r1 = x0 * sin + x1 * cos
-        rot = jnp.stack([r0, r1], axis=-1).reshape(T, H, n_rot)
+        rot = jnp.stack([r0, r1], axis=-1).reshape(*lead, H, n_rot)
     elif mode == 2:
         x0 = xf[..., :half]
         x1 = xf[..., half:n_rot]

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from llm_tpu.models.forward import KVCache, forward
+from llm_tpu.models.forward import KVCache, forward, forward_batched
 from llm_tpu.models.params import LayerParams, ModelParams
 from llm_tpu.ops.packing import QuantTensor
 
@@ -167,13 +167,10 @@ def shard_cache(cache: KVCache, mesh: Mesh, batched: bool = False) -> KVCache:
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
 def batched_forward_step(spec, params, ids, n_past, cache):
-    """Data-parallel decode: vmap the single-stream forward over a leading
-    stream-batch axis of (ids [B, T], n_past [B], cache [B, ...]).
+    """Data-parallel decode over (ids [B, T], n_past [B], cache [B, ...]).
 
-    Weights are broadcast (in_axes=None) — replicated over `data`, TP-sharded
-    over `model`; the batch axis rides the `data` mesh axis.
+    Uses the natively-batched forward (projections as single [B*T, E]
+    matmuls — NOT a vmap over the Pallas kernel); weights stay replicated
+    over `data` and TP-sharded over `model`, the batch rides `data`.
     """
-    return jax.vmap(
-        lambda i, n, c: forward(spec, params, i, n, c),
-        in_axes=(0, 0, 0),
-    )(ids, n_past, cache)
+    return forward_batched(spec, params, ids, n_past, cache)

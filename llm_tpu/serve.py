@@ -1,0 +1,272 @@
+"""Continuous-batching inference engine: many streams, one batched decode.
+
+Nothing like this exists in the reference — it is single-stream by design
+(InferenceSession is Send+!Sync, one thread at a time; SURVEY.md §2.5) — but
+BASELINE.md's scaling target (64-stream continuous batching) requires it, and
+it is the TPU-idiomatic way to use the MXU during decode: a batch of B
+streams turns B matvecs into one [B, E] x [E, R] matmul over the same
+streamed weights, multiplying tokens/s/chip at roughly constant HBM traffic.
+
+Design (slot-based, static shapes):
+- `max_streams` cache slots, each a full [L, S, H_kv, D] ring; a request is
+  assigned a free slot, prefilled (chunked, same bucketing as
+  InferenceSession), then joins the batched decode step.
+- one jitted decode: vmap'd forward over (ids [B,1], n_past [B], cache [B,...])
+  — inactive slots run a dummy token and are masked host-side; their cache
+  garbage is overwritten when the slot is reused.
+- sampling stays host-side per stream (own sampler chain + rng), exactly as
+  the reference samples from last_logits.
+- works unsharded on one chip or DPxTP-sharded via llm_tpu.parallel
+  (cache slots ride the `data` axis, weights the `model` axis).
+
+Paged KV (decoupling memory from max_streams x n_ctx) is the planned next
+step; the engine API is paging-agnostic.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from llm_tpu.models.forward import KVCache, forward, forward_batched
+from llm_tpu.samplers import default_samplers, sample_token
+from llm_tpu.session import ContextFull
+from llm_tpu.tokenizer import Prompt, TokenUtf8Buffer
+
+
+@dataclass
+class GenerationRequest:
+    prompt: Union[str, Sequence[int], Prompt]
+    max_tokens: Optional[int] = None
+    sampler: Optional[object] = None  # defaults to the default chain
+    seed: Optional[int] = None
+    # callback(stream_id, text) per decoded UTF-8 fragment
+    on_token: Optional[Callable[[int, str], None]] = None
+
+
+@dataclass
+class _Stream:
+    request_id: int
+    request: GenerationRequest
+    sampler: object
+    rng: np.random.Generator
+    tokens: list = field(default_factory=list)
+    generated: int = 0
+    n_past: int = 0
+    last_logits: Optional[np.ndarray] = None
+    utf8: TokenUtf8Buffer = field(default_factory=TokenUtf8Buffer)
+    text: list = field(default_factory=list)
+    done: bool = False
+    finish_reason: str = ""
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(5,))
+def _prefill_slot(spec, params, ids, n_past, slot, cache):
+    """Run a prompt chunk for one slot of the batched cache."""
+    slot_cache = KVCache(cache.k[slot], cache.v[slot])
+    logits, _, updated = forward(spec, params, ids, n_past, slot_cache)
+    new_k = lax.dynamic_update_slice(
+        cache.k, updated.k[None], (slot, 0, 0, 0, 0)
+    )
+    new_v = lax.dynamic_update_slice(
+        cache.v, updated.v[None], (slot, 0, 0, 0, 0)
+    )
+    return logits, KVCache(new_k, new_v)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
+def _decode_all(spec, params, ids, n_past, cache):
+    """One batched decode step: ids [B], n_past [B], cache [B, ...]."""
+    logits, _, new_cache = forward_batched(
+        spec, params, ids[:, None], n_past, cache
+    )
+    return logits[:, 0, :], new_cache
+
+
+class Engine:
+    """Multi-stream decode engine over a shared immutable model."""
+
+    def __init__(
+        self,
+        model,
+        max_streams: int = 8,
+        kv_dtype=jnp.bfloat16,
+        n_batch: int = 8,
+        mesh=None,
+    ):
+        self.model = model
+        self.spec = model.spec
+        self.max_streams = max_streams
+        self.n_batch = n_batch
+        self.mesh = mesh
+
+        spec = self.spec
+        shape = (
+            max_streams, spec.n_layer, spec.n_ctx, spec.n_head_kv, spec.head_dim,
+        )
+        cache = KVCache(k=jnp.zeros(shape, kv_dtype), v=jnp.zeros(shape, kv_dtype))
+        self.params = model.params
+        if mesh is not None:
+            from llm_tpu.parallel import shard_cache, shard_params
+
+            self.params = shard_params(model.params, mesh)
+            cache = shard_cache(cache, mesh, batched=True)
+        self.cache = cache
+
+        self.slots: list[Optional[_Stream]] = [None] * max_streams
+        self.pending: list[_Stream] = []
+        self.finished: dict[int, _Stream] = {}
+        self._next_id = 0
+        self._eot = model.eot_token_id()
+
+    # -- submission ---------------------------------------------------------
+
+    def submit(self, request: GenerationRequest) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        stream = _Stream(
+            request_id=rid,
+            request=request,
+            sampler=request.sampler or default_samplers(),
+            rng=np.random.default_rng(request.seed),
+        )
+        self.pending.append(stream)
+        return rid
+
+    @property
+    def active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    def has_work(self) -> bool:
+        return bool(self.pending) or self.active > 0
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _admit(self) -> None:
+        """Prefill pending requests into free slots."""
+        for slot in range(self.max_streams):
+            if self.slots[slot] is not None or not self.pending:
+                continue
+            stream = self.pending.pop(0)
+            try:
+                self._prefill(stream, slot)
+                self.slots[slot] = stream
+            except ContextFull:
+                stream.done = True
+                stream.finish_reason = "context_full"
+                self.finished[stream.request_id] = stream
+
+    def _prefill(self, stream: _Stream, slot: int) -> None:
+        spec = self.spec
+        prompt_tokens = Prompt.of(stream.request.prompt).to_tokens(
+            self.model.tokenizer, True
+        )
+        if len(prompt_tokens) >= spec.n_ctx:
+            raise ContextFull()
+        stream.tokens = list(prompt_tokens)
+        n_past = 0
+        for start in range(0, len(prompt_tokens), self.n_batch):
+            chunk = prompt_tokens[start : start + self.n_batch]
+            bucket = self.n_batch if n_past + self.n_batch <= spec.n_ctx else len(chunk)
+            ids = np.zeros(bucket, np.int32)
+            ids[: len(chunk)] = chunk
+            logits, self.cache = _prefill_slot(
+                spec, self.params, jnp.asarray(ids), jnp.int32(n_past),
+                slot, self.cache,
+            )
+            n_past += len(chunk)
+            stream.last_logits = np.asarray(logits)[len(chunk) - 1]
+        stream.n_past = n_past
+
+    # -- decode -------------------------------------------------------------
+
+    def step(self) -> list[tuple[int, str, bool]]:
+        """Admit pending streams, run ONE batched decode step, sample.
+
+        Returns a list of (request_id, new_text, done).
+        """
+        self._admit()
+        if self.active == 0:
+            return []
+
+        spec = self.spec
+        ids = np.zeros(self.max_streams, np.int32)
+        n_past = np.zeros(self.max_streams, np.int32)
+        sampled: dict[int, int] = {}
+        for slot, stream in enumerate(self.slots):
+            if stream is None:
+                continue
+            tok = sample_token(
+                stream.sampler, stream.rng, stream.tokens, stream.last_logits
+            )
+            sampled[slot] = tok
+            ids[slot] = tok
+            n_past[slot] = stream.n_past
+
+        logits, self.cache = _decode_all(
+            spec, self.params, jnp.asarray(ids), jnp.asarray(n_past), self.cache
+        )
+        logits = np.asarray(logits)
+
+        events = []
+        for slot, tok in sampled.items():
+            stream = self.slots[slot]
+            stream.tokens.append(tok)
+            stream.n_past += 1
+            stream.generated += 1
+            stream.last_logits = logits[slot]
+
+            text = ""
+            done = False
+            if tok == self._eot:
+                done = True
+                stream.finish_reason = "eot"
+            else:
+                piece = self.model.tokenizer.token(tok)
+                out = stream.utf8.push(piece)
+                if out:
+                    text = out
+                    stream.text.append(out)
+                    if stream.request.on_token:
+                        stream.request.on_token(stream.request_id, out)
+            limit = stream.request.max_tokens
+            if not done and limit is not None and stream.generated >= limit:
+                done = True
+                stream.finish_reason = "max_tokens"
+            if not done and stream.n_past + 1 >= spec.n_ctx:
+                done = True
+                stream.finish_reason = "context_full"
+
+            if done:
+                stream.done = True
+                self.finished[stream.request_id] = stream
+                self.slots[slot] = None
+            events.append((stream.request_id, text, done))
+        return events
+
+    # -- convenience --------------------------------------------------------
+
+    def generate_all(
+        self, requests: Sequence[GenerationRequest]
+    ) -> dict[int, str]:
+        """Submit everything, run to completion, return id -> text."""
+        ids = [self.submit(r) for r in requests]
+        while self.has_work():
+            self.step()
+        return {rid: "".join(self.finished[rid].text) for rid in ids}
+
+
+def throughput_stats(engine: Engine, requests, *, warmup: int = 0):
+    """Run requests to completion, returning (texts, tokens/s aggregate)."""
+    t0 = time.monotonic()
+    texts = engine.generate_all(requests)
+    dt = time.monotonic() - t0
+    total = sum(s.generated for s in engine.finished.values())
+    return texts, total / dt if dt > 0 else 0.0

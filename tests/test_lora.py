@@ -1,0 +1,116 @@
+"""LoRA (GGLA) patching tests: w' = w + (B @ A) * (alpha/r)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from llm_tpu.ggml.types import ContainerType, GgmlType
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.lora import LoraAdapter
+from llm_tpu.ops.packing import dequant_jnp
+from llm_tpu.testing import make_tiny_file
+
+
+def write_ggla(path, r, alpha, tensors):
+    """Hand-rolled GGLA container (magic 'ggla' + v1, hparams {r, alpha},
+    no vocab, 32B-aligned tensors)."""
+    with open(path, "wb") as f:
+        ContainerType("ggla", 1).write(f)
+        f.write(struct.pack("<ii", r, alpha))
+        for name, arr in tensors:
+            arr = np.ascontiguousarray(arr, dtype=np.float32)
+            dims = tuple(reversed(arr.shape))  # numpy [R, K] -> ggml (K, R)
+            nb = name.encode()
+            f.write(struct.pack("<iiI", len(dims), len(nb), int(GgmlType.F32)))
+            for d in dims:
+                f.write(struct.pack("<i", d))
+            f.write(nb)
+            pad = (-f.tell()) % 32
+            f.write(b"\x00" * pad)
+            f.write(arr.tobytes())
+
+
+@pytest.fixture()
+def tiny_llama(tmp_path):
+    path = tmp_path / "llama.bin"
+    make_tiny_file("llama", path)
+    return path
+
+
+def test_lora_adapter_patch_math(tmp_path, tiny_llama):
+    rng = np.random.default_rng(0)
+    E, r = 64, 4
+    # loraA: ggml dims (r, K=E) -> numpy [E, r]; loraB: (r, R=E) -> [E, r]
+    a = rng.standard_normal((E, r)).astype(np.float32)  # [K, r]
+    b = rng.standard_normal((E, r)).astype(np.float32)  # [R, r]
+    ggla = tmp_path / "adapter.ggla"
+    # numpy [K, r] -> ggml dims (r, K): fetched back as [K, r] by _dense
+    write_ggla(
+        ggla, r, 8,
+        [("layers.0.attention.wq.weight.loraA", a),
+         ("layers.0.attention.wq.weight.loraB", b)],
+    )
+    adapter = LoraAdapter(ggla)
+    assert adapter.scaling == 2.0
+    assert adapter.tensors_to_patch == {"layers.0.attention.wq.weight"}
+
+    base = load(tiny_llama, "llama", params=ModelParameters(context_size=64))
+    patched = load(
+        tiny_llama, "llama",
+        params=ModelParameters(context_size=64, lora_adapters=[str(ggla)]),
+    )
+
+    wq_base = np.asarray(
+        dequant_jnp(base.params.layers.wq, trim=True)
+        if hasattr(base.params.layers.wq, "fmt")
+        else base.params.layers.wq
+    )[..., :E]
+    wq_patch = np.asarray(patched.params.layers.wq)[..., :E]
+
+    # base/patched are dense f32 [L, K, R]; delta on layer 0 only
+    delta = wq_patch[0, :E, :E] - np.asarray(base.params.layers.wq)[0, :E, :E]
+    expected = ((b @ a.T) * 2.0).T  # ba [R, K] -> K-major [K, R]
+    np.testing.assert_allclose(delta, expected, rtol=1e-5, atol=1e-5)
+    # other layers untouched
+    np.testing.assert_array_equal(
+        wq_patch[1], np.asarray(base.params.layers.wq)[1]
+    )
+
+
+def test_lora_patch_quantized_requantizes(tmp_path):
+    """Patching a quantized tensor dequantizes, adds, re-encodes in place."""
+    path = tmp_path / "llama_q.bin"
+    make_tiny_file("llama", path, element_type=GgmlType.Q4_0)
+    rng = np.random.default_rng(1)
+    E, r = 64, 2
+    a = rng.standard_normal((r, E)).astype(np.float32) * 0.1
+    b = rng.standard_normal((r, E)).astype(np.float32) * 0.1
+    ggla = tmp_path / "adapter.ggla"
+    write_ggla(
+        ggla, r, r,  # scaling 1.0
+        [("layers.0.attention.wq.weight.loraA", a.T),  # numpy [K, r]
+         ("layers.0.attention.wq.weight.loraB", b.T)],  # numpy [R, r]
+    )
+    base = load(path, "llama", params=ModelParameters(context_size=64))
+    patched = load(
+        path, "llama",
+        params=ModelParameters(context_size=64, lora_adapters=[str(ggla)]),
+    )
+    w0 = np.asarray(dequant_jnp(jax_slice(base.params.layers.wq, 0)))
+    w1 = np.asarray(dequant_jnp(jax_slice(patched.params.layers.wq, 0)))
+    ba = (b.T @ a)  # [R=E, K=E]
+    # requantized: close to w0 + ba^T within Q4_0 quantization error
+    err = np.abs(w1 - (w0 + ba.T))
+    amax = np.abs(w0 + ba.T).max()
+    assert err.max() < amax / 4  # well within a quant bucket of the range
+
+
+def jax_slice(qt, i):
+    from llm_tpu.ops.packing import QuantTensor
+
+    return QuantTensor(
+        qt.fmt_name, qt.k, qt.r,
+        qt.lo[i], qt.hi[i] if qt.hi is not None else None,
+        qt.scale[i], qt.bias[i] if qt.bias is not None else None,
+    )
