@@ -384,12 +384,20 @@ def _layer_batched(spec, h, layer, positions, n_past, k_cache, v_cache):
     return h, k_new, v_new
 
 
+def init_cache_batched(spec: ModelSpec, batch: int, dtype=jnp.bfloat16) -> KVCache:
+    """Batched cache, layer-major [L, B, S, H_kv, D] so the layer scan slices
+    axis 0 directly — a [B, L, ...] layout would force a full-cache transpose
+    (copy) on every step."""
+    shape = (spec.n_layer, batch, spec.n_ctx, spec.n_head_kv, spec.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
 def forward_batched(
     spec: ModelSpec,
     params: ModelParams,
     ids: jnp.ndarray,  # [B, T] int32
     n_past: jnp.ndarray,  # [B] int32
-    cache: KVCache,  # [B, L, S, H_kv, D]
+    cache: KVCache,  # [L, B, S, H_kv, D]
 ):
     """Batched forward over B independent streams sharing the weights.
 
@@ -406,10 +414,6 @@ def forward_batched(
             B, T, -1
         )
 
-    # cache is [B, L, ...]; scan over layers wants L leading
-    ck = jnp.swapaxes(cache.k, 0, 1)  # [L, B, S, H, D]
-    cv = jnp.swapaxes(cache.v, 0, 1)
-
     def body(carry, xs):
         layer, k_l, v_l = xs
         hh, k_new, v_new = _layer_batched(
@@ -417,16 +421,17 @@ def forward_batched(
         )
         return hh, (k_new, v_new)
 
-    h, (k_news, v_news) = lax.scan(body, h, (params.layers, ck, cv))
-    # k_news: [L, B, T, H, D] -> per-stream DUS at its own n_past
-    k_news = jnp.swapaxes(k_news, 0, 1).astype(cache.k.dtype)  # [B, L, T, H, D]
-    v_news = jnp.swapaxes(v_news, 0, 1).astype(cache.v.dtype)
+    h, (k_news, v_news) = lax.scan(body, h, (params.layers, cache.k, cache.v))
+    # k_news: [L, B, T, H, D]; per-stream DUS at its own n_past (vmap over
+    # the batch axis 1 of both cache and update)
+    k_news = k_news.astype(cache.k.dtype)
+    v_news = v_news.astype(cache.v.dtype)
 
-    def write(c, new, p):
+    def write(c, new, p):  # c [L, S, H, D], new [L, T, H, D]
         return lax.dynamic_update_slice(c, new, (0, p, 0, 0))
 
-    new_k = jax.vmap(write)(cache.k, k_news, n_past)
-    new_v = jax.vmap(write)(cache.v, v_news, n_past)
+    new_k = jax.vmap(write, in_axes=(1, 1, 0), out_axes=1)(cache.k, k_news, n_past)
+    new_v = jax.vmap(write, in_axes=(1, 1, 0), out_axes=1)(cache.v, v_news, n_past)
 
     E = h.shape[-1]
     h = _norm(spec, h, params.final_norm_w, params.final_norm_b)

@@ -154,10 +154,11 @@ def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh, batched: bool = False) -> KVCache:
-    """KV cache [L, S, H_kv, D] sharded over kv heads (TP); a leading batch
-    axis, when present, shards over the data axis."""
+    """KV cache sharded over kv heads (TP). Batched caches are layer-major
+    [L, B, S, H_kv, D] (models/forward.py init_cache_batched); the stream
+    batch axis rides `data`."""
     if batched:
-        spec = P("data", None, None, "model", None)
+        spec = P(None, "data", None, "model", None)
     else:
         spec = P(None, None, "model", None)
     return KVCache(

@@ -35,7 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from llm_tpu.models.forward import KVCache, forward, forward_batched
+from llm_tpu.models.forward import (
+    KVCache,
+    forward,
+    forward_batched,
+    init_cache_batched,
+)
 from llm_tpu.samplers import default_samplers, sample_token
 from llm_tpu.session import ContextFull
 from llm_tpu.tokenizer import Prompt, TokenUtf8Buffer
@@ -69,14 +74,14 @@ class _Stream:
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(5,))
 def _prefill_slot(spec, params, ids, n_past, slot, cache):
-    """Run a prompt chunk for one slot of the batched cache."""
-    slot_cache = KVCache(cache.k[slot], cache.v[slot])
+    """Run a prompt chunk for one slot of the batched [L, B, ...] cache."""
+    slot_cache = KVCache(cache.k[:, slot], cache.v[:, slot])
     logits, _, updated = forward(spec, params, ids, n_past, slot_cache)
     new_k = lax.dynamic_update_slice(
-        cache.k, updated.k[None], (slot, 0, 0, 0, 0)
+        cache.k, updated.k[:, None], (0, slot, 0, 0, 0)
     )
     new_v = lax.dynamic_update_slice(
-        cache.v, updated.v[None], (slot, 0, 0, 0, 0)
+        cache.v, updated.v[:, None], (0, slot, 0, 0, 0)
     )
     return logits, KVCache(new_k, new_v)
 
@@ -108,10 +113,7 @@ class Engine:
         self.mesh = mesh
 
         spec = self.spec
-        shape = (
-            max_streams, spec.n_layer, spec.n_ctx, spec.n_head_kv, spec.head_dim,
-        )
-        cache = KVCache(k=jnp.zeros(shape, kv_dtype), v=jnp.zeros(shape, kv_dtype))
+        cache = init_cache_batched(spec, max_streams, kv_dtype)
         self.params = model.params
         if mesh is not None:
             from llm_tpu.parallel import shard_cache, shard_params

@@ -50,13 +50,12 @@ def test_tp_sharded_forward_matches_single_device(qmodel):
 
 
 def test_dp_tp_batched_decode(qmodel):
+    from llm_tpu.models.forward import init_cache_batched
+
     mesh = make_mesh(MeshConfig(data=2, model=4))
     params = shard_params(qmodel.params, mesh)
     B = 4
-    single = init_cache(qmodel.spec, jnp.float32)
-    batched = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (B, *x.shape)), single
-    )
+    batched = init_cache_batched(qmodel.spec, B, jnp.float32)
     batched = shard_cache(batched, mesh, batched=True)
 
     ids = jnp.asarray(
