@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llm_tpu.models.forward import KVCache, forward_step
+from llm_tpu.models.forward import (
+    KVCache,
+    decode_loop,
+    forward_step,
+    window_bucket,
+)
 from llm_tpu.models.params import LayerParams, ModelParams
 from llm_tpu.models.spec import ModelSpec
 from llm_tpu.ops.packing import QuantTensor
@@ -36,24 +41,35 @@ STEPS = 16
 
 
 def probe_hbm_bw() -> float:
-    """Measure achievable HBM read bandwidth on this chip with a reduce over
-    a 2 GB array (self-calibrating roofline: the axon-tunneled chip delivers
-    far less than book v5e bandwidth, and async timing lies, so measure with
-    forced host sync and varied inputs)."""
-    x = jax.random.normal(jax.random.PRNGKey(1), (1024, 1024, 1024), jnp.bfloat16)
-    f = jax.jit(lambda x, s: jnp.sum(x.astype(jnp.float32)) * s)
-    float(f(x, 1.0))  # compile+run
+    """Achievable weight-streaming bandwidth: a CHAIN of dependent dense
+    bf16 mat-vecs (the decode access pattern), one host sync at the end.
+
+    Only chained-dependency measurements are trustworthy here: standalone
+    block_until_ready timings under the axon runtime report readiness
+    early, and a VPU reduce understates what the MXU datapath streams.
+    """
+    n = 16384
+    w = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+    reps = 8
+
+    @jax.jit
+    def chain(x, w):
+        def body(h, _):
+            h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+            h = h / (jnp.max(jnp.abs(h)) + 1.0)  # keep finite, keep dependency
+            return h.astype(jnp.bfloat16), None
+        h, _ = jax.lax.scan(body, x, None, length=reps)
+        return h
+
+    x = jnp.ones((8, n), jnp.bfloat16)
+    float(chain(x, w)[0, 0])  # compile + run
     times = []
-    for i in range(3):
+    for _ in range(3):
         t0 = time.perf_counter()
-        float(f(x, 1.0 + i))
+        float(chain(x, w)[0, 0])
         times.append(time.perf_counter() - t0)
-    del x
-    return x_bytes() / min(times)
-
-
-def x_bytes() -> float:
-    return 1024**3 * 2.0
+    del w
+    return reps * (n * n * 2.0) / min(times)
 
 
 def rand_q4(key, k, r, scale_dtype=jnp.bfloat16) -> QuantTensor:
@@ -135,26 +151,35 @@ def main() -> None:
     hbm_bw = probe_hbm_bw()
 
     ids = jnp.asarray([17], jnp.int32)
+    window = window_bucket(N_PAST + 3 * STEPS, CTX)
 
-    # warmup / compile
-    logits, _, cache = forward_step(spec, params, ids, jnp.int32(N_PAST), cache)
-    float(logits[0, 0])
-
-    # force a host sync per step: under the axon runtime async dispatch has
-    # been observed to report readiness before the chain completes
+    # evaluate one token to populate last_logits, then run the on-device
+    # multi-token decode loop (the serving decode mode: sampling on device,
+    # one host dispatch per STEPS tokens)
+    logits, _, cache = forward_step(
+        spec, params, ids, jnp.int32(N_PAST), cache, window
+    )
+    last_logits = logits[0]
     n_past = N_PAST + 1
+
+    toks, last_logits, n_past, cache = decode_loop(
+        spec, params, last_logits, jnp.int32(n_past), cache, STEPS, window
+    )
+    np.asarray(toks)  # sync (compile + first run)
+
     times = []
-    for i in range(STEPS):
+    for _ in range(3):
         t0 = time.perf_counter()
-        logits, _, cache = forward_step(
-            spec, params, ids, jnp.int32(n_past + i), cache
+        toks, last_logits, n_past, cache = decode_loop(
+            spec, params, last_logits, n_past, cache, STEPS, window
         )
-        float(logits[0, 0])
+        np.asarray(toks)  # host sync
         times.append(time.perf_counter() - t0)
 
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / STEPS
     tok_s = 1.0 / dt
-    step_bytes = wbytes + cache_bytes
+    # attention reads only `window` of the cache ring per step
+    step_bytes = wbytes + int(cache_bytes * window / CTX)
     roofline_tok_s = hbm_bw / step_bytes
     result = {
         "metric": "llama7b_q4_0_decode",

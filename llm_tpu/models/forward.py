@@ -43,7 +43,7 @@ from llm_tpu.ops.layers import (
     rope,
     silu,
 )
-from llm_tpu.ops.qmatmul import qmatmul, quant_rows_lookup
+from llm_tpu.ops.qmatmul import BoundWeight, qmatmul, quant_rows_lookup
 
 NEG_INF = -1e30
 
@@ -68,6 +68,34 @@ def _norm(spec: ModelSpec, x, w, b):
     if spec.norm == "rms":
         return rms_norm(x, w)
     return layer_norm(x, w, b)
+
+
+_WEIGHT_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_VECTOR_FIELDS = (
+    "ln1_w", "ln1_b", "ln2_w", "ln2_b",
+    "bq", "bk", "bv", "bo", "b_up", "b_down",
+)
+
+
+class _LayerView:
+    """Presents one layer of the stacked LayerParams without slicing the
+    weight planes: matrices come out as BoundWeight (layer selected inside
+    the Pallas kernel via scalar prefetch), vectors as tiny dynamic slices.
+    """
+
+    __slots__ = ("_layers", "_l")
+
+    def __init__(self, layers: LayerParams, l):
+        self._layers = layers
+        self._l = l
+
+    def __getattr__(self, name):
+        f = getattr(self._layers, name)
+        if f is None:
+            return None
+        if name in _WEIGHT_FIELDS:
+            return BoundWeight(f, self._l)
+        return f[self._l]
 
 
 def _attention(
@@ -212,8 +240,16 @@ def forward(
     ids: jnp.ndarray,  # [T] int32
     n_past: jnp.ndarray,  # scalar int32
     cache: KVCache,
+    window: Optional[int] = None,
 ):
-    """Returns (logits [T, n_vocab] f32, hidden [T, E] f32, new cache)."""
+    """Returns (logits [T, n_vocab] f32, hidden [T, E] f32, new cache).
+
+    `window` (static) limits how much of the cache attention READS: only
+    positions [0, window) are scored (valid ones are < n_past anyway), so
+    decode HBM traffic scales with the actual context, not n_ctx. Callers
+    pick a bucket >= n_past (session/_evaluate); writes always target the
+    full cache.
+    """
     T = ids.shape[0]
     positions = n_past + jnp.arange(T, dtype=jnp.int32)
 
@@ -223,12 +259,21 @@ def forward(
     if spec.learned_pos:
         h = h + quant_rows_lookup(params.wpe, positions)
 
+    W = cache.k.shape[1] if window is None else min(window, cache.k.shape[1])
+
     def body(carry, xs):
-        layer, k_l, v_l = xs
-        hh, k_new, v_new = _layer(spec, carry, layer, positions, n_past, k_l, v_l)
+        l, k_l, v_l = xs
+        layer = _LayerView(params.layers, l)
+        hh, k_new, v_new = _layer(
+            spec, carry, layer, positions, n_past, k_l[:W], v_l[:W]
+        )
         return hh, (k_new, v_new)
 
-    h, (k_news, v_news) = lax.scan(body, h, (params.layers, cache.k, cache.v))
+    h, (k_news, v_news) = lax.scan(
+        body,
+        h,
+        (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v),
+    )
 
     new_k = lax.dynamic_update_slice(
         cache.k, k_news.astype(cache.k.dtype), (0, n_past, 0, 0)
@@ -245,13 +290,108 @@ def forward(
     return logits.astype(jnp.float32), h.astype(jnp.float32), KVCache(new_k, new_v)
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
-def forward_step(spec, params, ids, n_past, cache):
-    """Jitted entry point; one compilation per (spec, len(ids)) bucket.
+@partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
+def forward_step(spec, params, ids, n_past, cache, window=None):
+    """Jitted entry point; one compilation per (spec, len(ids), window).
 
     The cache argument is donated so XLA updates it in place.
     """
-    return forward(spec, params, ids, n_past, cache)
+    return forward(spec, params, ids, n_past, cache, window)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7), donate_argnums=(4,))
+def decode_loop(
+    spec,
+    params,
+    last_logits,  # [V] f32: logits to sample the first token from
+    n_past,  # scalar int32
+    cache,
+    n_steps: int,
+    window: Optional[int] = None,
+    sampler=None,  # ops.sampling.DeviceSampler (static); None = greedy
+    key=None,
+):
+    """Generate `n_steps` tokens fully on device (one dispatch).
+
+    Per step, exactly infer_next_token's contract (inference_session.rs:381-424):
+    sample from the current logits -> evaluate the token -> new logits.
+    Sampling happens on device (ops/sampling.py), so host<->device latency
+    is paid once per n_steps tokens instead of per token — on links with
+    high dispatch latency this dominates tokens/s.
+
+    Returns (tokens [n_steps] int32, final logits [V], new n_past, cache).
+    The host checks the returned tokens for EoT and rewinds n_past past any
+    overshoot (stale cache beyond n_past is masked, so overshoot is safe).
+    `window` must cover n_past + n_steps.
+    """
+    from llm_tpu.ops.sampling import DeviceSampler, device_sample
+
+    sampler = sampler or DeviceSampler.greedy()
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def step(carry, _):
+        logits, npast, c, k = carry
+        k, sub = jax.random.split(k)
+        tok = device_sample(logits, sub, sampler)
+        new_logits, _, c = forward(spec, params, tok[None], npast, c, window)
+        return (new_logits[-1], npast + 1, c, k), tok
+
+    (logits, npast, cache, _), toks = lax.scan(
+        step,
+        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key),
+        None,
+        length=n_steps,
+    )
+    return toks, logits, npast, cache
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7), donate_argnums=(4,))
+def decode_loop_batched(
+    spec,
+    params,
+    last_logits,  # [B, V] f32
+    n_past,  # [B] int32
+    cache,  # [L, B, S, H_kv, D]
+    n_steps: int,
+    window: Optional[int] = None,
+    sampler=None,
+    key=None,
+):
+    """Batched multi-token decode on device: B streams x n_steps tokens per
+    dispatch (sample-then-evaluate per step, like decode_loop). Returns
+    (tokens [n_steps, B], final logits [B, V], n_past [B], cache).
+    `window` must cover max(n_past) + n_steps."""
+    from llm_tpu.ops.sampling import DeviceSampler, device_sample
+
+    sampler = sampler or DeviceSampler.greedy()
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def step(carry, _):
+        logits, npast, c, k = carry
+        k, sub = jax.random.split(k)
+        toks = device_sample(logits, sub, sampler)
+        new_logits, _, c = forward_batched(
+            spec, params, toks[:, None], npast, c, window
+        )
+        return (new_logits[:, 0, :], npast + 1, c, k), toks
+
+    (logits, npast, cache, _), all_toks = lax.scan(
+        step,
+        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key),
+        None,
+        length=n_steps,
+    )
+    return all_toks, logits, npast, cache
+
+
+def window_bucket(n_past: int, n_ctx: int, granule: int = 512) -> int:
+    """Static read-window bucket covering n_past: multiples of `granule`
+    (bounded by n_ctx). Keeps compilation count at n_ctx/granule while decode
+    cache traffic tracks the actual context length."""
+    if n_ctx <= granule:
+        return n_ctx
+    w = ((max(n_past, 1) + granule - 1) // granule) * granule
+    return min(n_ctx, max(w, granule))
 
 
 # ---------------------------------------------------------------------------
@@ -398,10 +538,12 @@ def forward_batched(
     ids: jnp.ndarray,  # [B, T] int32
     n_past: jnp.ndarray,  # [B] int32
     cache: KVCache,  # [L, B, S, H_kv, D]
+    window: Optional[int] = None,
 ):
     """Batched forward over B independent streams sharing the weights.
 
     Returns (logits [B, T, V] f32, hidden [B, T, E] f32, new cache).
+    `window` (static) bounds cache reads; must cover max(n_past).
     """
     B, T = ids.shape
     positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -414,14 +556,21 @@ def forward_batched(
             B, T, -1
         )
 
+    W = cache.k.shape[2] if window is None else min(window, cache.k.shape[2])
+
     def body(carry, xs):
-        layer, k_l, v_l = xs
+        l, k_l, v_l = xs
+        layer = _LayerView(params.layers, l)
         hh, k_new, v_new = _layer_batched(
-            spec, carry, layer, positions, n_past, k_l, v_l
+            spec, carry, layer, positions, n_past, k_l[:, :W], v_l[:, :W]
         )
         return hh, (k_new, v_new)
 
-    h, (k_news, v_news) = lax.scan(body, h, (params.layers, cache.k, cache.v))
+    h, (k_news, v_news) = lax.scan(
+        body,
+        h,
+        (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v),
+    )
     # k_news: [L, B, T, H, D]; per-stream DUS at its own n_past (vmap over
     # the batch axis 1 of both cache and update)
     k_news = k_news.astype(cache.k.dtype)
@@ -446,6 +595,6 @@ def forward_batched(
     )
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
-def forward_batched_step(spec, params, ids, n_past, cache):
-    return forward_batched(spec, params, ids, n_past, cache)
+@partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
+def forward_batched_step(spec, params, ids, n_past, cache, window=None):
+    return forward_batched(spec, params, ids, n_past, cache, window)

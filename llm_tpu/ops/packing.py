@@ -138,7 +138,7 @@ def pack_ggml(
     rows: Optional[np.ndarray] = None,
     r_multiple: int = 128,
     k_multiple: int = 0,
-    scale_dtype=jnp.float32,
+    scale_dtype=None,
 ) -> "QuantTensor | jnp.ndarray":
     """Transcode raw GGML tensor bytes into the on-device representation.
 
@@ -163,6 +163,12 @@ def pack_ggml(
 
     fmt = FORMATS[t]
     g = fmt.gsize
+
+    # scale storage: the 32-block formats carry f16 scales on disk, so f16
+    # storage is lossless and halves scale-plane HBM traffic; K-quants have
+    # two-level (f16 x int6) effective scales whose product needs f32
+    if scale_dtype is None:
+        scale_dtype = jnp.float32 if t.name.endswith("_K") else jnp.float16
 
     # fast path: single-pass native transcode (llm_tpu/native/codecs.cpp)
     n_out = len(rows) if rows is not None else R

@@ -80,14 +80,21 @@ def _pick_tile(n: int, pref: int, step: int) -> int:
     return n
 
 
-def _make_kernel(fmt: QFormat, n_k: int, out_dtype):
-    """Build the kernel body for a given static format."""
+def _make_kernel(fmt: QFormat, n_k: int, out_dtype, stacked: bool = False):
+    """Build the kernel body for a given static format.
+
+    `stacked`: weight refs carry a leading layer-block dim of 1 (the layer is
+    selected by the scalar-prefetch index map), and the first ref is the
+    scalar layer index (unused in the body).
+    """
 
     def kernel(*refs):
-        # refs: x, lo, [hi], scale, [bias], out, acc
-        x_ref = refs[0]
-        lo_ref = refs[1]
-        i = 2
+        i = 0
+        if stacked:
+            i += 1  # scalar-prefetch layer index (consumed by index maps)
+        x_ref = refs[i]
+        lo_ref = refs[i + 1]
+        i += 2
         hi_ref = None
         if fmt.hi_bits:
             hi_ref = refs[i]
@@ -101,6 +108,9 @@ def _make_kernel(fmt: QFormat, n_k: int, out_dtype):
         out_ref = refs[i]
         acc_ref = refs[i + 1]
 
+        def W(ref):
+            return ref[0] if stacked else ref[:]
+
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -108,17 +118,17 @@ def _make_kernel(fmt: QFormat, n_k: int, out_dtype):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         if fmt.lo_bits == 8:
-            q = lo_ref[:].astype(jnp.int32)
+            q = W(lo_ref).astype(jnp.int32)
         else:
-            q = unpack_plane(lo_ref[:], fmt.lo_bits)
+            q = unpack_plane(W(lo_ref), fmt.lo_bits)
             if hi_ref is not None:
-                q = q | (unpack_plane(hi_ref[:], fmt.hi_bits) << fmt.lo_bits)
+                q = q | (unpack_plane(W(hi_ref), fmt.hi_bits) << fmt.lo_bits)
 
         w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
-            scale_ref[:].astype(jnp.float32), fmt.gsize
+            W(scale_ref).astype(jnp.float32), fmt.gsize
         )
         if bias_ref is not None:
-            w = w + _expand_groups(bias_ref[:].astype(jnp.float32), fmt.gsize)
+            w = w + _expand_groups(W(bias_ref).astype(jnp.float32), fmt.gsize)
 
         x = x_ref[:].astype(jnp.bfloat16)
         acc_ref[:] += jnp.dot(
@@ -212,24 +222,156 @@ def _qmatmul_pallas(
     return y[:M, : qt.r]
 
 
+@partial(jax.jit, static_argnames=("tile_r", "tile_k", "interpret"))
+def _qmatmul_pallas_stacked(
+    x: jnp.ndarray,
+    qt: QuantTensor,  # planes stacked with a leading n_layer axis
+    layer: jnp.ndarray,  # scalar int32 layer index
+    *,
+    tile_r: int = 256,
+    tile_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [M, K] @ dequant(qt[layer]) [K, R] -> [M, R].
+
+    The layer is selected via PrefetchScalarGridSpec index maps, so the
+    kernel streams tiles DIRECTLY from the stacked [L, ., R] planes in HBM —
+    under a lax.scan over layers this avoids the per-iteration weight-slice
+    copy XLA would otherwise materialize in front of an opaque kernel call
+    (measured 4-5x decode overhead on a 7B model).
+    """
+    fmt = qt.fmt
+    g = fmt.gsize
+    Kp = qt.scale.shape[-2] * g
+    Rp = qt.scale.shape[-1]
+    k_step = g
+    if fmt.lo_bits < 8:
+        k_step = max(k_step, 32 // fmt.lo_bits)
+    if fmt.hi_bits:
+        k_step = max(k_step, 32 // fmt.hi_bits)
+    tile_r = _pick_tile(Rp, tile_r, 128)
+    tile_k = _pick_tile(Kp, tile_k, k_step)
+
+    M = x.shape[0]
+    Mp = _round_up(max(M, 8), 8)
+    if x.shape != (Mp, Kp):
+        x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
+
+    n_r, n_k = Rp // tile_r, Kp // tile_k
+
+    # index maps receive the scalar-prefetch ref first
+    in_specs = [
+        pl.BlockSpec((Mp, tile_k), lambda r, k, l: (0, k)),  # x
+    ]
+    operands = [x]
+    if fmt.lo_bits == 8:
+        in_specs.append(
+            pl.BlockSpec((1, tile_k, tile_r), lambda r, k, l: (l[0], k, r))
+        )
+    else:
+        pw = 32 // fmt.lo_bits
+        in_specs.append(
+            pl.BlockSpec((1, tile_k // pw, tile_r), lambda r, k, l: (l[0], k, r))
+        )
+    operands.append(qt.lo)
+    if fmt.hi_bits:
+        pwh = 32 // fmt.hi_bits
+        in_specs.append(
+            pl.BlockSpec((1, tile_k // pwh, tile_r), lambda r, k, l: (l[0], k, r))
+        )
+        operands.append(qt.hi)
+    in_specs.append(
+        pl.BlockSpec((1, tile_k // g, tile_r), lambda r, k, l: (l[0], k, r))
+    )
+    operands.append(qt.scale)
+    if fmt.has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, tile_k // g, tile_r), lambda r, k, l: (l[0], k, r))
+        )
+        operands.append(qt.bias)
+
+    out_dtype = jnp.float32
+    kernel = _make_kernel(fmt, n_k, out_dtype, stacked=True)
+
+    flops = 2 * Mp * Kp * Rp
+    bytes_accessed = (
+        qt.lo.size // qt.lo.shape[0] * qt.lo.dtype.itemsize
+        + qt.scale.size // qt.scale.shape[0] * qt.scale.dtype.itemsize
+        + x.size * 4
+        + Mp * Rp * 4
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_r, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Mp, tile_r), lambda r, k, l: (0, r)),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_r), jnp.float32)],
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, Rp), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    return y[:M, : qt.r]
+
+
 # ---------------------------------------------------------------------------
 # public API
 
 
-def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
+class BoundWeight:
+    """A layer-stacked weight bound to a (traced) layer index: qmatmul on it
+    selects the layer inside the kernel via scalar prefetch instead of
+    slicing (which would copy in front of the opaque kernel call)."""
+
+    __slots__ = ("w", "layer")
+
+    def __init__(self, w, layer):
+        self.w = w
+        self.layer = layer
+
+
+def qmatmul(x: jnp.ndarray, w, layer=None) -> jnp.ndarray:
+    if isinstance(w, BoundWeight):
+        w, layer = w.w, w.layer
     """y = x @ W for dense ([K, R] array) or quantized (QuantTensor) weights.
 
     x: [..., K] float; returns [..., R] float32.
+    `layer`: when W's planes are stacked with a leading n_layer axis (scan
+    over layers), selects the layer inside the kernel via scalar prefetch —
+    no weight-slice copy.
     """
     if isinstance(w, QuantTensor):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         mode = _backend_mode()
+        if layer is not None:
+            if _use_pallas():
+                y = _qmatmul_pallas_stacked(
+                    x2, w, layer, interpret=(mode == "interpret")
+                )
+            else:
+                sliced = QuantTensor(
+                    w.fmt_name, w.k, w.r,
+                    w.lo[layer],
+                    w.hi[layer] if w.hi is not None else None,
+                    w.scale[layer],
+                    w.bias[layer] if w.bias is not None else None,
+                )
+                y = x2 @ dequant_jnp(sliced, jnp.float32)
+            return y.reshape(*lead, w.r)
         if _use_pallas():
             y = _qmatmul_pallas(x2, w, interpret=(mode == "interpret"))
         else:
             y = x2 @ dequant_jnp(w, jnp.float32)
         return y.reshape(*lead, w.r)
+    if layer is not None:
+        w = w[layer]  # dense stacked [L, K, R]
     # dense: bf16 feeds the MXU with f32 accumulation on TPU; plain f32 on
     # CPU (bf16 there is emulated and only loses precision). Override with
     # LLM_TPU_MATMUL_DTYPE=float32|bfloat16.

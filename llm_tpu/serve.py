@@ -40,6 +40,7 @@ from llm_tpu.models.forward import (
     forward,
     forward_batched,
     init_cache_batched,
+    window_bucket,
 )
 from llm_tpu.samplers import default_samplers, sample_token
 from llm_tpu.session import ContextFull
@@ -54,6 +55,9 @@ class GenerationRequest:
     seed: Optional[int] = None
     # callback(stream_id, text) per decoded UTF-8 fragment
     on_token: Optional[Callable[[int, str], None]] = None
+    # ops.sampling.DeviceSampler: enables the multi-token on-device decode
+    # path (Engine.step_multi) when every active stream carries one
+    device_sampler: Optional[object] = None
 
 
 @dataclass
@@ -72,11 +76,11 @@ class _Stream:
     finish_reason: str = ""
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(5,))
-def _prefill_slot(spec, params, ids, n_past, slot, cache):
+@partial(jax.jit, static_argnums=(0, 6), donate_argnums=(5,))
+def _prefill_slot(spec, params, ids, n_past, slot, cache, window=None):
     """Run a prompt chunk for one slot of the batched [L, B, ...] cache."""
     slot_cache = KVCache(cache.k[:, slot], cache.v[:, slot])
-    logits, _, updated = forward(spec, params, ids, n_past, slot_cache)
+    logits, _, updated = forward(spec, params, ids, n_past, slot_cache, window)
     new_k = lax.dynamic_update_slice(
         cache.k, updated.k[:, None], (0, slot, 0, 0, 0)
     )
@@ -86,11 +90,11 @@ def _prefill_slot(spec, params, ids, n_past, slot, cache):
     return logits, KVCache(new_k, new_v)
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
-def _decode_all(spec, params, ids, n_past, cache):
-    """One batched decode step: ids [B], n_past [B], cache [B, ...]."""
+@partial(jax.jit, static_argnums=(0, 4), donate_argnums=(5,))
+def _decode_all(spec, params, ids, n_past, window, cache):
+    """One batched decode step: ids [B], n_past [B], cache [L, B, ...]."""
     logits, _, new_cache = forward_batched(
-        spec, params, ids[:, None], n_past, cache
+        spec, params, ids[:, None], n_past, cache, window
     )
     return logits[:, 0, :], new_cache
 
@@ -181,7 +185,7 @@ class Engine:
             ids[: len(chunk)] = chunk
             logits, self.cache = _prefill_slot(
                 spec, self.params, jnp.asarray(ids), jnp.int32(n_past),
-                slot, self.cache,
+                slot, self.cache, window_bucket(n_past, spec.n_ctx),
             )
             n_past += len(chunk)
             stream.last_logits = np.asarray(logits)[len(chunk) - 1]
@@ -212,8 +216,12 @@ class Engine:
             ids[slot] = tok
             n_past[slot] = stream.n_past
 
+        max_past = max(
+            (s.n_past for s in self.slots if s is not None), default=0
+        )
         logits, self.cache = _decode_all(
-            spec, self.params, jnp.asarray(ids), jnp.asarray(n_past), self.cache
+            spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
+            window_bucket(max_past, spec.n_ctx), self.cache,
         )
         logits = np.asarray(logits)
 
@@ -253,15 +261,118 @@ class Engine:
             events.append((stream.request_id, text, done))
         return events
 
+    def step_multi(self, n_steps: int = 16) -> list[tuple[int, str, bool]]:
+        """Run n_steps batched decode steps in ONE dispatch with on-device
+        sampling (every active stream must carry a device_sampler; inactive
+        slots decode garbage that is truncated on slot reuse).
+
+        Host-side postprocessing truncates each stream at EoT / max_tokens /
+        context boundary and rewinds its n_past (stale cache is masked).
+        """
+        import jax
+
+        from llm_tpu.models.forward import decode_loop_batched
+
+        self._admit()
+        if self.active == 0:
+            return []
+        spec = self.spec
+        active = [
+            (slot, s) for slot, s in enumerate(self.slots) if s is not None
+        ]
+        assert all(
+            s.request.device_sampler is not None for _, s in active
+        ), "step_multi requires device_sampler on every active stream"
+        sampler = active[0][1].request.device_sampler
+        # all streams share one static sampler config per dispatch
+        assert all(
+            s.request.device_sampler == sampler for _, s in active
+        ), "step_multi: all active streams must share one DeviceSampler"
+
+        max_past = max(s.n_past for _, s in active)
+        n_steps = min(n_steps, spec.n_ctx - 1 - max_past)
+        if n_steps <= 0:
+            # context-full streams are retired by the per-token path
+            return self.step()
+
+        logits = np.zeros((self.max_streams, spec.n_vocab), np.float32)
+        n_past = np.zeros(self.max_streams, np.int32)
+        for slot, s in active:
+            logits[slot] = s.last_logits
+            n_past[slot] = s.n_past
+
+        self._loop_key = jax.random.split(getattr(self, "_loop_key", jax.random.PRNGKey(0)))[0]
+        toks, last_logits, _, self.cache = decode_loop_batched(
+            spec,
+            self.params,
+            jnp.asarray(logits),
+            jnp.asarray(n_past),
+            self.cache,
+            n_steps,
+            window_bucket(max_past + n_steps, spec.n_ctx),
+            sampler,
+            self._loop_key,
+        )
+        toks = np.asarray(toks)  # [n_steps, B]
+        last_logits = np.asarray(last_logits)
+
+        events = []
+        for slot, stream in active:
+            col = toks[:, slot]
+            hit = np.nonzero(col == self._eot)[0]
+            limit = stream.request.max_tokens
+            budget = (
+                limit - stream.generated if limit is not None else n_steps
+            )
+            n_keep = int(hit[0]) + 1 if hit.size else n_steps
+            done = False
+            if hit.size and n_keep <= budget:
+                done = True
+                stream.finish_reason = "eot"
+            if n_keep > budget:
+                n_keep = budget
+                done = True
+                stream.finish_reason = "max_tokens"
+
+            text_parts = []
+            for t in col[:n_keep]:
+                t = int(t)
+                stream.tokens.append(t)
+                stream.generated += 1
+                if t != self._eot:
+                    out = stream.utf8.push(self.model.tokenizer.token(t))
+                    if out:
+                        text_parts.append(out)
+                        stream.text.append(out)
+                        if stream.request.on_token:
+                            stream.request.on_token(stream.request_id, out)
+            stream.n_past += n_keep  # overshoot beyond n_keep stays masked
+            stream.last_logits = last_logits[slot]
+            if not done and stream.n_past + 1 >= spec.n_ctx:
+                done = True
+                stream.finish_reason = "context_full"
+            if done:
+                stream.done = True
+                self.finished[stream.request_id] = stream
+                self.slots[slot] = None
+            events.append((stream.request_id, "".join(text_parts), done))
+        return events
+
     # -- convenience --------------------------------------------------------
 
     def generate_all(
-        self, requests: Sequence[GenerationRequest]
+        self, requests: Sequence[GenerationRequest], n_steps: int = 1
     ) -> dict[int, str]:
-        """Submit everything, run to completion, return id -> text."""
+        """Submit everything, run to completion, return id -> text.
+
+        n_steps > 1 uses the multi-token on-device decode path (all requests
+        need a shared device_sampler)."""
         ids = [self.submit(r) for r in requests]
         while self.has_work():
-            self.step()
+            if n_steps > 1:
+                self.step_multi(n_steps)
+            else:
+                self.step()
         return {rid: "".join(self.finished[rid].text) for rid in ids}
 
 

@@ -32,7 +32,12 @@ from typing import Callable, Optional, Sequence, Union
 import jax.numpy as jnp
 import numpy as np
 
-from llm_tpu.models.forward import KVCache, forward_step, init_cache
+from llm_tpu.models.forward import (
+    KVCache,
+    forward_step,
+    init_cache,
+    window_bucket,
+)
 from llm_tpu.samplers import SamplerChain, default_samplers, sample_token
 from llm_tpu.tokenizer import Prompt, TokenUtf8Buffer
 
@@ -222,6 +227,7 @@ class InferenceSession:
             jnp.asarray(ids),
             jnp.int32(self.n_past),
             self.cache,
+            window_bucket(self.n_past, spec.n_ctx),
         )
         logits = np.asarray(logits)[:n]
         self.n_past += n
@@ -384,6 +390,80 @@ class InferenceSession:
                 ) is InferenceFeedback.Halt:
                     break
             tokens_processed += 1
+
+        stats.predict_duration = time.monotonic() - start_at
+        stats.predict_tokens = self.n_past
+        return stats
+
+    def infer_device(
+        self,
+        prompt: Union[str, Sequence[TokenId], Prompt],
+        maximum_token_count: int,
+        sampler=None,  # ops.sampling.DeviceSampler; None = greedy
+        n_steps: int = 32,
+        seed: int = 0,
+        callback: Optional[Callable[[str], None]] = None,
+    ) -> InferenceStats:
+        """Generate with ON-DEVICE sampling: n_steps tokens per dispatch.
+
+        2x+ faster than `infer` on high-latency links (one host round trip
+        per n_steps tokens instead of per token). Covers greedy /
+        temperature / top-k / flat-bias sampling; use `infer` for the full
+        host sampler chain (mirostat, repetition penalties, DSL).
+        """
+        import jax
+
+        from llm_tpu.models.forward import decode_loop, window_bucket
+
+        model = self.model
+        spec = model.spec
+        stats = InferenceStats()
+        start_at = time.monotonic()
+
+        p = Prompt.of(prompt)
+        if not p.is_empty():
+            self.feed_prompt(p)
+        stats.feed_prompt_duration = time.monotonic() - start_at
+        stats.prompt_tokens = self.n_past
+
+        eot = model.eot_token_id()
+        key = jax.random.PRNGKey(seed)
+        buf = TokenUtf8Buffer()
+        remaining = maximum_token_count
+        while remaining > 0:
+            steps = min(n_steps, remaining, spec.n_ctx - 1 - self.n_past)
+            if steps <= 0:
+                break
+            window = window_bucket(self.n_past + steps, spec.n_ctx)
+            key, sub = jax.random.split(key)
+            toks, logits, _, self.cache = decode_loop(
+                spec,
+                model.params,
+                jnp.asarray(self.last_logits),
+                jnp.int32(self.n_past),
+                self.cache,
+                steps,
+                window,
+                sampler,
+                sub,
+            )
+            toks = np.asarray(toks)
+            hit = np.nonzero(toks == eot)[0]
+            n_keep = int(hit[0]) + 1 if hit.size else steps
+            for t in toks[:n_keep]:
+                t = int(t)
+                self.tokens.append(t)
+                piece = model.tokenizer.token(t)
+                self.decoded_tokens.extend(piece)
+                if t != eot:
+                    text = buf.push(piece)
+                    if text and callback:
+                        callback(text)
+            self.n_past += n_keep
+            remaining -= n_keep
+            if hit.size:
+                break
+            self.last_logits = np.asarray(logits)
 
         stats.predict_duration = time.monotonic() - start_at
         stats.predict_tokens = self.n_past

@@ -1,0 +1,89 @@
+"""On-device multi-step decode must match host-side greedy decoding."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.ops.sampling import DeviceSampler
+from llm_tpu.samplers import GreedySampler
+from llm_tpu.serve import Engine, GenerationRequest
+from llm_tpu.session import (
+    InferenceParameters,
+    InferenceRequest,
+    InferenceSession,
+    InferenceSessionConfig,
+    ModelKVMemoryType,
+)
+from llm_tpu.testing import make_tiny_file
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("dev") / "llama.bin"
+    make_tiny_file("llama", path)
+    return load(path, "llama", params=ModelParameters(context_size=64))
+
+
+def _cfg():
+    return InferenceSessionConfig(
+        memory_k_type=ModelKVMemoryType.Float32,
+        memory_v_type=ModelKVMemoryType.Float32,
+    )
+
+
+def _host_greedy(model, prompt, n):
+    session = InferenceSession(model, _cfg())
+    out = []
+    session.infer(
+        InferenceRequest(
+            prompt=prompt,
+            parameters=InferenceParameters(sampler=GreedySampler()),
+            maximum_token_count=n,
+        ),
+        rng=np.random.default_rng(0),
+        callback=lambda r: out.append(r.text) if r.kind == "inferred_token" else None,
+    )
+    return "".join(out), list(session.tokens)
+
+
+def test_infer_device_greedy_matches_host(model):
+    ref_text, ref_tokens = _host_greedy(model, "<t2><t3>", 12)
+
+    session = InferenceSession(model, _cfg())
+    produced = []
+    session.infer_device(
+        "<t2><t3>", 12, sampler=DeviceSampler.greedy(), n_steps=5,
+        callback=lambda t: produced.append(t),
+    )
+    assert "".join(produced) == ref_text
+    assert session.tokens[: len(ref_tokens)] == ref_tokens
+
+
+def test_engine_step_multi_greedy_matches_host(model):
+    prompts = ["<t2><t3>", "<t9><t4><t5>", "<t7>"]
+    refs = [_host_greedy(model, p, 8)[0] for p in prompts]
+
+    engine = Engine(model, max_streams=3, kv_dtype=jnp.float32)
+    texts = engine.generate_all(
+        [
+            GenerationRequest(
+                prompt=p, max_tokens=8, device_sampler=DeviceSampler.greedy()
+            )
+            for p in prompts
+        ],
+        n_steps=4,
+    )
+    assert [texts[i] for i in range(3)] == refs
+
+
+def test_device_sampler_topk_reproducible(model):
+    session1 = InferenceSession(model, _cfg())
+    session2 = InferenceSession(model, _cfg())
+    s = DeviceSampler.top_k_temperature(k=10, temperature=0.9)
+    out1, out2 = [], []
+    session1.infer_device("<t2>", 10, sampler=s, seed=7,
+                          callback=lambda t: out1.append(t))
+    session2.infer_device("<t2>", 10, sampler=s, seed=7,
+                          callback=lambda t: out2.append(t))
+    assert out1 == out2
