@@ -78,6 +78,13 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
                    help="bias the EOT token to -inf so generation never stops")
     g.add_argument("--use-gpu", action="store_true",
                    help="accepted for parity; compute always runs on the TPU")
+    g.add_argument("--device-sampling", action="store_true",
+                   help="sample on the TPU, decoding N tokens per dispatch "
+                        "(greedy, or temperature/top-k from -s); 2x+ faster "
+                        "decode, but mirostat/repetition samplers need the "
+                        "host path")
+    g.add_argument("--decode-steps", type=int, default=32,
+                   help="tokens generated per dispatch with --device-sampling")
 
 
 def add_prompt_args(p: argparse.ArgumentParser) -> None:
@@ -220,6 +227,45 @@ def cmd_infer(args) -> None:
         elif r.kind == "inferred_token":
             _print_token(r.text)
         return S.InferenceFeedback.Continue
+
+    if args.device_sampling:
+        from llm_tpu.ops.sampling import DeviceSampler
+
+        # map basic sampler DSL options onto the device sampler
+        temp, topk = None, 0
+        for opt in args.sampler_options:
+            name, _, rest = opt.partition(":")
+            key = name.strip().lower().replace("-", "").replace("_", "")
+            if key == "temperature":
+                temp = float(rest.split("=")[-1] or rest)
+            elif key == "topk":
+                topk = int(rest.split("=")[-1] or rest)
+        if temp is None and topk == 0:
+            sampler = DeviceSampler.greedy()
+        else:
+            sampler = DeviceSampler(
+                kind="sample", temperature=temp or 0.8, top_k=topk
+            )
+        try:
+            stats = sess.infer_device(
+                prompt,
+                args.num_predict if args.num_predict is not None else 2**31,
+                sampler=sampler,
+                n_steps=args.decode_steps,
+                seed=args.seed or 0,
+                callback=_print_token,
+            )
+            print()
+            if args.stats:
+                print()
+                print(stats)
+                print()
+        except S.ContextFull:
+            print()
+            print("Context window full, stopping inference.", file=sys.stderr)
+        if args.save_session or args.persist_session:
+            snap.write_session(sess, args.save_session or args.persist_session)
+        return
 
     try:
         stats = sess.infer(

@@ -40,6 +40,7 @@ from llm_tpu.models.forward import (
 )
 from llm_tpu.samplers import SamplerChain, default_samplers, sample_token
 from llm_tpu.tokenizer import Prompt, TokenUtf8Buffer
+from llm_tpu import trace
 
 TokenId = int
 
@@ -213,6 +214,8 @@ class InferenceSession:
         """
         spec = self.model.spec
         n = len(batch)
+        _span = trace.span(f"evaluate[{n}]", level=2)
+        _span.__enter__()
         bucket = 1 if n == 1 else self.config.n_batch
         if n > bucket:
             bucket = n
@@ -230,6 +233,7 @@ class InferenceSession:
             window_bucket(self.n_past, spec.n_ctx),
         )
         logits = np.asarray(logits)[:n]
+        _span.__exit__(None, None, None)
         self.n_past += n
         self.last_logits = logits[-1]
         if output_request is not None:

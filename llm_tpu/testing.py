@@ -26,7 +26,7 @@ from llm_tpu.ggml.writer import GgmlWriter
 from llm_tpu.models.spec import Hyperparameters
 
 
-def tiny_hparams(arch: str) -> Hyperparameters:
+def tiny_hparams(arch: str, **overrides) -> Hyperparameters:
     h = Hyperparameters(arch=arch)
     h.n_vocab = 96
     h.n_embd = 64
@@ -41,6 +41,11 @@ def tiny_hparams(arch: str) -> Hyperparameters:
     h.use_parallel_residual = True
     if arch == "falcon":
         h.n_head_kv = 1
+    for k, v in overrides.items():
+        setattr(h, k, v)
+    if arch not in ("falcon",):
+        h.n_head_kv = h.n_head
+    h.n_rot = h.n_embd // h.n_head
     return h
 
 
@@ -155,9 +160,13 @@ def _tensor_names(arch: str, h: Hyperparameters) -> list[tuple[str, tuple[int, .
                 ("lm_head.weight", (E, V))]
         for i in range(L):
             p = f"transformer.h.{i}"
+            if kv == 1:  # falcon 7B: one shared LN
+                out += [(f"{p}.input_layernorm.weight", (E,)),
+                        (f"{p}.input_layernorm.bias", (E,))]
+            else:  # falcon 40B: ln_attn + ln_mlp (falcon/src/lib.rs:72-97)
+                out += [(f"{p}.ln_attn.weight", (E,)), (f"{p}.ln_attn.bias", (E,)),
+                        (f"{p}.ln_mlp.weight", (E,)), (f"{p}.ln_mlp.bias", (E,))]
             out += [
-                (f"{p}.input_layernorm.weight", (E,)),
-                (f"{p}.input_layernorm.bias", (E,)),
                 (f"{p}.self_attention.query_key_value.weight", (E, fused)),
                 (f"{p}.self_attention.dense.weight", (E, E)),
                 (f"{p}.mlp.dense_h_to_4h.weight", (E, F)),
@@ -168,15 +177,43 @@ def _tensor_names(arch: str, h: Hyperparameters) -> list[tuple[str, tuple[int, .
     return out
 
 
+def _random_kquant(rng, t: GgmlType, n: int) -> bytes:
+    """Random valid K-quant block bytes (we read K-quants but, like the
+    reference, never write them from floats — quantize.rs:224-244)."""
+    from llm_tpu.ggml.types import block_size, type_size
+
+    nb = n // block_size(t)
+    raw = rng.integers(0, 256, size=(nb, type_size(t)), dtype=np.uint8)
+    d16 = (
+        np.float16(rng.uniform(0.001, 0.05, size=nb)).view(np.uint8).reshape(nb, 2)
+    )
+    offs = {
+        GgmlType.Q2_K: [80, 82], GgmlType.Q3_K: [108],
+        GgmlType.Q4_K: [0, 2], GgmlType.Q5_K: [0, 2], GgmlType.Q6_K: [208],
+    }[t]
+    for o in offs:
+        raw[:, o : o + 2] = d16
+    return raw.tobytes()
+
+
+_K_QUANTS = {GgmlType.Q2_K, GgmlType.Q3_K, GgmlType.Q4_K, GgmlType.Q5_K,
+             GgmlType.Q6_K}
+
+
 def make_tiny_file(
     arch: str,
     path: str | Path,
     element_type: GgmlType = GgmlType.F32,
     seed: int = 0,
+    **hparam_overrides,
 ) -> Hyperparameters:
-    """Write a tiny random checkpoint; 2-D tensors use `element_type`."""
+    """Write a tiny random checkpoint; 2-D tensors use `element_type`.
+
+    K-quant element types need n_embd a multiple of 256 (QK_K), e.g.
+    make_tiny_file("llama", p, GgmlType.Q4_K, n_embd=256).
+    """
     rng = np.random.default_rng(seed)
-    h = tiny_hparams(arch)
+    h = tiny_hparams(arch, **hparam_overrides)
     h.file_type = FileType(
         format=ELEMENT_TYPE_TO_FILE_TYPE[element_type],
         quantization_version=QNT_VERSION if element_type.is_quantized else 0,
@@ -201,6 +238,9 @@ def make_tiny_file(
             if len(dims) == 2 and element_type != GgmlType.F32:
                 if element_type == GgmlType.F16:
                     w.write_tensor(name, element_type, dims, data.astype(np.float16).tobytes())
+                elif element_type in _K_QUANTS:
+                    w.write_tensor(name, element_type, dims,
+                                   _random_kquant(rng, element_type, n))
                 else:
                     w.write_tensor(name, element_type, dims, quantize(element_type, data))
             else:

@@ -328,6 +328,57 @@ def export_falcon(path):
     return model
 
 
+def export_falcon40(path, kv=2):
+    """Falcon 40B-style: new decoder architecture (ln_attn/ln_mlp, grouped
+    kv heads). HF packs qkv per kv-group [q x H/kv, k, v]; the ggml falcon
+    graph expects [q x H, k x kv, v x kv] contiguous (falcon/src/lib.rs:220-241)."""
+    from transformers import FalconConfig, FalconForCausalLM
+
+    cfg = FalconConfig(
+        vocab_size=V, hidden_size=E, num_hidden_layers=L,
+        num_attention_heads=H, num_kv_heads=kv, multi_query=False,
+        new_decoder_architecture=True, parallel_attn=True, bias=False,
+        alibi=False, hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = FalconForCausalLM(cfg).eval()
+
+    def reorder(w):
+        x = w.reshape(kv, H // kv + 2, HD, E)
+        q = x[:, : H // kv].reshape(H * HD, E)
+        k = x[:, H // kv].reshape(kv * HD, E)
+        v = x[:, H // kv + 1].reshape(kv * HD, E)
+        return np.concatenate([q, k, v], axis=0)
+
+    t = [
+        ("transformer.word_embeddings.weight",
+         _t(model, "transformer.word_embeddings.weight")),
+        ("transformer.ln_f.weight", _t(model, "transformer.ln_f.weight")),
+        ("transformer.ln_f.bias", _t(model, "transformer.ln_f.bias")),
+        ("lm_head.weight", _t(model, "lm_head.weight")),
+    ]
+    for i in range(L):
+        hf = f"transformer.h.{i}"
+        t += [
+            (f"{hf}.ln_attn.weight", _t(model, f"{hf}.ln_attn.weight")),
+            (f"{hf}.ln_attn.bias", _t(model, f"{hf}.ln_attn.bias")),
+            (f"{hf}.ln_mlp.weight", _t(model, f"{hf}.ln_mlp.weight")),
+            (f"{hf}.ln_mlp.bias", _t(model, f"{hf}.ln_mlp.bias")),
+            (f"{hf}.self_attention.query_key_value.weight",
+             reorder(_t(model, f"{hf}.self_attention.query_key_value.weight"))),
+            (f"{hf}.self_attention.dense.weight",
+             _t(model, f"{hf}.self_attention.dense.weight")),
+            (f"{hf}.mlp.dense_h_to_4h.weight",
+             _t(model, f"{hf}.mlp.dense_h_to_4h.weight")),
+            (f"{hf}.mlp.dense_4h_to_h.weight",
+             _t(model, f"{hf}.mlp.dense_4h_to_h.weight")),
+        ]
+    h = Hyperparameters(arch="falcon", n_vocab=V, n_embd=E, n_head=H,
+                        n_head_kv=kv, n_layer=L)
+    _write(path, h, t)
+    return model
+
+
 EXPORTERS = {
     "gpt2": export_gpt2,
     "llama": export_llama,

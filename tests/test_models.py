@@ -81,6 +81,52 @@ def test_hf_parity(arch, tmp_path):
     assert (np.argmax(got, -1) == np.argmax(ref, -1)).all()
 
 
+def test_falcon40b_hf_parity(tmp_path):
+    torch = pytest.importorskip("torch")
+    from hf_export import export_falcon40
+
+    path = tmp_path / "falcon40.bin"
+    hf_model = export_falcon40(path, kv=2)
+    m = load(path, "falcon", params=ModelParameters(context_size=64))
+    assert m.spec.n_head_kv == 2
+    assert m.spec.residual == "parallel_two_ln"
+    ids = IDS
+    with torch.no_grad():
+        ref = (
+            hf_model(torch.tensor(ids[None].astype(np.int64)))
+            .logits[0]
+            .float()
+            .numpy()
+        )
+    got = _run(m, ids, chunks=[5, 3])
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_falcon40b_synthetic_chunk_consistency(tmp_path):
+    from llm_tpu.testing import make_tiny_file as mk
+
+    path = tmp_path / "falcon40_syn.bin"
+    mk("falcon", path, n_head_kv=2)
+    m = load(path, "falcon", params=ModelParameters(context_size=64))
+    full = _run(m, IDS)
+    chunked = _run(m, IDS, chunks=[3, 4, 1])
+    np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-5)
+
+
+def test_kquant_model_end_to_end(tmp_path):
+    """A checkpoint whose 2-D tensors are Q4_K loads and decodes coherently
+    (chunked == full), exercising the K-quant kernel path through the
+    whole stack (QK_K=256 needs n_embd % 256 == 0)."""
+    path = tmp_path / "llama_q4k.bin"
+    make_tiny_file("llama", path, element_type=GgmlType.Q4_K, n_embd=256)
+    m = load(path, "llama", params=ModelParameters(context_size=64))
+    assert m.spec.n_embd == 256
+    full = _run(m, IDS)
+    chunked = _run(m, IDS, chunks=[5, 3])
+    assert np.isfinite(full).all()
+    np.testing.assert_allclose(full, chunked, rtol=1e-4, atol=1e-4)
+
+
 def test_gptneox_sequential_residual_hf_parity(tmp_path):
     torch = pytest.importorskip("torch")
     from hf_export import export_gptneox
