@@ -72,6 +72,9 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--seed", type=int, default=None, help="RNG seed")
     g.add_argument("--no-float16", action="store_true",
                    help="use 32-bit KV memory instead of 16-bit")
+    g.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (TPU extension): half the memory and "
+                        "HBM traffic of 16-bit at a small quality cost")
     g.add_argument("--token-bias", default=None,
                    help="comma-separated TOKEN_ID=BIAS overrides")
     g.add_argument("--ignore-eos", action="store_true",
@@ -163,11 +166,12 @@ def load_model(args):
 def session_config(args):
     from llm_tpu.session import InferenceSessionConfig, ModelKVMemoryType
 
-    kv = (
-        ModelKVMemoryType.Float32
-        if args.no_float16
-        else ModelKVMemoryType.Float16
-    )
+    if getattr(args, "kv_int8", False):
+        kv = ModelKVMemoryType.Int8
+    elif args.no_float16:
+        kv = ModelKVMemoryType.Float32
+    else:
+        kv = ModelKVMemoryType.Float16
     return InferenceSessionConfig(
         memory_k_type=kv,
         memory_v_type=kv,

@@ -53,15 +53,45 @@ NEG_INF = -1e30
 class KVCache:
     """Dense per-layer KV cache, absolute positions. The analog of
     memory_k/memory_v (inference_session.rs:49-94) with K stored ROPE'd,
-    exactly as the reference caches it (llama/src/lib.rs:242-244)."""
+    exactly as the reference caches it (llama/src/lib.rs:242-244).
+
+    When k_scale/v_scale are present the cache is INT8: k/v hold int8
+    codes and scales are per (position, kv-head) f32 amax/127 — halving
+    cache HBM traffic and memory vs bf16."""
 
     k: jnp.ndarray  # [L, S, H_kv, D]
     v: jnp.ndarray  # [L, S, H_kv, D]
+    k_scale: Optional[jnp.ndarray] = None  # [L, S, H_kv]
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_cache(spec: ModelSpec, dtype=jnp.bfloat16) -> KVCache:
     shape = (spec.n_layer, spec.n_ctx, spec.n_head_kv, spec.head_dim)
+    if dtype in (jnp.int8, "int8"):
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _dequant_kv(codes: jnp.ndarray, scale: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """[.., S, H, D] codes (+ [.., S, H] scales) -> f32."""
+    x = codes.astype(jnp.float32)
+    if scale is not None:
+        x = x * scale[..., None]
+    return x
+
+
+def _quant_kv(x: jnp.ndarray):
+    """f32 [.., H, D] -> (int8 codes, f32 scales [.., H]) per head-row."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    q = jnp.clip(jnp.round(x * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _norm(spec: ModelSpec, x, w, b):
@@ -104,11 +134,11 @@ def _attention(
     a: jnp.ndarray,  # [T, E] normed input
     positions: jnp.ndarray,  # [T] absolute
     n_past: jnp.ndarray,  # scalar
-    k_cache: jnp.ndarray,  # [S, H_kv, D]
-    v_cache: jnp.ndarray,
+    k_cache,  # ([S, H_kv, D] codes, [S, H_kv] scale | None)
+    v_cache,
 ):
     T = a.shape[0]
-    S = k_cache.shape[0]
+    S = k_cache[0].shape[0]
     H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
     rep = H // Hkv
 
@@ -137,10 +167,17 @@ def _attention(
         )
 
     qf = q.astype(jnp.float32).reshape(T, Hkv, rep, D)
-    kc = k_cache.astype(jnp.float32)
-    vc = v_cache.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    kc = _dequant_kv(*k_cache)
+    vc = _dequant_kv(*v_cache)
+    if k_cache[1] is not None:  # int8 cache: in-flight kv must round-trip
+        k_out = _quant_kv(k.astype(jnp.float32))
+        v_out = _quant_kv(v.astype(jnp.float32))
+        kf = _dequant_kv(*k_out)
+        vf = _dequant_kv(*v_out)
+    else:
+        k_out, v_out = k, v
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
 
     # scores over cached keys [T, Hkv, rep, S] and in-flight keys [T, Hkv, rep, T]
     sc = jnp.einsum("thrd,shd->thrs", qf, kc, preferred_element_type=jnp.float32)
@@ -180,7 +217,7 @@ def _attention(
     out = qmatmul(out, layer.wo)
     if layer.bo is not None:
         out = out + layer.bo
-    return out, k, v
+    return out, k_out, v_out
 
 
 def _ffn(spec: ModelSpec, layer: LayerParams, x: jnp.ndarray) -> jnp.ndarray:
@@ -260,34 +297,49 @@ def forward(
         h = h + quant_rows_lookup(params.wpe, positions)
 
     W = cache.k.shape[1] if window is None else min(window, cache.k.shape[1])
+    quantized = cache.k_scale is not None
 
     def body(carry, xs):
-        l, k_l, v_l = xs
+        if quantized:
+            l, k_l, v_l, ks_l, vs_l = xs
+            kc, vc = (k_l[:W], ks_l[:W]), (v_l[:W], vs_l[:W])
+        else:
+            l, k_l, v_l = xs
+            kc, vc = (k_l[:W], None), (v_l[:W], None)
         layer = _LayerView(params.layers, l)
-        hh, k_new, v_new = _layer(
-            spec, carry, layer, positions, n_past, k_l[:W], v_l[:W]
-        )
+        hh, k_new, v_new = _layer(spec, carry, layer, positions, n_past, kc, vc)
         return hh, (k_new, v_new)
 
-    h, (k_news, v_news) = lax.scan(
-        body,
-        h,
-        (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v),
-    )
+    xs = (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v)
+    if quantized:
+        xs = xs + (cache.k_scale, cache.v_scale)
+    h, (k_news, v_news) = lax.scan(body, h, xs)
 
-    new_k = lax.dynamic_update_slice(
-        cache.k, k_news.astype(cache.k.dtype), (0, n_past, 0, 0)
-    )
-    new_v = lax.dynamic_update_slice(
-        cache.v, v_news.astype(cache.v.dtype), (0, n_past, 0, 0)
-    )
+    if quantized:
+        kq, ks = k_news  # attention already emits (codes, scales)
+        vq, vs = v_news
+        new_cache = KVCache(
+            lax.dynamic_update_slice(cache.k, kq, (0, n_past, 0, 0)),
+            lax.dynamic_update_slice(cache.v, vq, (0, n_past, 0, 0)),
+            lax.dynamic_update_slice(cache.k_scale, ks, (0, n_past, 0)),
+            lax.dynamic_update_slice(cache.v_scale, vs, (0, n_past, 0)),
+        )
+    else:
+        new_cache = KVCache(
+            lax.dynamic_update_slice(
+                cache.k, k_news.astype(cache.k.dtype), (0, n_past, 0, 0)
+            ),
+            lax.dynamic_update_slice(
+                cache.v, v_news.astype(cache.v.dtype), (0, n_past, 0, 0)
+            ),
+        )
 
     h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
     head = params.lm_head if params.lm_head is not None else params.wte
     logits = qmatmul(h, head)
     if params.lm_head_b is not None:
         logits = logits + params.lm_head_b
-    return logits.astype(jnp.float32), h.astype(jnp.float32), KVCache(new_k, new_v)
+    return logits.astype(jnp.float32), h.astype(jnp.float32), new_cache
 
 
 @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
@@ -410,11 +462,11 @@ def _attention_batched(
     a: jnp.ndarray,  # [B, T, E] normed input
     positions: jnp.ndarray,  # [B, T] absolute
     n_past: jnp.ndarray,  # [B]
-    k_cache: jnp.ndarray,  # [B, S, H_kv, D]
-    v_cache: jnp.ndarray,
+    k_cache,  # ([B, S, H_kv, D] codes, [B, S, H_kv] scale | None)
+    v_cache,
 ):
     B, T, E = a.shape
-    S = k_cache.shape[1]
+    S = k_cache[0].shape[1]
     H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
     rep = H // Hkv
 
@@ -440,10 +492,17 @@ def _attention_batched(
                  spec.rope_freq_base, spec.rope_freq_scale)
 
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, D)
-    kc = k_cache.astype(jnp.float32)
-    vc = v_cache.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    kc = _dequant_kv(*k_cache)
+    vc = _dequant_kv(*v_cache)
+    if k_cache[1] is not None:  # int8 cache: in-flight kv must round-trip
+        k_out = _quant_kv(k.astype(jnp.float32))
+        v_out = _quant_kv(v.astype(jnp.float32))
+        kf = _dequant_kv(*k_out)
+        vf = _dequant_kv(*v_out)
+    else:
+        k_out, v_out = k, v
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
 
     sc = jnp.einsum("bthrd,bshd->bthrs", qf, kc,
                     preferred_element_type=jnp.float32)
@@ -485,7 +544,7 @@ def _attention_batched(
     out = qmatmul(out, layer.wo)
     if layer.bo is not None:
         out = out + layer.bo
-    return out.reshape(B, T, E), k, v
+    return out.reshape(B, T, E), k_out, v_out
 
 
 def _layer_batched(spec, h, layer, positions, n_past, k_cache, v_cache):
@@ -529,6 +588,13 @@ def init_cache_batched(spec: ModelSpec, batch: int, dtype=jnp.bfloat16) -> KVCac
     axis 0 directly — a [B, L, ...] layout would force a full-cache transpose
     (copy) on every step."""
     shape = (spec.n_layer, batch, spec.n_ctx, spec.n_head_kv, spec.head_dim)
+    if dtype in (jnp.int8, "int8"):
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -557,30 +623,50 @@ def forward_batched(
         )
 
     W = cache.k.shape[2] if window is None else min(window, cache.k.shape[2])
+    quantized = cache.k_scale is not None
 
     def body(carry, xs):
-        l, k_l, v_l = xs
+        if quantized:
+            l, k_l, v_l, ks_l, vs_l = xs
+            kc, vc = (k_l[:, :W], ks_l[:, :W]), (v_l[:, :W], vs_l[:, :W])
+        else:
+            l, k_l, v_l = xs
+            kc, vc = (k_l[:, :W], None), (v_l[:, :W], None)
         layer = _LayerView(params.layers, l)
         hh, k_new, v_new = _layer_batched(
-            spec, carry, layer, positions, n_past, k_l[:, :W], v_l[:, :W]
+            spec, carry, layer, positions, n_past, kc, vc
         )
         return hh, (k_new, v_new)
 
-    h, (k_news, v_news) = lax.scan(
-        body,
-        h,
-        (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v),
-    )
+    xs = (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v)
+    if quantized:
+        xs = xs + (cache.k_scale, cache.v_scale)
+    h, (k_news, v_news) = lax.scan(body, h, xs)
     # k_news: [L, B, T, H, D]; per-stream DUS at its own n_past (vmap over
     # the batch axis 1 of both cache and update)
-    k_news = k_news.astype(cache.k.dtype)
-    v_news = v_news.astype(cache.v.dtype)
 
     def write(c, new, p):  # c [L, S, H, D], new [L, T, H, D]
         return lax.dynamic_update_slice(c, new, (0, p, 0, 0))
 
-    new_k = jax.vmap(write, in_axes=(1, 1, 0), out_axes=1)(cache.k, k_news, n_past)
-    new_v = jax.vmap(write, in_axes=(1, 1, 0), out_axes=1)(cache.v, v_news, n_past)
+    def write_scale(c, new, p):  # c [L, S, H], new [L, T, H]
+        return lax.dynamic_update_slice(c, new, (0, p, 0))
+
+    vwrite = jax.vmap(write, in_axes=(1, 1, 0), out_axes=1)
+    if quantized:
+        kq, ks = k_news  # attention already emits (codes, scales)
+        vq, vs = v_news
+        vwrite_s = jax.vmap(write_scale, in_axes=(1, 1, 0), out_axes=1)
+        new_cache = KVCache(
+            vwrite(cache.k, kq, n_past),
+            vwrite(cache.v, vq, n_past),
+            vwrite_s(cache.k_scale, ks, n_past),
+            vwrite_s(cache.v_scale, vs, n_past),
+        )
+    else:
+        new_cache = KVCache(
+            vwrite(cache.k, k_news.astype(cache.k.dtype), n_past),
+            vwrite(cache.v, v_news.astype(cache.v.dtype), n_past),
+        )
 
     E = h.shape[-1]
     h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
@@ -591,7 +677,7 @@ def forward_batched(
     return (
         logits.reshape(B, T, -1).astype(jnp.float32),
         h.astype(jnp.float32),
-        KVCache(new_k, new_v),
+        new_cache,
     )
 
 

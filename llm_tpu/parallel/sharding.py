@@ -159,10 +159,15 @@ def shard_cache(cache: KVCache, mesh: Mesh, batched: bool = False) -> KVCache:
     batch axis rides `data`."""
     if batched:
         spec = P(None, "data", None, "model", None)
+        sspec = P(None, "data", None, "model")
     else:
         spec = P(None, None, "model", None)
+        sspec = P(None, None, "model")
     return KVCache(
-        k=_put(cache.k, mesh, spec), v=_put(cache.v, mesh, spec)
+        k=_put(cache.k, mesh, spec),
+        v=_put(cache.v, mesh, spec),
+        k_scale=_put(cache.k_scale, mesh, sspec),
+        v_scale=_put(cache.v_scale, mesh, sspec),
     )
 
 

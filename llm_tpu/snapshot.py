@@ -62,9 +62,15 @@ def write_session(session: InferenceSession, path: str | Path) -> None:
         "n_batch": snap.config.n_batch,
         "n_threads": snap.config.n_threads,
         "k_len": len(snap.memory_k),
+        "v_len": len(snap.memory_v),
+        "scale_shape": list(snap.scale_shape) if snap.scale_shape else None,
+        "ks_len": len(snap.memory_k_scale) if snap.memory_k_scale else 0,
     }
     hb = json.dumps(header).encode()
-    payload, codec = _compress(snap.memory_k + snap.memory_v)
+    blob = snap.memory_k + snap.memory_v
+    if snap.memory_k_scale:
+        blob += snap.memory_k_scale + snap.memory_v_scale
+    payload, codec = _compress(blob)
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<I", VERSION))
@@ -93,17 +99,27 @@ def read_session(model, path: str | Path) -> InferenceSession:
         n_threads=header["n_threads"],
     )
     k_len = header["k_len"]
+    v_len = header.get("v_len", len(payload) - k_len)
+    ks_len = header.get("ks_len", 0)
+    kv_end = k_len + v_len
     snap = InferenceSnapshot(
         npast=header["npast"],
         config=config,
         tokens=header["tokens"],
         last_logits=np.asarray(header["last_logits"], np.float32),
         memory_k=payload[:k_len],
-        memory_v=payload[k_len:],
+        memory_v=payload[k_len:kv_end],
         k_shape=tuple(header["k_shape"]),
         v_shape=tuple(header["v_shape"]),
         k_dtype=header["k_dtype"],
         v_dtype=header["v_dtype"],
+        memory_k_scale=(
+            payload[kv_end : kv_end + ks_len] if ks_len else None
+        ),
+        memory_v_scale=(payload[kv_end + ks_len :] if ks_len else None),
+        scale_shape=(
+            tuple(header["scale_shape"]) if header.get("scale_shape") else None
+        ),
     )
     return InferenceSession.from_snapshot(snap, model)
 
