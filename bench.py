@@ -133,6 +133,56 @@ def weight_bytes(params: ModelParams) -> int:
     return total
 
 
+def serve_bench() -> None:
+    """Aggregate serving throughput: B=8 streams, int8 KV, multi-step
+    on-device decode (the max-throughput single-chip configuration; int8 KV
+    is what lets 8 x ctx-2048 streams fit beside the weights in 16 GB)."""
+    from llm_tpu.models.forward import (
+        decode_loop_batched,
+        forward_batched_step,
+        init_cache_batched,
+    )
+
+    spec = ModelSpec(
+        arch="llama", n_vocab=V, n_embd=E, n_head=H, n_head_kv=H,
+        n_layer=L, n_rot=E // H, n_ctx=CTX, norm="rms", norm_has_bias=False,
+        rope_mode=0, residual="sequential", ffn="swiglu",
+    )
+    params = build_params(jax.random.PRNGKey(0))
+    Bs, N = 8, 16
+    cache = init_cache_batched(spec, Bs, "int8")
+    ids = jnp.full((Bs, 1), 17, jnp.int32)
+    n_past = jnp.full((Bs,), 512, jnp.int32)
+    window = 1024
+    logits, _, cache = forward_batched_step(
+        spec, params, ids, n_past, cache, window
+    )
+    ll = logits[:, 0, :]
+    toks, ll, n_past, cache = decode_loop_batched(
+        spec, params, ll, n_past + 1, cache, N, window
+    )
+    np.asarray(toks)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, ll, n_past, cache = decode_loop_batched(
+            spec, params, ll, n_past, cache, N, window
+        )
+        np.asarray(toks)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "llama7b_q4_0_serve_8streams_int8kv",
+                "value": round(Bs * N / dt, 2),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round((Bs * N / dt) / 34.8, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     spec = ModelSpec(
         arch="llama", n_vocab=V, n_embd=E, n_head=H, n_head_kv=H,
@@ -196,4 +246,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--serve" in sys.argv:
+        serve_bench()
+    else:
+        main()
