@@ -71,6 +71,7 @@ class _Stream:
     n_past: int = 0
     last_logits: Optional[np.ndarray] = None
     utf8: TokenUtf8Buffer = field(default_factory=TokenUtf8Buffer)
+    decoded_len: int = 0
     text: list = field(default_factory=list)
     done: bool = False
     finish_reason: str = ""
@@ -79,7 +80,13 @@ class _Stream:
 @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(5,))
 def _prefill_slot(spec, params, ids, n_past, slot, cache, window=None):
     """Run a prompt chunk for one slot of the batched [L, B, ...] cache."""
-    slot_cache = KVCache(cache.k[:, slot], cache.v[:, slot])
+    quantized = cache.k_scale is not None
+    slot_cache = KVCache(
+        cache.k[:, slot],
+        cache.v[:, slot],
+        cache.k_scale[:, slot] if quantized else None,
+        cache.v_scale[:, slot] if quantized else None,
+    )
     logits, _, updated = forward(spec, params, ids, n_past, slot_cache, window)
     new_k = lax.dynamic_update_slice(
         cache.k, updated.k[:, None], (0, slot, 0, 0, 0)
@@ -87,6 +94,14 @@ def _prefill_slot(spec, params, ids, n_past, slot, cache, window=None):
     new_v = lax.dynamic_update_slice(
         cache.v, updated.v[:, None], (0, slot, 0, 0, 0)
     )
+    if quantized:
+        new_ks = lax.dynamic_update_slice(
+            cache.k_scale, updated.k_scale[:, None], (0, slot, 0, 0)
+        )
+        new_vs = lax.dynamic_update_slice(
+            cache.v_scale, updated.v_scale[:, None], (0, slot, 0, 0)
+        )
+        return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(new_k, new_v)
 
 
@@ -149,6 +164,20 @@ class Engine:
     @property
     def active(self) -> int:
         return sum(s is not None for s in self.slots)
+
+    def _piece(self, stream: _Stream, tok: int) -> bytes:
+        """Token bytes for callbacks; HF tokenizers re-decode and diff
+        (the session's incremental rule, inference_session.rs:667-681)."""
+        tokenizer = self.model.tokenizer
+        if tokenizer.is_embedded:
+            return tokenizer.token(tok)
+        decoded = tokenizer.decode(stream.tokens, True)
+        text = decoded.decode("utf-8", errors="replace")
+        if text.endswith("�"):
+            return b""
+        out = decoded[stream.decoded_len :]
+        stream.decoded_len = len(decoded)
+        return out
 
     def has_work(self) -> bool:
         return bool(self.pending) or self.active > 0
@@ -239,8 +268,7 @@ class Engine:
                 done = True
                 stream.finish_reason = "eot"
             else:
-                piece = self.model.tokenizer.token(tok)
-                out = stream.utf8.push(piece)
+                out = stream.utf8.push(self._piece(stream, tok))
                 if out:
                     text = out
                     stream.text.append(out)
@@ -340,7 +368,7 @@ class Engine:
                 stream.tokens.append(t)
                 stream.generated += 1
                 if t != self._eot:
-                    out = stream.utf8.push(self.model.tokenizer.token(t))
+                    out = stream.utf8.push(self._piece(stream, t))
                     if out:
                         text_parts.append(out)
                         stream.text.append(out)

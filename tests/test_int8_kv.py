@@ -81,13 +81,29 @@ def test_bf16_snapshot_roundtrip(model):
     np.testing.assert_array_equal(session.last_logits, restored.last_logits)
 
 
-def test_int8_engine_generates(model):
+def test_int8_engine_matches_int8_session(model):
+    cfg = InferenceSessionConfig(
+        memory_k_type=ModelKVMemoryType.Int8,
+        memory_v_type=ModelKVMemoryType.Int8,
+    )
+    session = InferenceSession(model, cfg)
+    ref = []
+    session.infer(
+        InferenceRequest(
+            prompt="<t2><t3>",
+            parameters=InferenceParameters(sampler=GreedySampler()),
+            maximum_token_count=6,
+        ),
+        rng=np.random.default_rng(0),
+        callback=lambda r: ref.append(r.text) if r.kind == "inferred_token" else None,
+    )
+
     engine = Engine(model, max_streams=2, kv_dtype="int8")
     texts = engine.generate_all(
         [GenerationRequest(prompt="<t2><t3>", max_tokens=6,
                            sampler=GreedySampler())]
     )
-    assert isinstance(texts[0], str)
+    assert texts[0] == "".join(ref)
 
 
 def test_int8_session_file_snapshot(model, tmp_path):
