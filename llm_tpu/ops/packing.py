@@ -164,11 +164,12 @@ def pack_ggml(
     fmt = FORMATS[t]
     g = fmt.gsize
 
-    # scale storage: the 32-block formats carry f16 scales on disk, so f16
-    # storage is lossless and halves scale-plane HBM traffic; K-quants have
-    # two-level (f16 x int6) effective scales whose product needs f32
+    # scale storage: f32. (f16 would be lossless vs the on-disk scales and
+    # halve scale-plane traffic, but Mosaic rejects f16 operands — "Unsupported
+    # type in mosaic dialect: 'f16'". A future win is packing two f16 scales
+    # per uint32 lane and expanding with integer ops in the kernel.)
     if scale_dtype is None:
-        scale_dtype = jnp.float32 if t.name.endswith("_K") else jnp.float16
+        scale_dtype = jnp.float32
 
     # fast path: single-pass native transcode (llm_tpu/native/codecs.cpp)
     n_out = len(rows) if rows is not None else R

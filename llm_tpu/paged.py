@@ -1,0 +1,400 @@
+"""Paged KV cache: a shared page pool with per-stream page tables.
+
+The reference's only long-context behavior is failing (ContextFull,
+inference_session.rs:311-313); BASELINE.md's staged configs require an
+"8K paged KV" mode. This module decouples KV memory from
+max_streams x n_ctx: streams allocate fixed-size pages from a shared pool
+as their context grows and release them when they finish, so total memory
+tracks the TOKENS IN FLIGHT, not the worst case.
+
+Layout (layer-major, like the dense cache):
+
+    pool.k/v          [L, n_pages, page, H_kv, D]
+    page_table        [B, P] int32 physical page ids (logical order)
+    n_past            [B]
+
+Attention gathers each stream's pages in logical order, so positions,
+masks, RoPE and ALiBi are identical to the dense path — correctness is
+checked by equality against the dense engine. The gather materializes the
+windowed K/V per layer (one extra copy vs the dense read); a Pallas
+paged-attention kernel with scalar-prefetched page tables is the planned
+fast path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from llm_tpu.models.params import _register
+from llm_tpu.models.forward import (
+    _LayerView,
+    _attention_batched,
+    _layer_batched,
+    _norm,
+    layer_norm,
+)
+from llm_tpu.models.spec import ModelSpec
+from llm_tpu.ops.qmatmul import qmatmul, quant_rows_lookup
+
+
+@_register
+@dataclass
+class PagedKVCache:
+    k: jnp.ndarray  # [L, n_pages, page, H_kv, D]
+    v: jnp.ndarray
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k.shape[1]
+
+
+def init_paged_cache(
+    spec: ModelSpec, n_pages: int, page_size: int = 256, dtype=jnp.bfloat16
+) -> PagedKVCache:
+    shape = (spec.n_layer, n_pages, page_size, spec.n_head_kv, spec.head_dim)
+    return PagedKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+class PageAllocator:
+    """Host-side free-list allocator over the physical pages.
+
+    Physical page 0 is RESERVED as the trash page: unallocated page-table
+    entries point at it, so dummy writes from inactive/boundary streams land
+    somewhere harmless and gathers of unallocated entries read masked
+    garbage."""
+
+    TRASH = 0
+
+    def __init__(self, n_pages: int):
+        assert n_pages >= 2, "need at least one real page beside the trash page"
+        self.free = list(range(n_pages - 1, 0, -1))
+
+    def alloc(self, n: int = 1) -> list[int]:
+        if len(self.free) < n:
+            raise MemoryError("KV page pool exhausted")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages) -> None:
+        self.free.extend(int(p) for p in pages if int(p) != self.TRASH)
+
+    @property
+    def available(self) -> int:
+        return len(self.free)
+
+
+def _gather_stream_kv(pool_l, tables, n_logical_pages):
+    """pool_l [NP, page, H, D], tables [B, P] -> [B, W, H, D] with
+    W = n_logical_pages * page (gathered in logical order)."""
+    sel = tables[:, :n_logical_pages]  # [B, Wp]
+    g = pool_l[sel]  # [B, Wp, page, H, D]
+    B, Wp, page, Hh, D = g.shape
+    return g.reshape(B, Wp * page, Hh, D)
+
+
+def paged_forward_batched(
+    spec: ModelSpec,
+    params,
+    ids: jnp.ndarray,  # [B, T]
+    n_past: jnp.ndarray,  # [B]
+    tables: jnp.ndarray,  # [B, P] physical page ids
+    cache: PagedKVCache,
+    window_pages: int,  # static: logical pages covered by attention reads
+):
+    """Batched forward over paged caches. Returns (logits, hidden, cache).
+
+    Requirement: window_pages * page_size >= max(n_past) + T is NOT needed
+    for the cached part (only < n_past is read), but every (n_past + t)
+    write position must fall inside an allocated page of `tables`.
+    """
+    B, T = ids.shape
+    page = cache.page_size
+    positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    h = quant_rows_lookup(params.wte, ids.reshape(-1)).reshape(B, T, -1)
+    if spec.post_embed_norm:
+        h = layer_norm(h, params.emb_norm_w, params.emb_norm_b)
+    if spec.learned_pos:
+        h = h + quant_rows_lookup(params.wpe, positions.reshape(-1)).reshape(
+            B, T, -1
+        )
+
+    def body(carry, xs):
+        l, pk_l, pv_l = xs
+        layer = _LayerView(params.layers, l)
+        kc = (_gather_stream_kv(pk_l, tables, window_pages), None)
+        vc = (_gather_stream_kv(pv_l, tables, window_pages), None)
+        hh, k_new, v_new = _layer_batched(
+            spec, carry, layer, positions, n_past, kc, vc
+        )
+        return hh, (k_new, v_new)
+
+    h, (k_news, v_news) = lax.scan(
+        body, h, (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v)
+    )
+    # k_news [L, B, T, H, D]: scatter each token into its physical slot
+    logical = positions  # [B, T]
+    phys_pages = jnp.take_along_axis(
+        tables, (logical // page).astype(jnp.int32), axis=1
+    )  # [B, T]
+    offsets = logical % page  # [B, T]
+
+    pp = phys_pages.reshape(-1)  # [B*T]
+    oo = offsets.reshape(-1)
+
+    def scatter(pool, new):
+        # pool [L, NP, page, H, D]; new [L, B, T, H, D].
+        # pool[:, pp, oo] has shape [L, B*T, H, D] (advanced indices are
+        # adjacent), so this is a single scatter — no pool transpose.
+        L, Bn, Tn, Hh, D = new.shape
+        flat_new = new.reshape(L, Bn * Tn, Hh, D)
+        return pool.at[:, pp, oo].set(flat_new.astype(pool.dtype))
+
+    new_k = scatter(cache.k, k_news)
+    new_v = scatter(cache.v, v_news)
+
+    E = h.shape[-1]
+    h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
+    head = params.lm_head if params.lm_head is not None else params.wte
+    logits = qmatmul(h.reshape(B * T, E), head)
+    if params.lm_head_b is not None:
+        logits = logits + params.lm_head_b
+    return (
+        logits.reshape(B, T, -1).astype(jnp.float32),
+        h.astype(jnp.float32),
+        PagedKVCache(new_k, new_v),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 6), donate_argnums=(5,))
+def paged_step(spec, params, ids, n_past, tables, cache, window_pages):
+    return paged_forward_batched(
+        spec, params, ids, n_past, tables, cache, window_pages
+    )
+
+
+# ---------------------------------------------------------------------------
+# paged continuous-batching engine
+
+
+class PagedEngine:
+    """Continuous batching over a shared page pool.
+
+    Same host-side contract as serve.Engine (submit/step/generate_all with
+    per-stream sampler chains), but KV memory is pooled: total pages bound
+    the TOKENS in flight rather than max_streams x n_ctx, which is what
+    makes long-context (e.g. 8K) multi-stream serving fit in HBM.
+    """
+
+    def __init__(
+        self,
+        model,
+        max_streams: int = 8,
+        page_size: int = 256,
+        n_pages: Optional[int] = None,
+        kv_dtype=jnp.bfloat16,
+        n_batch: int = 8,
+    ):
+        from llm_tpu.serve import Engine  # host-side plumbing is shared
+
+        self.model = model
+        self.spec = model.spec
+        self.max_streams = max_streams
+        self.page_size = page_size
+        self.n_batch = n_batch
+        self.pages_per_stream = -(-self.spec.n_ctx // page_size)
+        if n_pages is None:
+            # default: every stream can reach full context (1 trash page)
+            n_pages = 1 + max_streams * self.pages_per_stream
+        self.pool = init_paged_cache(self.spec, n_pages, page_size, kv_dtype)
+        self.allocator = PageAllocator(n_pages)
+        self.tables = np.full(
+            (max_streams, self.pages_per_stream), PageAllocator.TRASH, np.int32
+        )
+        self.stream_pages: list[list[int]] = [[] for _ in range(max_streams)]
+
+        self.slots = [None] * max_streams
+        self.pending = []
+        self.finished = {}
+        self._next_id = 0
+        self._eot = model.eot_token_id()
+        self.params = model.params
+
+        # borrow the host-side helpers from Engine
+        self._piece = Engine._piece.__get__(self)
+        self.submit = Engine.submit.__get__(self)
+        self.has_work = Engine.has_work.__get__(self)
+
+    @property
+    def active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    # -- paging -------------------------------------------------------------
+
+    def _ensure_pages(self, slot: int, upto_logical: int) -> None:
+        """Allocate pages so logical positions [0, upto_logical] are backed."""
+        need = upto_logical // self.page_size
+        for j in range(need + 1):
+            if self.tables[slot, j] == PageAllocator.TRASH:
+                (p,) = self.allocator.alloc(1)
+                self.tables[slot, j] = p
+                self.stream_pages[slot].append(p)
+
+    def _release_slot(self, slot: int) -> None:
+        self.allocator.release(self.stream_pages[slot])
+        self.stream_pages[slot] = []
+        self.tables[slot, :] = PageAllocator.TRASH
+
+    def _admit(self) -> None:
+        from llm_tpu.serve import ContextFull
+
+        for slot in range(self.max_streams):
+            if self.slots[slot] is not None or not self.pending:
+                continue
+            stream = self.pending.pop(0)
+            try:
+                self._prefill(stream, slot)
+                self.slots[slot] = stream
+            except ContextFull:
+                self._release_slot(slot)
+                stream.done = True
+                stream.finish_reason = "context_full"
+                self.finished[stream.request_id] = stream
+            except MemoryError:
+                # pool exhausted: requeue and wait for pages to free up
+                self._release_slot(slot)
+                self.pending.insert(0, stream)
+                break
+
+    def _window_pages(self) -> int:
+        max_past = max(
+            (s.n_past for s in self.slots if s is not None), default=0
+        )
+        return max(1, -(-(max_past + 1) // self.page_size))
+
+    # -- prefill / decode ---------------------------------------------------
+
+    def _prefill(self, stream, slot: int) -> None:
+        from llm_tpu.serve import ContextFull
+        from llm_tpu.tokenizer import Prompt
+
+        spec = self.spec
+        prompt_tokens = Prompt.of(stream.request.prompt).to_tokens(
+            self.model.tokenizer, True
+        )
+        if len(prompt_tokens) >= spec.n_ctx:
+            raise ContextFull()
+        stream.tokens = list(prompt_tokens)
+        n_past_vec = np.zeros(self.max_streams, np.int32)
+        for s2, st in enumerate(self.slots):
+            if st is not None:
+                n_past_vec[s2] = st.n_past
+
+        pos = 0
+        for start in range(0, len(prompt_tokens), self.n_batch):
+            chunk = prompt_tokens[start : start + self.n_batch]
+            self._ensure_pages(slot, pos + len(chunk) - 1)
+            ids = np.zeros((self.max_streams, self.n_batch), np.int32)
+            ids[slot, : len(chunk)] = chunk
+            n_past_vec[slot] = pos
+            wp = max(
+                self._window_pages(),
+                -(-(pos + len(chunk)) // self.page_size),
+            )
+            logits, _, self.pool = paged_step(
+                spec, self.params, jnp.asarray(ids),
+                jnp.asarray(n_past_vec), jnp.asarray(self.tables),
+                self.pool, wp,
+            )
+            pos += len(chunk)
+            stream.last_logits = np.asarray(logits)[slot, len(chunk) - 1]
+        stream.n_past = pos
+
+    def step(self):
+        """One decode step across active streams (host-side sampling)."""
+        from llm_tpu.samplers import sample_token
+
+        self._admit()
+        if self.active == 0:
+            return []
+        spec = self.spec
+        ids = np.zeros((self.max_streams, 1), np.int32)
+        n_past = np.zeros(self.max_streams, np.int32)
+        sampled = {}
+        for slot, stream in enumerate(self.slots):
+            if stream is None:
+                continue
+            tok = sample_token(
+                stream.sampler, stream.rng, stream.tokens, stream.last_logits
+            )
+            sampled[slot] = tok
+            ids[slot, 0] = tok
+            n_past[slot] = stream.n_past
+            try:
+                self._ensure_pages(slot, stream.n_past)
+            except MemoryError:
+                # no page for the next token: retire the stream
+                stream.done = True
+                stream.finish_reason = "kv_oom"
+                self.finished[stream.request_id] = stream
+                self.slots[slot] = None
+                self._release_slot(slot)
+                del sampled[slot]
+                ids[slot, 0] = 0
+
+        wp = self._window_pages()
+        logits, _, self.pool = paged_step(
+            spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
+            jnp.asarray(self.tables), self.pool, wp,
+        )
+        logits = np.asarray(logits)[:, 0, :]
+
+        events = []
+        for slot, tok in sampled.items():
+            stream = self.slots[slot]
+            stream.tokens.append(tok)
+            stream.n_past += 1
+            stream.generated += 1
+            stream.last_logits = logits[slot]
+            text = ""
+            done = False
+            if tok == self._eot:
+                done = True
+                stream.finish_reason = "eot"
+            else:
+                out = stream.utf8.push(self._piece(stream, tok))
+                if out:
+                    text = out
+                    stream.text.append(out)
+                    if stream.request.on_token:
+                        stream.request.on_token(stream.request_id, out)
+            limit = stream.request.max_tokens
+            if not done and limit is not None and stream.generated >= limit:
+                done = True
+                stream.finish_reason = "max_tokens"
+            if not done and stream.n_past + 1 >= spec.n_ctx:
+                done = True
+                stream.finish_reason = "context_full"
+            if done:
+                stream.done = True
+                self.finished[stream.request_id] = stream
+                self.slots[slot] = None
+                self._release_slot(slot)
+            events.append((stream.request_id, text, done))
+        return events
+
+    def generate_all(self, requests):
+        ids = [self.submit(r) for r in requests]
+        while self.has_work():
+            self.step()
+        return {rid: "".join(self.finished[rid].text) for rid in ids}

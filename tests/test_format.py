@@ -109,3 +109,16 @@ def test_q4_row_alignment_check(tmp_path):
         w.write_tensor("t", GgmlType.Q4_0, (32,), raw)
     with pytest.raises(FormatError):
         GgmlReader(p).load(lambda f: (None, 0))
+
+
+def test_model_architecture_string_roundtrip():
+    """ModelArchitecture FromStr/Display analog (crates/llm/src/lib.rs:266-279)."""
+    from llm_tpu.models.spec import SUPPORTED_ARCHITECTURES, get_arch, UnsupportedModelArchitecture
+    import pytest as _pytest
+
+    for name in SUPPORTED_ARCHITECTURES:
+        assert get_arch(name).name == name
+    assert get_arch("GPT-NeoX").name == "gptneox"
+    assert get_arch("Llama").name == "llama"
+    with _pytest.raises(UnsupportedModelArchitecture):
+        get_arch("not-an-arch")
