@@ -203,7 +203,7 @@ class PagedEngine:
         page_size: int = 256,
         n_pages: Optional[int] = None,
         kv_dtype=jnp.bfloat16,
-        n_batch: int = 8,
+        n_batch: int = 64,
     ):
         from llm_tpu.serve import Engine  # host-side plumbing is shared
 

@@ -122,7 +122,7 @@ class Engine:
         model,
         max_streams: int = 8,
         kv_dtype=jnp.bfloat16,
-        n_batch: int = 8,
+        n_batch: int = 64,  # prefill chunk; TPU prefill scales ~linearly to 512
         mesh=None,
     ):
         self.model = model
