@@ -232,3 +232,21 @@ def test_sampler_greedy_like_low_temperature():
     logits = np.zeros(20, np.float32)
     logits[7] = 5.0
     assert chain.sample(logits, [], rng) == 7
+
+
+def test_model_shared_across_sessions(llama_model):
+    """can_send analog (llm-test/src/common.rs): a model is immutable after
+    load and shareable — interleaved sessions must not interfere."""
+    s1 = InferenceSession(llama_model, _f32_config())
+    s2 = InferenceSession(llama_model, _f32_config())
+    s1.feed_prompt([5, 6])
+    s2.feed_prompt([9, 10, 11])
+    s1.feed_prompt([7])
+    s2.feed_prompt([12])
+
+    ref1 = InferenceSession(llama_model, _f32_config())
+    ref1.feed_prompt([5, 6, 7])
+    ref2 = InferenceSession(llama_model, _f32_config())
+    ref2.feed_prompt([9, 10, 11, 12])
+    np.testing.assert_allclose(s1.last_logits, ref1.last_logits, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s2.last_logits, ref2.last_logits, rtol=1e-5, atol=1e-5)
