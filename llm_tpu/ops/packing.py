@@ -26,6 +26,8 @@ regions carry scale 0 so they contribute nothing.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -100,9 +102,16 @@ class QuantTensor:
         return (self.k, self.r)
 
     @property
+    def scale_packed(self) -> bool:
+        """uint32 scale plane = two f16 scales per lane (exact vs the file's
+        f16 scales; Mosaic has no f16 type, so the kernel expands the bits
+        with integer ops)."""
+        return self.scale.dtype == jnp.uint32
+
+    @property
     def k_padded(self) -> int:
         g = self.fmt.gsize
-        return self.scale.shape[0] * g
+        return self.scale.shape[0] * g * (2 if self.scale_packed else 1)
 
     @property
     def r_padded(self) -> int:
@@ -118,6 +127,31 @@ class QuantTensor:
         lo, hi, scale, bias = children
         fmt_name, k, r = aux
         return cls(fmt_name, k, r, lo, hi, scale, bias)
+
+
+def _pack_f16x2_np(a: np.ndarray) -> np.ndarray:
+    """f32 [Kg, R] (values exactly representable in f16) -> uint32 [Kg/2, R]:
+    group 2w in the low 16 bits of word w, group 2w+1 in the high 16."""
+    kg, r = a.shape
+    assert kg % 2 == 0
+    bits = a.astype(np.float16).view(np.uint16).astype(np.uint32)
+    return (bits[0::2] | (bits[1::2] << 16)).astype(np.uint32)
+
+
+def expand_f16x2(words: jnp.ndarray) -> jnp.ndarray:
+    """uint32 [Kw, R] of packed f16 pairs -> f32 [2*Kw, R].
+
+    Integer f16->f32 expansion (exact for all finite f16, incl. denormals);
+    usable both in jnp and inside Pallas kernels (no f16 dtype touched).
+    """
+    h = unpack_plane(words, 16)  # [2*Kw, R] int32 of u16 bit patterns
+    mag = h & 0x7FFF
+    normal = jax.lax.bitcast_convert_type(
+        ((mag + (112 << 10)) << 13).astype(jnp.int32), jnp.float32
+    )
+    denorm = mag.astype(jnp.float32) * jnp.float32(2.0**-24)
+    val = jnp.where(mag >= 0x0400, normal, denorm)
+    return jnp.where((h & 0x8000) != 0, -val, val)
 
 
 def _pack_bits_np(q: np.ndarray, bits: int) -> np.ndarray:
@@ -164,18 +198,43 @@ def pack_ggml(
     fmt = FORMATS[t]
     g = fmt.gsize
 
-    # scale storage: f32. (f16 would be lossless vs the on-disk scales and
-    # halve scale-plane traffic, but Mosaic rejects f16 operands — "Unsupported
-    # type in mosaic dialect: 'f16'". A future win is packing two f16 scales
-    # per uint32 lane and expanding with integer ops in the kernel.)
+    # scale storage: the 32-block formats carry f16 scales/mins on disk, so
+    # two-f16-per-uint32 packing is LOSSLESS and halves scale-plane traffic;
+    # the kernel expands the bits with integer ops (Mosaic has no f16 type).
+    # K-quants keep f32 (their flattened d*int6 products need the range).
+    pack_f16 = (
+        scale_dtype is None
+        and not fmt.name.endswith("_k")
+        and os.environ.get("LLM_TPU_SCALE_PACK", "1") != "0"
+    )
     if scale_dtype is None:
         scale_dtype = jnp.float32
 
+    def _finish_scales(scale_np, bias_np):
+        if not pack_f16:
+            s = jnp.asarray(np.asarray(scale_np, np.float32), dtype=scale_dtype)
+            b = (
+                jnp.asarray(np.asarray(bias_np, np.float32), dtype=scale_dtype)
+                if bias_np is not None
+                else None
+            )
+            return s, b
+        s = jnp.asarray(_pack_f16x2_np(np.asarray(scale_np, np.float32)))
+        b = (
+            jnp.asarray(_pack_f16x2_np(np.asarray(bias_np, np.float32)))
+            if bias_np is not None
+            else None
+        )
+        return s, b
+
     # fast path: single-pass native transcode (llm_tpu/native/codecs.cpp)
+    k_granule = max(g, 32 // fmt.lo_bits if fmt.lo_bits < 8 else 1)
+    if pack_f16:
+        k_granule = max(k_granule, 2 * g)  # scale rows must pair up
     n_out = len(rows) if rows is not None else R
     Rp_n = _round_up(n_out, r_multiple) if r_multiple else n_out
     Kp_n = _round_up(K, k_multiple) if k_multiple else K
-    Kp_n = _round_up(Kp_n, max(g, 32 // fmt.lo_bits if fmt.lo_bits < 8 else 1))
+    Kp_n = _round_up(Kp_n, k_granule)
     from llm_tpu import native
 
     res = native.transcode(
@@ -193,16 +252,15 @@ def pack_ggml(
     )
     if res is not None:
         lo_np, hi_np, scale_np, bias_np = res
+        s, b = _finish_scales(scale_np, bias_np)
         return QuantTensor(
             fmt_name=fmt.name,
             k=K,
             r=n_out,
             lo=jnp.asarray(lo_np),
             hi=jnp.asarray(hi_np) if hi_np is not None else None,
-            scale=jnp.asarray(scale_np, dtype=scale_dtype),
-            bias=jnp.asarray(bias_np, dtype=scale_dtype)
-            if bias_np is not None
-            else None,
+            scale=s,
+            bias=b,
         )
 
     dec = decode_blocks(t, data, K * R)
@@ -224,7 +282,7 @@ def pack_ggml(
     # padded scale stays 0 so padded K contributes nothing to dots)
     Rp = _round_up(R, r_multiple) if r_multiple else R
     Kp = _round_up(K, k_multiple) if k_multiple else K
-    Kp = _round_up(Kp, max(g, 32 // fmt.lo_bits if fmt.lo_bits < 8 else 1))
+    Kp = _round_up(Kp, k_granule)
     if Rp != R or Kp != K:
         q = np.pad(q, ((0, Kp - K), (0, Rp - R)))
         scale = np.pad(scale, ((0, Kp // g - K // g), (0, Rp - R)))
@@ -243,16 +301,15 @@ def pack_ggml(
             else None
         )
 
+    s, b = _finish_scales(scale, bias)
     return QuantTensor(
         fmt_name=fmt.name,
         k=K,
         r=R,
         lo=lo,
         hi=hi,
-        scale=jnp.asarray(scale.astype(np.float32), dtype=scale_dtype),
-        bias=jnp.asarray(bias.astype(np.float32), dtype=scale_dtype)
-        if bias is not None
-        else None,
+        scale=s,
+        bias=b,
     )
 
 
@@ -295,6 +352,13 @@ def _expand_groups(a: jnp.ndarray, g: int) -> jnp.ndarray:
     return jnp.broadcast_to(a[:, None, :], (kg, g, r)).reshape(kg * g, r)
 
 
+def scale_plane_f32(plane: jnp.ndarray) -> jnp.ndarray:
+    """Scale/bias plane -> f32 rows (expanding packed-f16 uint32 planes)."""
+    if plane.dtype == jnp.uint32:
+        return expand_f16x2(plane)
+    return plane.astype(jnp.float32)
+
+
 def dequant_jnp(qt: QuantTensor, dtype=jnp.float32, trim: bool = True) -> jnp.ndarray:
     """Reference dequantization: QuantTensor -> dense [K, R] array.
 
@@ -303,10 +367,10 @@ def dequant_jnp(qt: QuantTensor, dtype=jnp.float32, trim: bool = True) -> jnp.nd
     fmt = qt.fmt
     q = unpack_q(fmt, qt.lo, qt.hi)
     w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
-        qt.scale.astype(jnp.float32), fmt.gsize
+        scale_plane_f32(qt.scale), fmt.gsize
     )
     if qt.bias is not None:
-        w = w + _expand_groups(qt.bias.astype(jnp.float32), fmt.gsize)
+        w = w + _expand_groups(scale_plane_f32(qt.bias), fmt.gsize)
     if trim:
         w = w[: qt.k, : qt.r]
     return w.astype(dtype)

@@ -33,6 +33,7 @@ from llm_tpu.ops.packing import (
     QFormat,
     _BY_NAME,
     dequant_jnp,
+    expand_f16x2,
     unpack_plane,
     _expand_groups,
 )
@@ -80,12 +81,20 @@ def _pick_tile(n: int, pref: int, step: int) -> int:
     return n
 
 
-def _make_kernel(fmt: QFormat, n_k: int, out_dtype, stacked: bool = False):
+def _make_kernel(
+    fmt: QFormat,
+    n_k: int,
+    out_dtype,
+    stacked: bool = False,
+    scale_packed: bool = False,
+):
     """Build the kernel body for a given static format.
 
     `stacked`: weight refs carry a leading layer-block dim of 1 (the layer is
     selected by the scalar-prefetch index map), and the first ref is the
     scalar layer index (unused in the body).
+    `scale_packed`: scale/bias planes hold two f16 values per uint32 lane;
+    expanded in-register with integer ops (Mosaic has no f16).
     """
 
     def kernel(*refs):
@@ -124,11 +133,15 @@ def _make_kernel(fmt: QFormat, n_k: int, out_dtype, stacked: bool = False):
             if hi_ref is not None:
                 q = q | (unpack_plane(W(hi_ref), fmt.hi_bits) << fmt.lo_bits)
 
+        def S(ref):
+            x = W(ref)
+            return expand_f16x2(x) if scale_packed else x.astype(jnp.float32)
+
         w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
-            W(scale_ref).astype(jnp.float32), fmt.gsize
+            S(scale_ref), fmt.gsize
         )
         if bias_ref is not None:
-            w = w + _expand_groups(W(bias_ref).astype(jnp.float32), fmt.gsize)
+            w = w + _expand_groups(S(bias_ref), fmt.gsize)
 
         x = x_ref[:].astype(jnp.bfloat16)
         acc_ref[:] += jnp.dot(
@@ -157,7 +170,8 @@ def _qmatmul_pallas(
     # tiles must divide the padded dims and stay multiples of the packing
     # granularity (K: lcm of plane packing widths and the scale group;
     # R: 128 lanes)
-    k_step = fmt.gsize
+    packed = qt.scale_packed
+    k_step = fmt.gsize * (2 if packed else 1)
     if fmt.lo_bits < 8:
         k_step = max(k_step, 32 // fmt.lo_bits)
     if fmt.hi_bits:
@@ -165,6 +179,7 @@ def _qmatmul_pallas(
     tile_r = _pick_tile(Rp, tile_r, 128)
     tile_k = _pick_tile(Kp, tile_k, k_step)
     assert Rp % tile_r == 0 and Kp % tile_k == 0, (Rp, tile_r, Kp, tile_k)
+    g_rows = tile_k // fmt.gsize // (2 if packed else 1)
 
     M = x.shape[0]
     Mp = _round_up(max(M, 8), 8)
@@ -188,14 +203,14 @@ def _qmatmul_pallas(
         pwh = 32 // fmt.hi_bits
         in_specs.append(pl.BlockSpec((tile_k // pwh, tile_r), lambda r, k: (k, r)))
         operands.append(qt.hi)
-    in_specs.append(pl.BlockSpec((tile_k // g, tile_r), lambda r, k: (k, r)))
+    in_specs.append(pl.BlockSpec((g_rows, tile_r), lambda r, k: (k, r)))
     operands.append(qt.scale)
     if fmt.has_bias:
-        in_specs.append(pl.BlockSpec((tile_k // g, tile_r), lambda r, k: (k, r)))
+        in_specs.append(pl.BlockSpec((g_rows, tile_r), lambda r, k: (k, r)))
         operands.append(qt.bias)
 
     out_dtype = jnp.float32
-    kernel = _make_kernel(fmt, n_k, out_dtype)
+    kernel = _make_kernel(fmt, n_k, out_dtype, scale_packed=packed)
 
     flops = 2 * Mp * Kp * Rp
     bytes_accessed = (
@@ -242,15 +257,17 @@ def _qmatmul_pallas_stacked(
     """
     fmt = qt.fmt
     g = fmt.gsize
-    Kp = qt.scale.shape[-2] * g
+    packed = qt.scale.dtype == jnp.uint32
+    Kp = qt.scale.shape[-2] * g * (2 if packed else 1)
     Rp = qt.scale.shape[-1]
-    k_step = g
+    k_step = g * (2 if packed else 1)
     if fmt.lo_bits < 8:
         k_step = max(k_step, 32 // fmt.lo_bits)
     if fmt.hi_bits:
         k_step = max(k_step, 32 // fmt.hi_bits)
     tile_r = _pick_tile(Rp, tile_r, 128)
     tile_k = _pick_tile(Kp, tile_k, k_step)
+    g_rows = tile_k // g // (2 if packed else 1)
 
     M = x.shape[0]
     Mp = _round_up(max(M, 8), 8)
@@ -281,17 +298,17 @@ def _qmatmul_pallas_stacked(
         )
         operands.append(qt.hi)
     in_specs.append(
-        pl.BlockSpec((1, tile_k // g, tile_r), lambda r, k, l: (l[0], k, r))
+        pl.BlockSpec((1, g_rows, tile_r), lambda r, k, l: (l[0], k, r))
     )
     operands.append(qt.scale)
     if fmt.has_bias:
         in_specs.append(
-            pl.BlockSpec((1, tile_k // g, tile_r), lambda r, k, l: (l[0], k, r))
+            pl.BlockSpec((1, g_rows, tile_r), lambda r, k, l: (l[0], k, r))
         )
         operands.append(qt.bias)
 
     out_dtype = jnp.float32
-    kernel = _make_kernel(fmt, n_k, out_dtype, stacked=True)
+    kernel = _make_kernel(fmt, n_k, out_dtype, stacked=True, scale_packed=packed)
 
     flops = 2 * Mp * Kp * Rp
     bytes_accessed = (

@@ -128,3 +128,43 @@ def test_rows_lookup():
     assert rows.shape == (3, K)
     full = dequantize(GgmlType.Q8_0, raw, K * R).reshape(R, K)
     np.testing.assert_allclose(np.asarray(rows), full[np.asarray(ids)], rtol=1e-6)
+
+
+def test_packed_f16_scales_bit_exact(monkeypatch):
+    """Packed-f16 scale planes must dequantize BIT-identically to f32 planes
+    (the stored scales are f16 in the file, so both round-trips are exact)."""
+    import numpy as np
+    from llm_tpu.ggml.quant import quantize
+    from llm_tpu.ggml.types import GgmlType
+    from llm_tpu.ops import packing
+
+    rng = np.random.default_rng(7)
+    for t in [GgmlType.Q4_0, GgmlType.Q4_1, GgmlType.Q5_1, GgmlType.Q8_0]:
+        x = rng.standard_normal(64 * 9, dtype=np.float32)
+        data = quantize(t, x)
+        qt_packed = packing.pack_ggml(t, data, (64, 9))
+        assert qt_packed.scale_packed
+        monkeypatch.setenv("LLM_TPU_SCALE_PACK", "0")
+        qt_f32 = packing.pack_ggml(t, data, (64, 9))
+        monkeypatch.delenv("LLM_TPU_SCALE_PACK")
+        assert not qt_f32.scale_packed
+        np.testing.assert_array_equal(
+            np.asarray(packing.dequant_jnp(qt_packed)),
+            np.asarray(packing.dequant_jnp(qt_f32)),
+        )
+
+
+def test_expand_f16x2_edge_values():
+    """Integer f16->f32 expansion: zeros, denormals, negatives, max."""
+    import numpy as np
+    from llm_tpu.ops.packing import _pack_f16x2_np, expand_f16x2
+
+    vals = np.array(
+        [[0.0, -0.0], [6e-8, -6e-8], [5.96e-8, 65504.0], [1.0, -2.5],
+         [6.1e-5, -6.1e-5], [3.0517578125e-05, 0.25]],
+        dtype=np.float32,
+    )
+    f16 = vals.astype(np.float16).astype(np.float32)
+    packed = _pack_f16x2_np(f16)
+    out = np.asarray(expand_f16x2(packed))
+    np.testing.assert_array_equal(out, f16)
