@@ -72,14 +72,17 @@ def probe_hbm_bw() -> float:
     return reps * (n * n * 2.0) / min(times)
 
 
-def rand_q4(key, k, r, scale_dtype=jnp.bfloat16) -> QuantTensor:
-    """Synthesize a packed Q4_0 tensor directly on device."""
+def rand_q4(key, k, r) -> QuantTensor:
+    """Synthesize a packed Q4_0 tensor directly on device, with the packed
+    two-f16-per-uint32 scale plane the loader produces."""
     k1, k2 = jax.random.split(key)
     lo = jax.random.bits(k1, (k // 8, r), jnp.uint32)
-    scale = (jax.random.uniform(k2, (k // 32, r), jnp.float32) * 0.02 + 0.001).astype(
-        scale_dtype
-    )
-    return QuantTensor("q4_0", k, r, lo, None, scale, None)
+    s = jax.random.uniform(k2, (k // 32, r), jnp.float32) * 0.02 + 0.001
+    # f32 -> f16 bit patterns (values are normal-range positives) -> pairs
+    sbits = (jax.lax.bitcast_convert_type(s, jnp.int32) >> 13) - (112 << 10)
+    sbits = jnp.clip(sbits, 1, 0x7BFF).astype(jnp.uint32)
+    packed = sbits[0::2] | (sbits[1::2] << 16)
+    return QuantTensor("q4_0", k, r, lo, None, packed, None)
 
 
 def build_params(key) -> ModelParams:
@@ -105,7 +108,8 @@ def build_params(key) -> ModelParams:
         wo=stack_q4(keys[3], E, E), bo=None,
         w_gate=stack_q4(keys[4], E, F),
         w_up=stack_q4(keys[5], E, F), b_up=None,
-        w_down=stack_q4(keys[6], F, E), b_down=None,
+        # K padded to the packed-scale tile granule (512); qmatmul zero-pads x
+        w_down=stack_q4(keys[6], ((F + 511) // 512) * 512, E), b_down=None,
     )
     return ModelParams(
         wte=rand_q4(keys[7], E, V),

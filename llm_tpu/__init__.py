@@ -43,6 +43,10 @@ def __getattr__(name):
         import llm_tpu.loader as m
 
         return getattr(m, name)
+    if name == "load_dynamic":  # reference llm::load_dynamic alias
+        import llm_tpu.loader as m
+
+        return m.load
     if name in (
         "InferenceSession",
         "InferenceSessionConfig",

@@ -231,6 +231,12 @@ def pack_ggml(
     k_granule = max(g, 32 // fmt.lo_bits if fmt.lo_bits < 8 else 1)
     if pack_f16:
         k_granule = max(k_granule, 2 * g)  # scale rows must pair up
+        if K > 8 * 2 * g:
+            # Mosaic block constraint: the packed-scale sublane block must
+            # be a multiple of 8 (or the full dim), so K must be divisible
+            # by a 16g tile (tile_k = 16*g -> 8 packed scale rows).
+            # Padding cost <= 0.25% extra lo bytes on real shapes.
+            k_granule = max(k_granule, 16 * g)
     n_out = len(rows) if rows is not None else R
     Rp_n = _round_up(n_out, r_multiple) if r_multiple else n_out
     Kp_n = _round_up(K, k_multiple) if k_multiple else K

@@ -172,6 +172,9 @@ def _qmatmul_pallas(
     # R: 128 lanes)
     packed = qt.scale_packed
     k_step = fmt.gsize * (2 if packed else 1)
+    if packed and Kp > 16 * fmt.gsize:
+        # Mosaic: packed-scale sublane block must be a multiple of 8
+        k_step = max(k_step, 16 * fmt.gsize)
     if fmt.lo_bits < 8:
         k_step = max(k_step, 32 // fmt.lo_bits)
     if fmt.hi_bits:
@@ -261,6 +264,8 @@ def _qmatmul_pallas_stacked(
     Kp = qt.scale.shape[-2] * g * (2 if packed else 1)
     Rp = qt.scale.shape[-1]
     k_step = g * (2 if packed else 1)
+    if packed and Kp > 16 * g:
+        k_step = max(k_step, 16 * g)
     if fmt.lo_bits < 8:
         k_step = max(k_step, 32 // fmt.lo_bits)
     if fmt.hi_bits:
