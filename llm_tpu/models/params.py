@@ -33,7 +33,6 @@ import numpy as np
 
 from llm_tpu.ggml.quant import dequantize
 from llm_tpu.ggml.reader import GgmlReader, TensorInfo
-from llm_tpu.ggml.types import GgmlType
 from llm_tpu.models.spec import ModelSpec
 from llm_tpu.ops.packing import QuantTensor, pack_ggml
 

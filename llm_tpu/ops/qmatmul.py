@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 from llm_tpu.ops.packing import (
     QuantTensor,
     QFormat,
-    _BY_NAME,
     dequant_jnp,
     expand_f16x2,
     unpack_plane,

@@ -35,7 +35,6 @@ from jax import lax
 from llm_tpu.models.params import _register
 from llm_tpu.models.forward import (
     _LayerView,
-    _attention_batched,
     _layer_batched,
     _norm,
     layer_norm,

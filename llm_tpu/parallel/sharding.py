@@ -26,16 +26,15 @@ axis maps onto every plane.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional
 
 import jax
-import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from llm_tpu.models.forward import KVCache, forward, forward_batched
+from llm_tpu.models.forward import KVCache, forward_batched
 from llm_tpu.models.params import LayerParams, ModelParams
 from llm_tpu.ops.packing import QuantTensor
 

@@ -20,7 +20,7 @@ topk/topp/topa/minp/locallytypical/tailfree.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Optional, Sequence
 
 import numpy as np

@@ -9,7 +9,6 @@ read_or_create_session keeps the reference precedence: persist > load > new.
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib
