@@ -141,10 +141,19 @@ def paged_forward_batched(
     h, (k_news, v_news) = lax.scan(
         body, h, (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v)
     )
-    # k_news [L, B, T, H, D]: scatter each token into its physical slot
+    # k_news [L, B, T, H, D]: scatter each token into its physical slot.
+    # Positions whose logical page is beyond the table (dummy writes of
+    # inactive/boundary streams) are redirected to the TRASH page — without
+    # this, take_along_axis would clamp to the stream's LAST allocated page
+    # and corrupt live entries.
     logical = positions  # [B, T]
-    phys_pages = jnp.take_along_axis(
-        tables, (logical // page).astype(jnp.int32), axis=1
+    page_idx = (logical // page).astype(jnp.int32)
+    P = tables.shape[1]
+    in_range = page_idx < P
+    phys_pages = jnp.where(
+        in_range,
+        jnp.take_along_axis(tables, jnp.minimum(page_idx, P - 1), axis=1),
+        PageAllocator.TRASH,
     )  # [B, T]
     offsets = logical % page  # [B, T]
 
@@ -186,13 +195,16 @@ def paged_step(spec, params, ids, n_past, tables, cache, window_pages):
 # paged continuous-batching engine
 
 
-class PagedEngine:
+from llm_tpu.serve import Engine  # noqa: E402  (host-side plumbing shared)
+
+
+class PagedEngine(Engine):
     """Continuous batching over a shared page pool.
 
-    Same host-side contract as serve.Engine (submit/step/generate_all with
-    per-stream sampler chains), but KV memory is pooled: total pages bound
-    the TOKENS in flight rather than max_streams x n_ctx, which is what
-    makes long-context (e.g. 8K) multi-stream serving fit in HBM.
+    Same host contract as serve.Engine (submit/step/generate_all, sampler
+    chains, retirement events), but KV memory is pooled: total pages bound
+    the TOKENS in flight rather than max_streams x n_ctx — what makes
+    long-context (e.g. 8K) multi-stream serving fit in HBM.
     """
 
     def __init__(
@@ -204,39 +216,30 @@ class PagedEngine:
         kv_dtype=jnp.bfloat16,
         n_batch: int = 64,
     ):
-        from llm_tpu.serve import Engine  # host-side plumbing is shared
-
-        self.model = model
-        self.spec = model.spec
-        self.max_streams = max_streams
         self.page_size = page_size
-        self.n_batch = n_batch
-        self.pages_per_stream = -(-self.spec.n_ctx // page_size)
+        self._n_pages_requested = n_pages
+        super().__init__(model, max_streams, kv_dtype, n_batch, mesh=None)
+
+    def _init_device_state(self, kv_dtype, mesh) -> None:
+        assert mesh is None, "PagedEngine does not support meshes yet"
+        assert kv_dtype not in (jnp.int8, "int8"), (
+            "paged int8 KV is not implemented yet"
+        )
+        self.pages_per_stream = -(-self.spec.n_ctx // self.page_size)
+        n_pages = self._n_pages_requested
         if n_pages is None:
-            # default: every stream can reach full context (1 trash page)
-            n_pages = 1 + max_streams * self.pages_per_stream
-        self.pool = init_paged_cache(self.spec, n_pages, page_size, kv_dtype)
+            # default: every stream can reach full context (+1 trash page)
+            n_pages = 1 + self.max_streams * self.pages_per_stream
+        self.pool = init_paged_cache(self.spec, n_pages, self.page_size, kv_dtype)
         self.allocator = PageAllocator(n_pages)
         self.tables = np.full(
-            (max_streams, self.pages_per_stream), PageAllocator.TRASH, np.int32
+            (self.max_streams, self.pages_per_stream),
+            PageAllocator.TRASH,
+            np.int32,
         )
-        self.stream_pages: list[list[int]] = [[] for _ in range(max_streams)]
-
-        self.slots = [None] * max_streams
-        self.pending = []
-        self.finished = {}
-        self._next_id = 0
-        self._eot = model.eot_token_id()
-        self.params = model.params
-
-        # borrow the host-side helpers from Engine
-        self._piece = Engine._piece.__get__(self)
-        self.submit = Engine.submit.__get__(self)
-        self.has_work = Engine.has_work.__get__(self)
-
-    @property
-    def active(self) -> int:
-        return sum(s is not None for s in self.slots)
+        self.stream_pages: list[list[int]] = [
+            [] for _ in range(self.max_streams)
+        ]
 
     # -- paging -------------------------------------------------------------
 
@@ -249,10 +252,16 @@ class PagedEngine:
                 self.tables[slot, j] = p
                 self.stream_pages[slot].append(p)
 
-    def _release_slot(self, slot: int) -> None:
+    def _on_slot_released(self, slot: int) -> None:
         self.allocator.release(self.stream_pages[slot])
         self.stream_pages[slot] = []
         self.tables[slot, :] = PageAllocator.TRASH
+
+    def _window_pages(self) -> int:
+        max_past = max(
+            (s.n_past for s in self.slots if s is not None), default=0
+        )
+        return max(1, -(-(max_past + 1) // self.page_size))
 
     def _admit(self) -> None:
         from llm_tpu.serve import ContextFull
@@ -265,21 +274,13 @@ class PagedEngine:
                 self._prefill(stream, slot)
                 self.slots[slot] = stream
             except ContextFull:
-                self._release_slot(slot)
-                stream.done = True
-                stream.finish_reason = "context_full"
-                self.finished[stream.request_id] = stream
+                self._on_slot_released(slot)
+                self._retire(stream, "context_full")
             except MemoryError:
                 # pool exhausted: requeue and wait for pages to free up
-                self._release_slot(slot)
+                self._on_slot_released(slot)
                 self.pending.insert(0, stream)
                 break
-
-    def _window_pages(self) -> int:
-        max_past = max(
-            (s.n_past for s in self.slots if s is not None), default=0
-        )
-        return max(1, -(-(max_past + 1) // self.page_size))
 
     # -- prefill / decode ---------------------------------------------------
 
@@ -294,6 +295,10 @@ class PagedEngine:
         if len(prompt_tokens) >= spec.n_ctx:
             raise ContextFull()
         stream.tokens = list(prompt_tokens)
+        if not self.model.tokenizer.is_embedded:
+            stream.decoded_len = len(
+                self.model.tokenizer.decode(stream.tokens, True)
+            )
         n_past_vec = np.zeros(self.max_streams, np.int32)
         for s2, st in enumerate(self.slots):
             if st is not None:
@@ -324,8 +329,9 @@ class PagedEngine:
         from llm_tpu.samplers import sample_token
 
         self._admit()
+        events = self._drain_retired()
         if self.active == 0:
-            return []
+            return events
         spec = self.spec
         ids = np.zeros((self.max_streams, 1), np.int32)
         n_past = np.zeros(self.max_streams, np.int32)
@@ -336,21 +342,19 @@ class PagedEngine:
             tok = sample_token(
                 stream.sampler, stream.rng, stream.tokens, stream.last_logits
             )
-            sampled[slot] = tok
-            ids[slot, 0] = tok
-            n_past[slot] = stream.n_past
             try:
                 self._ensure_pages(slot, stream.n_past)
             except MemoryError:
                 # no page for the next token: retire the stream
-                stream.done = True
-                stream.finish_reason = "kv_oom"
-                self.finished[stream.request_id] = stream
-                self.slots[slot] = None
-                self._release_slot(slot)
-                del sampled[slot]
-                ids[slot, 0] = 0
+                self._retire(stream, "kv_oom", slot=slot)
+                continue
+            sampled[slot] = tok
+            ids[slot, 0] = tok
+            n_past[slot] = stream.n_past
 
+        events += self._drain_retired()
+        if not sampled:
+            return events
         wp = self._window_pages()
         logits, _, self.pool = paged_step(
             spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
@@ -358,42 +362,13 @@ class PagedEngine:
         )
         logits = np.asarray(logits)[:, 0, :]
 
-        events = []
         for slot, tok in sampled.items():
-            stream = self.slots[slot]
-            stream.tokens.append(tok)
-            stream.n_past += 1
-            stream.generated += 1
-            stream.last_logits = logits[slot]
-            text = ""
-            done = False
-            if tok == self._eot:
-                done = True
-                stream.finish_reason = "eot"
-            else:
-                out = stream.utf8.push(self._piece(stream, tok))
-                if out:
-                    text = out
-                    stream.text.append(out)
-                    if stream.request.on_token:
-                        stream.request.on_token(stream.request_id, out)
-            limit = stream.request.max_tokens
-            if not done and limit is not None and stream.generated >= limit:
-                done = True
-                stream.finish_reason = "max_tokens"
-            if not done and stream.n_past + 1 >= spec.n_ctx:
-                done = True
-                stream.finish_reason = "context_full"
-            if done:
-                stream.done = True
-                self.finished[stream.request_id] = stream
-                self.slots[slot] = None
-                self._release_slot(slot)
-            events.append((stream.request_id, text, done))
+            events.append(
+                self._finish_token(slot, self.slots[slot], tok, logits[slot])
+            )
         return events
 
-    def generate_all(self, requests):
-        ids = [self.submit(r) for r in requests]
-        while self.has_work():
-            self.step()
-        return {rid: "".join(self.finished[rid].text) for rid in ids}
+    def step_multi(self, n_steps: int = 16):
+        """Multi-step on-device decode is not paged yet; fall back to
+        single steps (page allocation must interleave with generation)."""
+        return self.step()

@@ -130,22 +130,25 @@ class Engine:
         self.max_streams = max_streams
         self.n_batch = n_batch
         self.mesh = mesh
-
-        spec = self.spec
-        cache = init_cache_batched(spec, max_streams, kv_dtype)
         self.params = model.params
-        if mesh is not None:
-            from llm_tpu.parallel import shard_cache, shard_params
-
-            self.params = shard_params(model.params, mesh)
-            cache = shard_cache(cache, mesh, batched=True)
-        self.cache = cache
+        self._init_device_state(kv_dtype, mesh)
 
         self.slots: list[Optional[_Stream]] = [None] * max_streams
         self.pending: list[_Stream] = []
         self.finished: dict[int, _Stream] = {}
+        self._retired_events: list = []
         self._next_id = 0
         self._eot = model.eot_token_id()
+
+    def _init_device_state(self, kv_dtype, mesh) -> None:
+        """Allocate the KV store (dense slots here; PagedEngine overrides)."""
+        cache = init_cache_batched(self.spec, self.max_streams, kv_dtype)
+        if mesh is not None:
+            from llm_tpu.parallel import shard_cache, shard_params
+
+            self.params = shard_params(self.model.params, mesh)
+            cache = shard_cache(cache, mesh, batched=True)
+        self.cache = cache
 
     # -- submission ---------------------------------------------------------
 
@@ -182,6 +185,57 @@ class Engine:
     def has_work(self) -> bool:
         return bool(self.pending) or self.active > 0
 
+    def _retire(self, stream: _Stream, reason: str, slot=None) -> None:
+        """Finish a stream and queue its done-event for the next step()."""
+        stream.done = True
+        stream.finish_reason = reason
+        self.finished[stream.request_id] = stream
+        if slot is not None:
+            self.slots[slot] = None
+            self._on_slot_released(slot)
+        self._retired_events.append((stream.request_id, "", True))
+
+    def _on_slot_released(self, slot: int) -> None:
+        pass  # PagedEngine releases the slot's pages here
+
+    def _drain_retired(self) -> list:
+        ev, self._retired_events = self._retired_events, []
+        return ev
+
+    def _finish_token(self, slot: int, stream: _Stream, tok: int, logits_row):
+        """Shared per-token postprocess: bookkeeping, EoT / max_tokens /
+        context-full retirement. Returns the (request_id, text, done) event."""
+        stream.tokens.append(tok)
+        stream.n_past += 1
+        stream.generated += 1
+        stream.last_logits = logits_row
+
+        text = ""
+        done = False
+        if tok == self._eot:
+            done = True
+            stream.finish_reason = "eot"
+        else:
+            out = stream.utf8.push(self._piece(stream, tok))
+            if out:
+                text = out
+                stream.text.append(out)
+                if stream.request.on_token:
+                    stream.request.on_token(stream.request_id, out)
+        limit = stream.request.max_tokens
+        if not done and limit is not None and stream.generated >= limit:
+            done = True
+            stream.finish_reason = "max_tokens"
+        if not done and stream.n_past + 1 >= self.spec.n_ctx:
+            done = True
+            stream.finish_reason = "context_full"
+        if done:
+            stream.done = True
+            self.finished[stream.request_id] = stream
+            self.slots[slot] = None
+            self._on_slot_released(slot)
+        return (stream.request_id, text, done)
+
     # -- scheduling ---------------------------------------------------------
 
     def _admit(self) -> None:
@@ -194,9 +248,7 @@ class Engine:
                 self._prefill(stream, slot)
                 self.slots[slot] = stream
             except ContextFull:
-                stream.done = True
-                stream.finish_reason = "context_full"
-                self.finished[stream.request_id] = stream
+                self._retire(stream, "context_full")
 
     def _prefill(self, stream: _Stream, slot: int) -> None:
         spec = self.spec
@@ -206,6 +258,11 @@ class Engine:
         if len(prompt_tokens) >= spec.n_ctx:
             raise ContextFull()
         stream.tokens = list(prompt_tokens)
+        if not self.model.tokenizer.is_embedded:
+            # baseline for the incremental decode diff: the decoded prompt
+            stream.decoded_len = len(
+                self.model.tokenizer.decode(stream.tokens, True)
+            )
         n_past = 0
         for start in range(0, len(prompt_tokens), self.n_batch):
             chunk = prompt_tokens[start : start + self.n_batch]
@@ -228,8 +285,9 @@ class Engine:
         Returns a list of (request_id, new_text, done).
         """
         self._admit()
+        events = self._drain_retired()
         if self.active == 0:
-            return []
+            return events
 
         spec = self.spec
         ids = np.zeros(self.max_streams, np.int32)
@@ -254,39 +312,10 @@ class Engine:
         )
         logits = np.asarray(logits)
 
-        events = []
         for slot, tok in sampled.items():
-            stream = self.slots[slot]
-            stream.tokens.append(tok)
-            stream.n_past += 1
-            stream.generated += 1
-            stream.last_logits = logits[slot]
-
-            text = ""
-            done = False
-            if tok == self._eot:
-                done = True
-                stream.finish_reason = "eot"
-            else:
-                out = stream.utf8.push(self._piece(stream, tok))
-                if out:
-                    text = out
-                    stream.text.append(out)
-                    if stream.request.on_token:
-                        stream.request.on_token(stream.request_id, out)
-            limit = stream.request.max_tokens
-            if not done and limit is not None and stream.generated >= limit:
-                done = True
-                stream.finish_reason = "max_tokens"
-            if not done and stream.n_past + 1 >= spec.n_ctx:
-                done = True
-                stream.finish_reason = "context_full"
-
-            if done:
-                stream.done = True
-                self.finished[stream.request_id] = stream
-                self.slots[slot] = None
-            events.append((stream.request_id, text, done))
+            events.append(
+                self._finish_token(slot, self.slots[slot], tok, logits[slot])
+            )
         return events
 
     def step_multi(self, n_steps: int = 16) -> list[tuple[int, str, bool]]:
@@ -302,8 +331,9 @@ class Engine:
         from llm_tpu.models.forward import decode_loop_batched
 
         self._admit()
+        retired = self._drain_retired()
         if self.active == 0:
-            return []
+            return retired
         spec = self.spec
         active = [
             (slot, s) for slot, s in enumerate(self.slots) if s is not None
@@ -344,7 +374,7 @@ class Engine:
         toks = np.asarray(toks)  # [n_steps, B]
         last_logits = np.asarray(last_logits)
 
-        events = []
+        events = retired
         for slot, stream in active:
             col = toks[:, slot]
             hit = np.nonzero(col == self._eot)[0]
@@ -383,6 +413,7 @@ class Engine:
                 stream.done = True
                 self.finished[stream.request_id] = stream
                 self.slots[slot] = None
+                self._on_slot_released(slot)
             events.append((stream.request_id, "".join(text_parts), done))
         return events
 
@@ -404,10 +435,14 @@ class Engine:
         return {rid: "".join(self.finished[rid].text) for rid in ids}
 
 
-def throughput_stats(engine: Engine, requests, *, warmup: int = 0):
-    """Run requests to completion, returning (texts, tokens/s aggregate)."""
+def throughput_stats(engine: Engine, requests):
+    """Run `requests` to completion, returning (texts, tokens/s aggregate over
+    exactly these requests)."""
     t0 = time.monotonic()
+    before = set(engine.finished)
     texts = engine.generate_all(requests)
     dt = time.monotonic() - t0
-    total = sum(s.generated for s in engine.finished.values())
+    total = sum(
+        s.generated for rid, s in engine.finished.items() if rid not in before
+    )
     return texts, total / dt if dt > 0 else 0.0

@@ -512,7 +512,8 @@ class InferenceSession:
                 batch_size = min(end - batch_start, n_batch)
                 token_org = tokens[batch_start]
                 if j == 0:
-                    tokens[batch_start] = model.bot_token_id() or 1
+                    bot = model.bot_token_id()
+                    tokens[batch_start] = bot if bot is not None else 1
                 req = OutputRequest(all_logits=[])
                 self._evaluate(
                     tokens[batch_start : batch_start + batch_size], req

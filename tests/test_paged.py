@@ -104,3 +104,41 @@ def test_paged_mpt_alibi(tmp_path):
                            sampler=DeterministicSampler())]
     )
     assert texts[0] == ref
+
+
+def test_paged_prefill_near_context_boundary(model):
+    """Regression: while stream A sits near full context, admitting stream B
+    must not corrupt A's live pages (dummy writes past A's page table used
+    to clamp onto its last allocated page)."""
+    engine = PagedEngine(model, max_streams=2, page_size=16,
+                         kv_dtype=jnp.float32, n_batch=8)
+    # A: long prompt, then step until close to the 64-token context
+    a = engine.submit(GenerationRequest(prompt=["<t2>"] * 0 or [2] * 40,
+                                        max_tokens=18,
+                                        sampler=DeterministicSampler()))
+    for _ in range(14):
+        engine.step()
+    sa = engine.slots[0]
+    assert sa is not None and sa.n_past >= 50
+    before = sa.last_logits.copy()
+
+    # B admitted now: its prefill runs dummy chunks for A at A's n_past
+    b = engine.submit(GenerationRequest(prompt=[5, 6, 7], max_tokens=4,
+                                        sampler=DeterministicSampler()))
+    engine.step()
+    # A's continuation must match an uninterrupted dense reference
+    ref = _dense_reference(model, [[2] * 40], 18)[0]
+    while engine.has_work():
+        engine.step()
+    assert "".join(engine.finished[a].text) == ref
+
+
+def test_paged_retired_events_emitted(model):
+    """Streams retired at admission (context_full) must still produce a
+    done event from step()."""
+    engine = PagedEngine(model, max_streams=1, page_size=16,
+                         kv_dtype=jnp.float32)
+    rid = engine.submit(GenerationRequest(prompt=[2] * 70, max_tokens=4))
+    events = engine.step()
+    assert (rid, "", True) in events
+    assert engine.finished[rid].finish_reason == "context_full"

@@ -102,3 +102,13 @@ def test_engine_on_token_callback(model):
         ]
     )
     assert seen and all(rid == 0 for rid, _ in seen)
+
+
+def test_engine_retired_event_for_overlong_prompt(model):
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    rid = engine.submit(
+        GenerationRequest(prompt=[2] * 70, max_tokens=4)
+    )
+    events = engine.step()
+    assert (rid, "", True) in events
+    assert engine.finished[rid].finish_reason == "context_full"
