@@ -249,8 +249,23 @@ def main() -> None:
     )
 
 
+def _run_with_retry(fn, attempts: int = 3) -> None:
+    """The axon remote-compile service fails transiently (HTTP 500
+    tpu_compile_helper); retry before giving up."""
+    for i in range(attempts):
+        try:
+            fn()
+            return
+        except Exception as e:  # noqa: BLE001
+            if i == attempts - 1:
+                raise
+            print(f"# bench attempt {i + 1} failed ({e}); retrying",
+                  file=sys.stderr)
+            time.sleep(20)
+
+
 if __name__ == "__main__":
     if "--serve" in sys.argv:
-        serve_bench()
+        _run_with_retry(serve_bench)
     else:
-        main()
+        _run_with_retry(main)
