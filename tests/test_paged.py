@@ -142,3 +142,23 @@ def test_paged_retired_events_emitted(model):
     events = engine.step()
     assert (rid, "", True) in events
     assert engine.finished[rid].finish_reason == "context_full"
+
+
+def test_paged_mpt_q4k_alibi_baseline_config(tmp_path):
+    """BASELINE.md staged config: MPT + Q4_K + ALiBi + paged KV, all in one
+    path (QK_K=256 geometry)."""
+    from llm_tpu.ggml.types import GgmlType
+
+    path = tmp_path / "mpt_q4k.bin"
+    make_tiny_file("mpt", path, element_type=GgmlType.Q4_K, n_embd=256)
+    model = load(path, "mpt", params=ModelParameters(context_size=64))
+    assert model.spec.alibi_bias_max > 0
+
+    ref = _dense_reference(model, ["<t2><t3>"], 10)[0]
+    engine = PagedEngine(model, max_streams=2, page_size=16,
+                         kv_dtype=jnp.float32)
+    texts = engine.generate_all(
+        [GenerationRequest(prompt="<t2><t3>", max_tokens=10,
+                           sampler=DeterministicSampler())]
+    )
+    assert texts[0] == ref
