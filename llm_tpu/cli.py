@@ -234,6 +234,7 @@ def cmd_infer(args) -> None:
 
     if args.device_sampling:
         from llm_tpu.ops.sampling import DeviceSampler
+        from llm_tpu.tokenizer import TokenBias
 
         # map basic sampler DSL options onto the device sampler
         temp, topk = None, 0
@@ -244,11 +245,24 @@ def cmd_infer(args) -> None:
                 temp = float(rest.split("=")[-1] or rest)
             elif key == "topk":
                 topk = int(rest.split("=")[-1] or rest)
+        # --token-bias / --ignore-eos ride the DeviceSampler's flat bias,
+        # same precedence as the host chain (inference_parameters above)
+        if args.token_bias:
+            dev_bias = tuple(TokenBias.from_str(args.token_bias))
+        elif args.ignore_eos:
+            dev_bias = ((model.eot_token_id(), float("-inf")),)
+        else:
+            dev_bias = ()
+        eot = model.eot_token_id()
+        halt_on_eot = not any(
+            t == eot and b == float("-inf") for t, b in dev_bias
+        )
         if temp is None and topk == 0:
-            sampler = DeviceSampler.greedy()
+            sampler = DeviceSampler(kind="greedy", bias=dev_bias)
         else:
             sampler = DeviceSampler(
-                kind="sample", temperature=temp or 0.8, top_k=topk
+                kind="sample", temperature=temp or 0.8, top_k=topk,
+                bias=dev_bias,
             )
         try:
             stats = sess.infer_device(
@@ -258,6 +272,7 @@ def cmd_infer(args) -> None:
                 n_steps=args.decode_steps,
                 seed=args.seed or 0,
                 callback=_print_token,
+                halt_on_eot=halt_on_eot,
             )
             print()
             if args.stats:

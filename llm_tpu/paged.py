@@ -277,8 +277,22 @@ class PagedEngine(Engine):
                 self._on_slot_released(slot)
                 self._retire(stream, "context_full")
             except MemoryError:
-                # pool exhausted: requeue and wait for pages to free up
                 self._on_slot_released(slot)
+                # If the stream could NEVER fit (its prompt needs more pages
+                # than the whole pool) or nothing else holds pages that could
+                # free up, requeuing would busy-loop generate_all() forever:
+                # retire with kv_oom instead.
+                need = -(-len(stream.tokens or [1]) // self.page_size)
+                pool_capacity = self.pool.n_pages - 1  # minus trash page
+                others_hold_pages = any(
+                    self.stream_pages[s2]
+                    for s2 in range(self.max_streams)
+                    if s2 != slot
+                )
+                if need > pool_capacity or not others_hold_pages:
+                    self._retire(stream, "kv_oom")
+                    continue
+                # pool exhausted transiently: requeue and wait for pages
                 self.pending.insert(0, stream)
                 break
 

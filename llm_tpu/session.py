@@ -418,6 +418,7 @@ class InferenceSession:
         n_steps: int = 32,
         seed: int = 0,
         callback: Optional[Callable[[str], None]] = None,
+        halt_on_eot: bool = True,
     ) -> InferenceStats:
         """Generate with ON-DEVICE sampling: n_steps tokens per dispatch.
 
@@ -425,6 +426,10 @@ class InferenceSession:
         per n_steps tokens instead of per token). Covers greedy /
         temperature / top-k / flat-bias sampling; use `infer` for the full
         host sampler chain (mirostat, repetition penalties, DSL).
+
+        `halt_on_eot=False` keeps generating through EoT tokens — the CLI
+        sets it when --ignore-eos (or a -inf EoT bias) is in effect, matching
+        the host path where the bias makes EoT unsampleable.
         """
         import jax
 
@@ -463,12 +468,14 @@ class InferenceSession:
                 sub,
             )
             toks = np.asarray(toks)
-            hit = np.nonzero(toks == eot)[0]
+            hit = np.nonzero(toks == eot)[0] if halt_on_eot else np.array([])
             n_keep = int(hit[0]) + 1 if hit.size else steps
             for t in toks[:n_keep]:
                 t = int(t)
                 self.tokens.append(t)
-                piece = model.tokenizer.token(t)
+                # same incremental rule as infer(): HF tokenizers re-decode
+                # the whole sequence and diff (inference_session.rs:667-681)
+                piece = self._decode_token_bytes(t)
                 self.decoded_tokens.extend(piece)
                 if t != eot:
                     text = buf.push(piece)
@@ -476,9 +483,17 @@ class InferenceSession:
                         callback(text)
             self.n_past += n_keep
             remaining -= n_keep
-            if hit.size:
+            if hit.size and n_keep < steps:
+                # EoT mid-block: decode_loop's final logits are for the end
+                # of the block, not the truncation point — recompute them by
+                # re-evaluating the last kept token (cache rewrite of the
+                # same values; entries beyond n_past stay masked).
+                self.n_past -= 1
+                self._evaluate([int(toks[n_keep - 1])], None)
                 break
             self.last_logits = np.asarray(logits)
+            if hit.size:
+                break
 
         stats.predict_duration = time.monotonic() - start_at
         stats.predict_tokens = self.n_past

@@ -162,3 +162,35 @@ def test_paged_mpt_q4k_alibi_baseline_config(tmp_path):
                            sampler=DeterministicSampler())]
     )
     assert texts[0] == ref
+
+
+def test_paged_oversize_prompt_retires_not_loops(model):
+    """A prompt needing more pages than the whole pool must retire with
+    kv_oom instead of busy-looping generate_all() forever (the pool can
+    never free enough pages for it)."""
+    # pool: 3 pages total -> 2 usable; page_size 16 -> max 32 prompt tokens
+    engine = PagedEngine(model, max_streams=2, page_size=16, n_pages=3,
+                         kv_dtype=jnp.float32)
+    rid = engine.submit(GenerationRequest(prompt=[2] * 50, max_tokens=4))
+    steps = 0
+    while engine.has_work():
+        engine.step()
+        steps += 1
+        assert steps < 50, "engine busy-looped on an unsatisfiable prompt"
+    assert engine.finished[rid].finish_reason == "kv_oom"
+
+
+def test_paged_oom_with_no_other_pages_retires(model):
+    """If allocation fails while no other stream holds pages, nothing can
+    ever free up: the stream must retire rather than requeue."""
+    engine = PagedEngine(model, max_streams=1, page_size=4, n_pages=3,
+                         kv_dtype=jnp.float32)
+    # prompt fits (8 tokens = 2 pages = whole pool), but there is no
+    # headroom for generated tokens -> kv_oom at decode, engine drains
+    rid = engine.submit(GenerationRequest(prompt=[2] * 8, max_tokens=16))
+    steps = 0
+    while engine.has_work():
+        engine.step()
+        steps += 1
+        assert steps < 60
+    assert engine.finished[rid].finish_reason == "kv_oom"
