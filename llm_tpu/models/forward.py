@@ -342,17 +342,43 @@ def forward(
     return logits.astype(jnp.float32), h.astype(jnp.float32), new_cache
 
 
+def _check_window(window, n_past, extra: int = 0) -> None:
+    """Host-side guard: a read window that does not cover n_past (+extra
+    in-flight tokens) would silently DROP cached context from attention
+    (the mask treats every slot < n_past as valid but only [0, window) is
+    scored). Callers bucket via `window_bucket`; misuse is a hard error,
+    not a wrong answer. Skipped when n_past is a tracer (nested jit)."""
+    if window is None:
+        return
+    import numpy as np
+
+    if isinstance(n_past, jax.core.Tracer):
+        return
+    past = int(np.max(np.asarray(n_past)))
+    if window < past + extra:
+        raise ValueError(
+            f"attention window {window} does not cover n_past={past}"
+            + (f" + {extra} in-flight tokens" if extra else "")
+            + "; pick a bucket with window_bucket()"
+        )
+
+
 @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
+def _forward_step_jit(spec, params, ids, n_past, cache, window=None):
+    return forward(spec, params, ids, n_past, cache, window)
+
+
 def forward_step(spec, params, ids, n_past, cache, window=None):
     """Jitted entry point; one compilation per (spec, len(ids), window).
 
     The cache argument is donated so XLA updates it in place.
     """
-    return forward(spec, params, ids, n_past, cache, window)
+    _check_window(window, n_past)
+    return _forward_step_jit(spec, params, ids, n_past, cache, window)
 
 
 @partial(jax.jit, static_argnums=(0, 5, 6, 7), donate_argnums=(4,))
-def decode_loop(
+def _decode_loop_jit(
     spec,
     params,
     last_logits,  # [V] f32: logits to sample the first token from
@@ -397,8 +423,15 @@ def decode_loop(
     return toks, logits, npast, cache
 
 
+def decode_loop(spec, params, last_logits, n_past, cache, n_steps,
+                window=None, sampler=None, key=None):
+    _check_window(window, n_past, extra=n_steps)
+    return _decode_loop_jit(spec, params, last_logits, n_past, cache,
+                            n_steps, window, sampler, key)
+
+
 @partial(jax.jit, static_argnums=(0, 5, 6, 7), donate_argnums=(4,))
-def decode_loop_batched(
+def _decode_loop_batched_jit(
     spec,
     params,
     last_logits,  # [B, V] f32
@@ -434,6 +467,13 @@ def decode_loop_batched(
         length=n_steps,
     )
     return all_toks, logits, npast, cache
+
+
+def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
+                        window=None, sampler=None, key=None):
+    _check_window(window, n_past, extra=n_steps)
+    return _decode_loop_batched_jit(spec, params, last_logits, n_past, cache,
+                                    n_steps, window, sampler, key)
 
 
 def window_bucket(n_past: int, n_ctx: int, granule: int = 512) -> int:
@@ -682,5 +722,10 @@ def forward_batched(
 
 
 @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
-def forward_batched_step(spec, params, ids, n_past, cache, window=None):
+def _forward_batched_step_jit(spec, params, ids, n_past, cache, window=None):
     return forward_batched(spec, params, ids, n_past, cache, window)
+
+
+def forward_batched_step(spec, params, ids, n_past, cache, window=None):
+    _check_window(window, n_past)
+    return _forward_batched_step_jit(spec, params, ids, n_past, cache, window)

@@ -76,3 +76,41 @@ def test_dp_tp_batched_decode(qmodel):
     np.testing.assert_allclose(
         np.asarray(logits[2]), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_params_actually_sharded_not_replicated(qmodel):
+    """Regression guard for the divisibility fallback in sharding._put: at
+    dims the mesh divides, the packed planes must land DISTRIBUTED — a
+    silent fall back to full replication would still pass every equality
+    test and the dryrun."""
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    params = shard_params(qmodel.params, mesh)
+    wq = params.layers.wq  # stacked QuantTensor, planes [L, K/pw, R]
+    for plane in (wq.lo, wq.scale):
+        assert not plane.sharding.is_fully_replicated, plane.shape
+        # R (lanes, last axis) split 8 ways
+        assert plane.sharding.shard_shape(plane.shape)[-1] == plane.shape[-1] // 8
+    # wo shards K (sublanes): second-to-last axis for lo, scale
+    wo = params.layers.wo
+    assert not wo.lo.sharding.is_fully_replicated
+    assert wo.lo.sharding.shard_shape(wo.lo.shape)[1] == wo.lo.shape[1] // 8
+
+
+def test_real_dim_planes_shard_fully():
+    """7B-geometry plane (4096x4096 Q4_0) distributes over all 8 devices on
+    both the R-split and K-split rules."""
+    from llm_tpu.ggml.quant import quantize
+    from llm_tpu.ops.packing import pack_ggml
+    from llm_tpu.parallel.sharding import _put_weight
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4096, 4096)).astype(np.float32)
+    qt = pack_ggml(GgmlType.Q4_0, quantize(GgmlType.Q4_0, w), (4096, 4096))
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+
+    r_split = _put_weight(qt, mesh, "model", True, False)
+    k_split = _put_weight(qt, mesh, "model", False, False)
+    for plane in (r_split.lo, r_split.scale):
+        assert plane.sharding.shard_shape(plane.shape)[-1] == plane.shape[-1] // 8
+    for plane in (k_split.lo, k_split.scale):
+        assert plane.sharding.shard_shape(plane.shape)[0] == plane.shape[0] // 8
