@@ -442,12 +442,330 @@ def _qz_q8_0(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     return out.tobytes(), _hist((q.astype(np.int64) + 128) >> 4)
 
 
+# ---------------------------------------------------------------------------
+# K-quant encoders (reference surface: ggml_quantize_q2_K..q6_K,
+# /root/reference/crates/ggml/sys/src/lib.rs:3472-3516). Vectorized numpy
+# ports of the k_quants.c two-level scheme: per-sub-block float scales fit
+# by iterative weighted least squares, then snapped to the super-block's
+# 4/6/8-bit scale grid, then codes re-derived from the SNAPPED scales so
+# encode->decode is self-consistent. The per-coordinate greedy RMSE search
+# of make_q3_quants is replaced by the same candidate-scale sweep
+# make_qx_quants uses (vectorizable; equal structure, near-equal quality) —
+# bit-exactness with the C encoder is not a format requirement (any valid
+# block stream decodes identically everywhere).
+
+
+def _nearest_int(x: np.ndarray) -> np.ndarray:
+    """ggml nearest_int(): round half to even (the +12582912f trick)."""
+    return np.rint(x).astype(np.int32)
+
+
+def _make_qkx1(x: np.ndarray, nmax: int, ntry: int = 5):
+    """Vectorized make_qkx1_quants over rows: fit value = scale*q + min with
+    q in [0, nmax], min <= 0. Returns (scale [N], the_min [N] = -min, L [N,n]).
+    """
+    n = x.shape[1]
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    flat = mx == mn
+    mn = np.minimum(mn, 0.0)
+    rng = np.where(flat, 1.0, mx - mn)
+    iscale = np.where(flat, 0.0, nmax / rng)
+    scale = np.where(iscale != 0, 1.0 / np.where(iscale == 0, 1, iscale), 0.0)
+    L = np.zeros(x.shape, np.int32)
+    # flat block with positive DC: representable exactly as scale*nmax
+    # (min is clamped to <= 0, so the min path can't carry it; the C code's
+    # max==min early-exit silently zeroes such blocks — a quality bug we
+    # do not reproduce)
+    flat_pos = flat & (mx > 0)
+    scale = np.where(flat_pos, mx / nmax, scale)
+    L = np.where(flat_pos[:, None], nmax, L)
+    active = ~flat
+    for _ in range(ntry):
+        if not active.any():
+            break
+        l = np.clip(_nearest_int(iscale[:, None] * (x - mn[:, None])), 0, nmax)
+        changed = (l != L).any(axis=1) & active
+        L = np.where(active[:, None], l, L)
+        sumlx = ((x - mn[:, None]) * L).sum(axis=1)
+        suml2 = (L * L).sum(axis=1)
+        new_scale = np.where(suml2 > 0, sumlx / np.where(suml2 == 0, 1, suml2), 0.0)
+        scale = np.where(active, new_scale, scale)
+        resid = (x - scale[:, None] * L).sum(axis=1)
+        mn = np.where(active, np.minimum(resid / n, 0.0), mn)
+        iscale = np.where(scale != 0, 1.0 / np.where(scale == 0, 1, scale), 0.0)
+        active = active & changed
+    return scale, -mn, L
+
+
+def _make_qx(x: np.ndarray, nmax: int, lo: int | None = None):
+    """Vectorized make_qx_quants (rmse_type=1): symmetric fit value=scale*q,
+    q in [lo, nmax-1] (lo defaults to -nmax), weights x^2, candidate sweep
+    over iscale = -(nmax + 0.1*is)/max for is in 0, -4..4. Returns
+    (scale [N], L [N, n] with q + nmax offset NOT applied)."""
+    if lo is None:
+        lo = -nmax
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(x.shape[0]), idx]
+    dead = maxv == 0
+    safe_max = np.where(dead, 1.0, maxv)
+    w = x * x
+    # candidate order matters only for ties; base (is=0) first like the C
+    cands = np.array([0, -4, -3, -2, -1, 1, 2, 3, 4], np.float32)
+    iscales = -(nmax + 0.1 * cands)[None, :] / safe_max[:, None]  # [N, 9]
+    l = np.clip(
+        _nearest_int(iscales[:, :, None] * x[:, None, :]), lo, nmax - 1
+    )  # [N, 9, n]
+    sumlx = (w[:, None, :] * x[:, None, :] * l).sum(axis=2)
+    suml2 = (w[:, None, :] * l * l).sum(axis=2)
+    obj = np.where(suml2 > 0, sumlx * sumlx / np.where(suml2 == 0, 1, suml2), -1.0)
+    best = np.argmax(obj, axis=1)
+    ar = np.arange(x.shape[0])
+    L = l[ar, best]
+    s2 = suml2[ar, best]
+    scale = np.where(s2 > 0, sumlx[ar, best] / np.where(s2 == 0, 1, s2), 0.0)
+    scale = np.where(dead, 0.0, scale)
+    L = np.where(dead[:, None], 0, L)
+    return scale, L
+
+
+def _f16_round(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float16).astype(np.float32)
+
+
+def _pack_2bit(L: np.ndarray) -> np.ndarray:
+    """[nb, 256] 2-bit codes in linear order -> qs [nb, 64] (q2/q3 layout:
+    element e = half*128 + shift*32 + byte)."""
+    nb = L.shape[0]
+    v = L.reshape(nb, 2, 4, 32).astype(np.uint8)
+    shifts = np.array([0, 2, 4, 6], np.uint8).reshape(1, 1, 4, 1)
+    return (v << shifts).sum(axis=2, dtype=np.uint8).reshape(nb, 64)
+
+
+def _qz_q2_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+    nb = xb.shape[0]
+    scale, minv, _ = _make_qkx1(xb.reshape(nb * 16, 16), 3, ntry=5)
+    scales = scale.reshape(nb, 16)
+    mins = minv.reshape(nb, 16)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    q4 = 15.0
+    inv_s = np.where(max_scale > 0, q4 / np.where(max_scale == 0, 1, max_scale), 0.0)
+    inv_m = np.where(max_min > 0, q4 / np.where(max_min == 0, 1, max_min), 0.0)
+    ls = np.clip(_nearest_int(inv_s[:, None] * scales), 0, 15)
+    lm = np.clip(_nearest_int(inv_m[:, None] * mins), 0, 15)
+    d = _f16_round(np.where(max_scale > 0, max_scale / q4, 0.0))
+    dmin = _f16_round(np.where(max_min > 0, max_min / q4, 0.0))
+    # re-derive codes from the snapped scales
+    dl = d[:, None] * ls  # [nb, 16]
+    dm = dmin[:, None] * lm
+    dl_r = np.repeat(dl, 16, axis=1)
+    dm_r = np.repeat(dm, 16, axis=1)
+    L = np.where(
+        dl_r != 0,
+        np.clip(
+            _nearest_int((xb + dm_r) / np.where(dl_r == 0, 1, dl_r)), 0, 3
+        ),
+        0,
+    )
+    out = np.empty((nb, 84), np.uint8)
+    out[:, 0:16] = (ls | (lm << 4)).astype(np.uint8)
+    out[:, 16:80] = _pack_2bit(L)
+    out[:, 80:82] = d.astype("<f2")[:, None].view(np.uint8)
+    out[:, 82:84] = dmin.astype("<f2")[:, None].view(np.uint8)
+    return out.tobytes(), _hist(L)
+
+
+def _pack_q3k_scales(ls: np.ndarray) -> np.ndarray:
+    """[nb, 16] 6-bit values (0..63) -> [nb, 12] packed bytes (inverse of
+    _q3k_scales)."""
+    nb = ls.shape[0]
+    out = np.zeros((nb, 12), np.uint8)
+    lo = (ls & 0xF).astype(np.uint8)
+    hi = (ls >> 4).astype(np.uint8)
+    out[:, 0:4] = lo[:, 0:4] | (lo[:, 8:12] << 4)
+    out[:, 4:8] = lo[:, 4:8] | (lo[:, 12:16] << 4)
+    out[:, 8:12] = (
+        hi[:, 0:4]
+        | (hi[:, 4:8] << 2)
+        | (hi[:, 8:12] << 4)
+        | (hi[:, 12:16] << 6)
+    )
+    return out
+
+
+def _qz_q3_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+    nb = xb.shape[0]
+    scale, _ = _make_qx(xb.reshape(nb * 16, 16), 4)
+    scales = scale.reshape(nb, 16)
+    aidx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), aidx]
+    has = max_scale != 0
+    iscale = np.where(has, -32.0 / np.where(max_scale == 0, 1, max_scale), 0.0)
+    ls6 = np.clip(_nearest_int(iscale[:, None] * scales), -32, 31) + 32
+    ls6 = np.where(has[:, None], ls6, 32)  # encodes sc=0 after bias removal
+    d = _f16_round(np.where(has, 1.0 / np.where(iscale == 0, 1, iscale), 0.0))
+    dl = d[:, None] * (ls6 - 32)  # effective per-group scale
+    dl_r = np.repeat(dl, 16, axis=1)
+    q = np.where(
+        dl_r != 0,
+        np.clip(_nearest_int(xb / np.where(dl_r == 0, 1, dl_r)), -4, 3),
+        0,
+    )
+    L = q + 4  # 3-bit codes 0..7
+    hbit = (L >> 2).astype(np.uint8)  # [nb, 256] in linear order
+    # hmask byte = e % 32, bit = e // 32
+    hmask = (
+        (hbit.reshape(nb, 8, 32) << np.arange(8, dtype=np.uint8).reshape(1, 8, 1))
+        .sum(axis=1, dtype=np.uint8)
+    )
+    out = np.empty((nb, 110), np.uint8)
+    out[:, 0:32] = hmask
+    out[:, 32:96] = _pack_2bit(L & 3)
+    out[:, 96:108] = np.where(has[:, None], _pack_q3k_scales(ls6), 0)
+    out[:, 108:110] = d.astype("<f2")[:, None].view(np.uint8)
+    return out.tobytes(), _hist(L, 0)
+
+
+def _pack_k4_scale_min(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """[nb, 8] 6-bit scales + [nb, 8] 6-bit mins -> [nb, 12] packed bytes
+    (inverse of _k4_scale_min / get_scale_min_k4)."""
+    nb = sc.shape[0]
+    sc = sc.astype(np.uint8)
+    mn = mn.astype(np.uint8)
+    out = np.zeros((nb, 12), np.uint8)
+    out[:, 0:4] = (sc[:, 0:4] & 63) | ((sc[:, 4:8] >> 4) << 6)
+    out[:, 4:8] = (mn[:, 0:4] & 63) | ((mn[:, 4:8] >> 4) << 6)
+    out[:, 8:12] = (sc[:, 4:8] & 0xF) | ((mn[:, 4:8] & 0xF) << 4)
+    return out
+
+
+def _k45_encode_common(xb: np.ndarray, nmax: int):
+    """Shared Q4_K/Q5_K path: fit 8 sub-blocks of 32, snap scales/mins to
+    6 bits, re-derive codes. Returns (d, dmin, packed_scales, L [nb, 256])."""
+    nb = xb.shape[0]
+    scale, minv, _ = _make_qkx1(xb.reshape(nb * 8, 32), nmax, ntry=5)
+    scales = scale.reshape(nb, 8)
+    mins = minv.reshape(nb, 8)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    inv_s = np.where(max_scale > 0, 63.0 / np.where(max_scale == 0, 1, max_scale), 0.0)
+    inv_m = np.where(max_min > 0, 63.0 / np.where(max_min == 0, 1, max_min), 0.0)
+    ls = np.minimum(63, _nearest_int(inv_s[:, None] * scales))
+    lm = np.minimum(63, _nearest_int(inv_m[:, None] * mins))
+    d = _f16_round(max_scale / 63.0)
+    dmin = _f16_round(max_min / 63.0)
+    dl = d[:, None] * ls
+    dm = dmin[:, None] * lm
+    dl_r = np.repeat(dl, 32, axis=1)
+    dm_r = np.repeat(dm, 32, axis=1)
+    L = np.where(
+        dl_r != 0,
+        np.clip(
+            _nearest_int((xb + dm_r) / np.where(dl_r == 0, 1, dl_r)), 0, nmax
+        ),
+        0,
+    )
+    return d, dmin, _pack_k4_scale_min(ls, lm), L
+
+
+def _qz_q4_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+    nb = xb.shape[0]
+    d, dmin, sm, L = _k45_encode_common(xb, 15)
+    v = L.reshape(nb, 4, 2, 32).astype(np.uint8)  # [nb, chunk, sub, byte]
+    qs = (v[:, :, 0] | (v[:, :, 1] << 4)).reshape(nb, 128)
+    out = np.empty((nb, 144), np.uint8)
+    out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype("<f2")[:, None].view(np.uint8)
+    out[:, 4:16] = sm
+    out[:, 16:144] = qs
+    return out.tobytes(), _hist(L)
+
+
+def _qz_q5_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+    nb = xb.shape[0]
+    d, dmin, sm, L = _k45_encode_common(xb, 31)
+    v = L.reshape(nb, 4, 2, 32).astype(np.uint8)
+    lo = v & 0xF
+    qs = (lo[:, :, 0] | (lo[:, :, 1] << 4)).reshape(nb, 128)
+    # qh bit 2c+s for chunk c, sub s
+    hb = (v >> 4).astype(np.uint8)  # [nb, 4, 2, 32]
+    bit = (
+        2 * np.arange(4).reshape(1, 4, 1, 1) + np.arange(2).reshape(1, 1, 2, 1)
+    ).astype(np.uint8)
+    qh = (hb << bit).sum(axis=(1, 2), dtype=np.uint8)  # [nb, 32]
+    out = np.empty((nb, 176), np.uint8)
+    out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype("<f2")[:, None].view(np.uint8)
+    out[:, 4:16] = sm
+    out[:, 16:48] = qh
+    out[:, 48:176] = qs
+    return out.tobytes(), _hist(L, 1)
+
+
+def _qz_q6_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+    nb = xb.shape[0]
+    scale, _ = _make_qx(xb.reshape(nb * 16, 16), 32)
+    scales = scale.reshape(nb, 16)
+    aidx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), aidx]
+    has = max_scale != 0
+    iscale = np.where(has, -128.0 / np.where(max_scale == 0, 1, max_scale), 0.0)
+    d = _f16_round(np.where(has, 1.0 / np.where(iscale == 0, 1, iscale), 0.0))
+    sc8 = np.minimum(127, _nearest_int(iscale[:, None] * scales)).astype(np.int8)
+    sc8 = np.where(has[:, None], sc8, 0).astype(np.int8)
+    dl = d[:, None] * sc8.astype(np.float32)
+    dl_r = np.repeat(dl, 16, axis=1)
+    q = np.where(
+        dl_r != 0,
+        np.clip(_nearest_int(xb / np.where(dl_r == 0, 1, dl_r)), -32, 31),
+        0,
+    )
+    L = (q + 32).astype(np.uint8)  # [nb, 256], 6-bit codes
+    v = L.reshape(nb, 2, 4, 32)  # [nb, half, row, byte]
+    lo = v & 0xF
+    hi = v >> 4  # 2 bits
+    ql = np.empty((nb, 2, 64), np.uint8)
+    ql[:, :, 0:32] = lo[:, :, 0] | (lo[:, :, 2] << 4)
+    ql[:, :, 32:64] = lo[:, :, 1] | (lo[:, :, 3] << 4)
+    qh = (
+        hi[:, :, 0] | (hi[:, :, 1] << 2) | (hi[:, :, 2] << 4) | (hi[:, :, 3] << 6)
+    )  # [nb, 2, 32]
+    out = np.empty((nb, 210), np.uint8)
+    out[:, 0:128] = ql.reshape(nb, 128)
+    out[:, 128:192] = qh.reshape(nb, 64)
+    out[:, 192:208] = sc8.view(np.uint8)
+    out[:, 208:210] = d.astype("<f2")[:, None].view(np.uint8)
+    return out.tobytes(), _hist(L, 2)
+
+
 _QUANT = {
     GgmlType.Q4_0: _qz_q4_0,
     GgmlType.Q4_1: _qz_q4_1,
     GgmlType.Q5_0: _qz_q5_0,
     GgmlType.Q5_1: _qz_q5_1,
     GgmlType.Q8_0: _qz_q8_0,
+    GgmlType.Q2_K: _qz_q2_k,
+    GgmlType.Q3_K: _qz_q3_k,
+    GgmlType.Q4_K: _qz_q4_k,
+    GgmlType.Q5_K: _qz_q5_k,
+    GgmlType.Q6_K: _qz_q6_k,
 }
 
-QUANTIZE_TARGETS = tuple(_QUANT.keys())
+# The reference CLI quantizer only permits the scalar formats
+# (quantize.rs:224-244); the K-quant encoders exist for LoRA requantize and
+# programmatic use (ggml_quantize_q2_K..q6_K surface).
+QUANTIZE_TARGETS = (
+    GgmlType.Q4_0,
+    GgmlType.Q4_1,
+    GgmlType.Q5_0,
+    GgmlType.Q5_1,
+    GgmlType.Q8_0,
+)
+KQUANT_TARGETS = (
+    GgmlType.Q2_K,
+    GgmlType.Q3_K,
+    GgmlType.Q4_K,
+    GgmlType.Q5_K,
+    GgmlType.Q6_K,
+)

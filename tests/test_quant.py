@@ -139,3 +139,58 @@ def test_q6_k_known_block():
     d = np.float16(0.25).tobytes()
     y = dequantize(GgmlType.Q6_K, ql + qh + scales + d, 256)
     np.testing.assert_allclose(y, np.full(256, -8.0, dtype=np.float32))
+
+
+@pytest.mark.parametrize(
+    "t,rel_bound",
+    [
+        (GgmlType.Q2_K, 0.35),
+        (GgmlType.Q3_K, 0.19),
+        (GgmlType.Q4_K, 0.09),
+        (GgmlType.Q5_K, 0.05),
+        (GgmlType.Q6_K, 0.025),
+    ],
+)
+def test_kquant_roundtrip_error_bound(t, rel_bound):
+    """Encoders for ggml_quantize_q2_K..q6_K (sys/src/lib.rs:3472-3516):
+    encode->decode error bounded per bit-width; each extra bit roughly
+    halves relative RMSE on gaussian data."""
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=4096).astype(np.float32)
+    raw = quantize(t, x)
+    assert len(raw) == data_size(t, x.size)
+    y = dequantize(t, raw, x.size)
+    err = x - y
+    rel = np.sqrt((err**2).mean()) / np.sqrt((x**2).mean())
+    assert rel < rel_bound, f"{t}: rel RMSE {rel:.4f} >= {rel_bound}"
+    # worst sub-block error bounded relative to its own amax
+    sub = np.abs(err).reshape(-1, 16).max(1) / (
+        np.abs(x).reshape(-1, 16).max(1) + 1e-9
+    )
+    assert sub.max() < 2.6 * rel_bound
+
+
+def test_q4_k_beats_q4_1_on_gaussian():
+    """The two-level scale scheme must actually pay off at equal nibble
+    width (the point of K-quants)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=8192).astype(np.float32)
+    errs = {}
+    for t in (GgmlType.Q4_K, GgmlType.Q4_1):
+        y = dequantize(t, quantize(t, x), x.size)
+        errs[t] = float(np.sqrt(((x - y) ** 2).mean()))
+    assert errs[GgmlType.Q4_K] < errs[GgmlType.Q4_1]
+
+
+@pytest.mark.parametrize(
+    "t", [GgmlType.Q2_K, GgmlType.Q3_K, GgmlType.Q4_K, GgmlType.Q5_K, GgmlType.Q6_K]
+)
+def test_kquant_encode_constant_and_zero_blocks(t):
+    """Degenerate inputs (all-zero, constant) must encode without division
+    blowups and decode to something close."""
+    for v in (0.0, 1.5, -0.25):
+        x = np.full(512, v, np.float32)
+        y = dequantize(t, quantize(t, x), x.size)
+        assert np.isfinite(y).all()
+        tol = 0.26 * abs(v) + 1e-6  # Q2_K worst case: 2-bit symmetric-ish
+        assert np.abs(y - x).max() <= tol, (v, np.abs(y - x).max())
