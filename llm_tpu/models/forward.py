@@ -727,11 +727,17 @@ def _attention_batched(
     n_past: jnp.ndarray,  # [B]
     k_cache,  # ([B, S, H_kv, D] codes, [B, S, H_kv] scale | None)
     v_cache,
+    online_pass=None,  # callable qf -> (m, l, acc): external cached-KV
+    #                    attention (paged pools); replaces the dense cache
+    quantize_kv: Optional[bool] = None,  # int8-roundtrip in-flight kv;
+    #                    defaults to "cache carries scales"
 ):
     B, T, E = a.shape
-    S = k_cache[0].shape[1]
+    S = k_cache[0].shape[1] if k_cache[0] is not None else 0
     H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
     rep = H // Hkv
+    if quantize_kv is None:
+        quantize_kv = k_cache[1] is not None
 
     flat = a.reshape(B * T, E)
     q = qmatmul(flat, layer.wq)
@@ -755,7 +761,7 @@ def _attention_batched(
                  spec.rope_freq_base, spec.rope_freq_scale)
 
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, D)
-    if k_cache[1] is not None:  # int8 cache: in-flight kv must round-trip
+    if quantize_kv:  # int8 cache: in-flight kv must round-trip
         k_out = _quant_kv(k.astype(jnp.float32))
         v_out = _quant_kv(v.astype(jnp.float32))
         kf = _dequant_kv(*k_out)
@@ -777,11 +783,17 @@ def _attention_batched(
     )
     chunk_valid = jnp.broadcast_to(chunk_valid[None], (B, T, T))
 
-    use_online, block = _use_online(B * T, H, S)
+    if online_pass is not None:
+        use_online, block = True, 0
+    else:
+        use_online, block = _use_online(B * T, H, S)
     if use_online:
-        m, l, acc = _online_cache_pass_batched(
-            spec, qf, k_cache, v_cache, n_past, slopes, block
-        )
+        if online_pass is not None:
+            m, l, acc = online_pass(qf)
+        else:
+            m, l, acc = _online_cache_pass_batched(
+                spec, qf, k_cache, v_cache, n_past, slopes, block
+            )
         sn = (
             jnp.einsum("bthrd,buhd->bthru", qf, kf,
                        preferred_element_type=jnp.float32)
@@ -841,7 +853,8 @@ def _attention_batched(
     return out.reshape(B, T, E), k_out, v_out
 
 
-def _layer_batched(spec, h, layer, positions, n_past, k_cache, v_cache):
+def _layer_batched(spec, h, layer, positions, n_past, k_cache, v_cache,
+                   online_pass=None, quantize_kv=None):
     B, T, E = h.shape
 
     def norm1(x):
@@ -853,24 +866,24 @@ def _layer_batched(spec, h, layer, positions, n_past, k_cache, v_cache):
     def ffn(x):
         return _ffn(spec, layer, x.reshape(B * T, E)).reshape(B, T, E)
 
+    def attend(a):
+        return _attention_batched(
+            spec, layer, a, positions, n_past, k_cache, v_cache,
+            online_pass=online_pass, quantize_kv=quantize_kv,
+        )
+
     if spec.residual == "sequential":
         a = norm1(h)
-        attn, k_new, v_new = _attention_batched(
-            spec, layer, a, positions, n_past, k_cache, v_cache
-        )
+        attn, k_new, v_new = attend(a)
         h = h + attn
         h = h + ffn(norm2(h))
     elif spec.residual == "parallel_shared_ln":
         a = norm1(h)
-        attn, k_new, v_new = _attention_batched(
-            spec, layer, a, positions, n_past, k_cache, v_cache
-        )
+        attn, k_new, v_new = attend(a)
         h = h + attn + ffn(a)
     elif spec.residual == "parallel_two_ln":
         a = norm1(h)
-        attn, k_new, v_new = _attention_batched(
-            spec, layer, a, positions, n_past, k_cache, v_cache
-        )
+        attn, k_new, v_new = attend(a)
         h = h + attn + ffn(norm2(h))
     else:
         raise ValueError(f"unknown residual topology {spec.residual}")

@@ -1,0 +1,239 @@
+"""Pallas paged-attention decode kernel: page tables as scalar prefetch.
+
+The TPU-native replacement for gather-then-attend paged KV reads: the
+kernel's grid is (streams, logical pages) and the BlockSpec index map for
+the K/V pool operands looks the physical page id up in the scalar-prefetched
+page table, so pages stream DIRECTLY from HBM into VMEM in logical order —
+each page is read exactly once, with no windowed-KV gather copy in front of
+attention (the round-1 paged path's main overhead). Online softmax carries
+running (max, denom, accumulator) per (kv-head, rep) across page iterations
+in VMEM scratch; int8 pools are dequantized in-register from per-row scales.
+
+Decode-shaped (T=1) only: prefill chunks use the jnp page-scan pass
+(llm_tpu/paged.py:_paged_online_pass), whose math this kernel reproduces
+exactly (equality-tested in interpret mode).
+
+Reference contrast: ggml has no paged KV at all — context overflow is an
+error (/root/reference/crates/llm-base/src/inference_session.rs:311-313).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def kernel_ok(spec, T: int, page: int) -> bool:
+    """Static gate: the kernel covers the decode shape (T=1) on TPU-friendly
+    geometry; everything else uses the jnp page-scan pass."""
+    from llm_tpu.ops.qmatmul import _use_pallas
+
+    return (
+        _use_pallas()
+        and T == 1
+        and spec.head_dim % 128 == 0
+        and page % 8 == 0
+    )
+
+
+def _make_kernel(
+    Hkv: int,
+    rep: int,
+    D: int,
+    page: int,
+    nw: int,
+    kq_scale: float,
+    quantized: bool,
+    has_alibi: bool,
+):
+    def kernel(*refs):
+        # scalar prefetch: tables [B, P], n_past [B], layer [1]
+        tbl_ref, npast_ref, _layer_ref = refs[0], refs[1], refs[2]
+        i = 3
+        q_ref = refs[i]; i += 1          # [1, Hkv, rep, D]
+        k_ref = refs[i]; i += 1          # [1, 1, page, Hkv, D]
+        v_ref = refs[i]; i += 1
+        ks_ref = vs_ref = None
+        if quantized:
+            ks_ref = refs[i]; i += 1     # [1, 1, page, Hkv]
+            vs_ref = refs[i]; i += 1
+        slopes_ref = None
+        if has_alibi:
+            slopes_ref = refs[i]; i += 1  # [Hkv, rep]
+        m_out, l_out, acc_out = refs[i], refs[i + 1], refs[i + 2]
+        m_s, l_s, acc_s = refs[i + 3], refs[i + 4], refs[i + 5]
+
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            m_s[...] = jnp.full_like(m_s, NEG_INF)
+            l_s[...] = jnp.zeros_like(l_s)
+            acc_s[...] = jnp.zeros_like(acc_s)
+
+        npv = npast_ref[b]
+        pos = j * page + lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        valid = pos < npv  # [1, page]
+
+        for h in range(Hkv):
+            qh = q_ref[0, h]  # [rep, D]
+            kh = k_ref[0, 0, :, h, :].astype(jnp.float32)  # [page, D]
+            vh = v_ref[0, 0, :, h, :].astype(jnp.float32)
+            if quantized:
+                kh = kh * ks_ref[0, 0, :, h : h + 1]
+                vh = vh * vs_ref[0, 0, :, h : h + 1]
+            s = (
+                lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * kq_scale
+            )  # [rep, page]
+            if has_alibi:
+                slope = jnp.transpose(slopes_ref[h : h + 1, :])  # [rep, 1]
+                s = s + slope * pos.astype(jnp.float32)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_prev = m_s[h]  # [rep, 1]
+            l_prev = l_s[h]
+            acc_prev = acc_s[h]  # [rep, D]
+            m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            corr = jnp.exp(m_prev - m_new)
+            l_new = l_prev * corr + p.sum(axis=1, keepdims=True)
+            acc_new = acc_prev * corr + lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_s[h] = m_new
+            l_s[h] = l_new
+            acc_s[h] = acc_new
+
+        @pl.when(j == nw - 1)
+        def _():
+            m_out[0] = m_s[:, :, 0]
+            l_out[0] = l_s[:, :, 0]
+            acc_out[0] = acc_s[...]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window_pages", "kq_scale", "interpret", "hkv", "rep", "d"),
+)
+def _paged_attention_call(
+    pool_k, pool_v, ks, vs, tables, n_past, slopes, layer, q,
+    *, window_pages, kq_scale, interpret, hkv, rep, d,
+):
+    B = q.shape[0]
+    page = pool_k.shape[2]
+    quantized = ks is not None
+    has_alibi = slopes is not None
+
+    kernel = _make_kernel(
+        hkv, rep, d, page, window_pages, kq_scale, quantized, has_alibi
+    )
+
+    def im_q(b, j, tbl, npst, lyr):
+        return (b, 0, 0, 0)
+
+    def im_pool(b, j, tbl, npst, lyr):
+        return (lyr[0], tbl[b, j], 0, 0, 0)
+
+    def im_scale(b, j, tbl, npst, lyr):
+        return (lyr[0], tbl[b, j], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hkv, rep, d), im_q),
+        pl.BlockSpec((1, 1, page, hkv, d), im_pool),
+        pl.BlockSpec((1, 1, page, hkv, d), im_pool),
+    ]
+    operands = [q, pool_k, pool_v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, page, hkv), im_scale),
+            pl.BlockSpec((1, 1, page, hkv), im_scale),
+        ]
+        operands += [ks, vs]
+    if has_alibi:
+        in_specs.append(
+            pl.BlockSpec((hkv, rep), lambda b, j, tbl, npst, lyr: (0, 0))
+        )
+        operands.append(slopes)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, window_pages),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, hkv, rep), lambda b, j, tbl, npst, lyr: (b, 0, 0)),
+            pl.BlockSpec((1, hkv, rep), lambda b, j, tbl, npst, lyr: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, hkv, rep, d), lambda b, j, tbl, npst, lyr: (b, 0, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, rep, 1), jnp.float32),
+            pltpu.VMEM((hkv, rep, 1), jnp.float32),
+            pltpu.VMEM((hkv, rep, d), jnp.float32),
+        ],
+    )
+    itemsize = pool_k.dtype.itemsize
+    bytes_accessed = (
+        B * window_pages * page * hkv * d * 2 * itemsize
+        + (B * window_pages * page * hkv * 2 * 4 if quantized else 0)
+        + q.size * 4
+        + B * hkv * rep * (d + 2) * 4
+    )
+    m, l, acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, hkv, rep), jnp.float32),
+            jax.ShapeDtypeStruct((B, hkv, rep), jnp.float32),
+            jax.ShapeDtypeStruct((B, hkv, rep, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * window_pages * page * hkv * rep * d * 2,
+            bytes_accessed=bytes_accessed,
+            transcendentals=B * window_pages * page * hkv * rep,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(tables, jnp.int32),
+        jnp.asarray(n_past, jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        *operands,
+    )
+    return m, l, acc
+
+
+def paged_attention_pass(
+    spec, pool_k, pool_v, ks, vs, tables, n_past, slopes, window_pages,
+    layer, qf,
+):
+    """online_pass hook (models/forward._attention_batched): qf
+    [B, 1, Hkv, rep, D] -> (m, l, acc) over the paged cached keys, computed
+    by the Pallas kernel. Shapes match _paged_online_pass exactly."""
+    from llm_tpu.ops.qmatmul import _backend_mode
+
+    B, T, Hkv, rep, D = qf.shape
+    assert T == 1, "kernel path is decode-shaped (T=1)"
+    q = qf[:, 0].astype(jnp.float32)
+    m, l, acc = _paged_attention_call(
+        pool_k, pool_v, ks, vs, tables, n_past, slopes, layer, q,
+        window_pages=window_pages,
+        kq_scale=float(spec.kq_scale),
+        interpret=(_backend_mode() == "interpret"),
+        hkv=Hkv, rep=rep, d=D,
+    )
+    return m[:, None], l[:, None], acc[:, None]

@@ -9,16 +9,20 @@ tracks the TOKENS IN FLIGHT, not the worst case.
 
 Layout (layer-major, like the dense cache):
 
-    pool.k/v          [L, n_pages, page, H_kv, D]
+    pool.k/v          [L, n_pages, page, H_kv, D]   (bf16/f32 or int8)
+    pool.k/v_scale    [L, n_pages, page, H_kv] f32  (int8 pools only)
     page_table        [B, P] int32 physical page ids (logical order)
     n_past            [B]
 
-Attention gathers each stream's pages in logical order, so positions,
-masks, RoPE and ALiBi are identical to the dense path — correctness is
-checked by equality against the dense engine. The gather materializes the
-windowed K/V per layer (one extra copy vs the dense read); a Pallas
-paged-attention kernel with scalar-prefetched page tables is the planned
-fast path.
+Attention streams pages in LOGICAL order with an online softmax (the
+`online_pass` hook of models/forward._attention_batched): each page is
+looked up through the table and folded into running (max, denom, acc)
+state, so the windowed K/V is never materialized as a contiguous copy
+and positions/masks/RoPE/ALiBi are identical to the dense path —
+correctness is checked by equality against the dense engine. On TPU the
+per-layer pass is a Pallas kernel with the page table as a
+scalar-prefetch operand (ops/paged_attention.py), reading pages directly
+from HBM; elsewhere a lax.scan over pages provides the same math.
 """
 
 from __future__ import annotations
@@ -40,7 +44,10 @@ from llm_tpu.models.forward import (
     layer_norm,
 )
 from llm_tpu.models.spec import ModelSpec
+from llm_tpu.ops.layers import alibi_slopes
 from llm_tpu.ops.qmatmul import qmatmul, quant_rows_lookup
+
+NEG_INF = -1e30
 
 
 @_register
@@ -48,6 +55,8 @@ from llm_tpu.ops.qmatmul import qmatmul, quant_rows_lookup
 class PagedKVCache:
     k: jnp.ndarray  # [L, n_pages, page, H_kv, D]
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None  # [L, n_pages, page, H_kv] f32
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def page_size(self) -> int:
@@ -57,11 +66,22 @@ class PagedKVCache:
     def n_pages(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_paged_cache(
     spec: ModelSpec, n_pages: int, page_size: int = 256, dtype=jnp.bfloat16
 ) -> PagedKVCache:
     shape = (spec.n_layer, n_pages, page_size, spec.n_head_kv, spec.head_dim)
+    if dtype in (jnp.int8, "int8"):
+        return PagedKVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
     return PagedKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -70,7 +90,7 @@ class PageAllocator:
 
     Physical page 0 is RESERVED as the trash page: unallocated page-table
     entries point at it, so dummy writes from inactive/boundary streams land
-    somewhere harmless and gathers of unallocated entries read masked
+    somewhere harmless and reads of unallocated entries see masked
     garbage."""
 
     TRASH = 0
@@ -92,13 +112,68 @@ class PageAllocator:
         return len(self.free)
 
 
-def _gather_stream_kv(pool_l, tables, n_logical_pages):
-    """pool_l [NP, page, H, D], tables [B, P] -> [B, W, H, D] with
-    W = n_logical_pages * page (gathered in logical order)."""
-    sel = tables[:, :n_logical_pages]  # [B, Wp]
-    g = pool_l[sel]  # [B, Wp, page, H, D]
-    B, Wp, page, Hh, D = g.shape
-    return g.reshape(B, Wp * page, Hh, D)
+def _paged_online_pass(
+    spec: ModelSpec,
+    qf: jnp.ndarray,  # [B, T, Hkv, rep, D] f32
+    *,
+    pool_k,  # [L, NP, page, Hkv, D] the FULL pool (gathered per page —
+    pool_v,  # no per-layer slice copy)
+    ks,  # [L, NP, page, Hkv] f32 | None
+    vs,
+    layer,  # scalar int32
+    tables: jnp.ndarray,  # [B, P]
+    n_past: jnp.ndarray,  # [B]
+    slopes,  # [Hkv, rep] | None
+    window_pages: int,
+):
+    """lax.scan over logical pages with an online softmax: page j of every
+    stream is looked up through its table, dequantized (int8 pools) and
+    folded into running (m, l, acc). Peak extra memory is ONE page per
+    stream instead of the whole window."""
+    B, T, Hkv, rep, D = qf.shape
+    page = pool_k.shape[2]
+
+    def body(carry, j):
+        m, l, acc = carry
+        sel = jnp.take(tables, j, axis=1)  # [B] physical page ids
+        kf = pool_k[layer, sel].astype(jnp.float32)  # [B, page, Hkv, D]
+        vf = pool_v[layer, sel].astype(jnp.float32)
+        if ks is not None:
+            kf = kf * ks[layer, sel][..., None]
+            vf = vf * vs[layer, sel][..., None]
+        pos = j * page + jnp.arange(page, dtype=jnp.int32)
+        s = (
+            jnp.einsum("bthrd,bshd->bthrs", qf, kf,
+                       preferred_element_type=jnp.float32)
+            * spec.kq_scale
+        )
+        if slopes is not None:
+            s = s + (
+                slopes[None, None, :, :, None]
+                * pos.astype(jnp.float32)[None, None, None, None, :]
+            )
+        valid = pos[None, :] < n_past[:, None]  # [B, page]
+        valid = jnp.broadcast_to(valid[:, None, :], (B, T, page))
+        valid = valid[:, :, None, None, :]
+        s = jnp.where(valid, s, NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bthrs,bshd->bthrd", p, vf, preferred_element_type=jnp.float32
+        )
+        return (m_new, l, acc), None
+
+    init = (
+        jnp.full((B, T, Hkv, rep), NEG_INF, jnp.float32),
+        jnp.zeros((B, T, Hkv, rep), jnp.float32),
+        jnp.zeros((B, T, Hkv, rep, D), jnp.float32),
+    )
+    (m, l, acc), _ = lax.scan(
+        body, init, jnp.arange(window_pages, dtype=jnp.int32)
+    )
+    return m, l, acc
 
 
 def paged_forward_batched(
@@ -112,13 +187,21 @@ def paged_forward_batched(
 ):
     """Batched forward over paged caches. Returns (logits, hidden, cache).
 
-    Requirement: window_pages * page_size >= max(n_past) + T is NOT needed
-    for the cached part (only < n_past is read), but every (n_past + t)
-    write position must fall inside an allocated page of `tables`.
+    Every (n_past + t) write position must fall inside an allocated page of
+    `tables`; reads only touch positions < n_past, so `window_pages` just
+    needs to cover max(n_past) + T.
     """
     B, T = ids.shape
     page = cache.page_size
+    quantized = cache.quantized
     positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    slopes = (
+        alibi_slopes(spec.n_head, spec.alibi_bias_max).reshape(
+            spec.n_head_kv, spec.n_head // spec.n_head_kv
+        )
+        if spec.alibi_bias_max > 0.0
+        else None
+    )
 
     h = quant_rows_lookup(params.wte, ids.reshape(-1)).reshape(B, T, -1)
     if spec.post_embed_norm:
@@ -128,24 +211,41 @@ def paged_forward_batched(
             B, T, -1
         )
 
-    def body(carry, xs):
-        l, pk_l, pv_l = xs
+    from llm_tpu.ops.paged_attention import paged_attention_pass, kernel_ok
+
+    use_kernel = kernel_ok(spec, T, page)
+
+    def body(carry, l):
         layer = _LayerView(params.layers, l)
-        kc = (_gather_stream_kv(pk_l, tables, window_pages), None)
-        vc = (_gather_stream_kv(pv_l, tables, window_pages), None)
+        if use_kernel:
+            online = partial(
+                paged_attention_pass,
+                spec, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                tables, n_past, slopes, window_pages, l,
+            )
+        else:
+            online = partial(
+                _paged_online_pass,
+                spec,
+                pool_k=cache.k, pool_v=cache.v,
+                ks=cache.k_scale, vs=cache.v_scale, layer=l,
+                tables=tables, n_past=n_past, slopes=slopes,
+                window_pages=window_pages,
+            )
         hh, k_new, v_new = _layer_batched(
-            spec, carry, layer, positions, n_past, kc, vc
+            spec, carry, layer, positions, n_past, (None, None), (None, None),
+            online_pass=online, quantize_kv=quantized,
         )
         return hh, (k_new, v_new)
 
     h, (k_news, v_news) = lax.scan(
-        body, h, (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v)
+        body, h, jnp.arange(spec.n_layer, dtype=jnp.int32)
     )
-    # k_news [L, B, T, H, D]: scatter each token into its physical slot.
-    # Positions whose logical page is beyond the table (dummy writes of
-    # inactive/boundary streams) are redirected to the TRASH page — without
-    # this, take_along_axis would clamp to the stream's LAST allocated page
-    # and corrupt live entries.
+    # k_news [L, B, T, H, D] (+ scales [L, B, T, H] when quantized): scatter
+    # each token into its physical slot. Positions whose logical page is
+    # beyond the table (dummy writes of inactive/boundary streams) are
+    # redirected to the TRASH page — without this, take_along_axis would
+    # clamp to the stream's LAST allocated page and corrupt live entries.
     logical = positions  # [B, T]
     page_idx = (logical // page).astype(jnp.int32)
     P = tables.shape[1]
@@ -161,15 +261,26 @@ def paged_forward_batched(
     oo = offsets.reshape(-1)
 
     def scatter(pool, new):
-        # pool [L, NP, page, H, D]; new [L, B, T, H, D].
-        # pool[:, pp, oo] has shape [L, B*T, H, D] (advanced indices are
+        # pool [L, NP, page, ...]; new [L, B, T, ...].
+        # pool[:, pp, oo] has shape [L, B*T, ...] (advanced indices are
         # adjacent), so this is a single scatter — no pool transpose.
-        L, Bn, Tn, Hh, D = new.shape
-        flat_new = new.reshape(L, Bn * Tn, Hh, D)
+        L = new.shape[0]
+        flat_new = new.reshape((L, -1) + new.shape[3:])
         return pool.at[:, pp, oo].set(flat_new.astype(pool.dtype))
 
-    new_k = scatter(cache.k, k_news)
-    new_v = scatter(cache.v, v_news)
+    if quantized:
+        kq, ks = k_news  # attention already emits (codes, scales)
+        vq, vs = v_news
+        new_cache = PagedKVCache(
+            scatter(cache.k, kq),
+            scatter(cache.v, vq),
+            scatter(cache.k_scale, ks),
+            scatter(cache.v_scale, vs),
+        )
+    else:
+        new_cache = PagedKVCache(
+            scatter(cache.k, k_news), scatter(cache.v, v_news)
+        )
 
     E = h.shape[-1]
     h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
@@ -180,7 +291,8 @@ def paged_forward_batched(
     return (
         logits.reshape(B, T, -1).astype(jnp.float32),
         h.astype(jnp.float32),
-        PagedKVCache(new_k, new_v),
+        PagedKVCache(new_cache.k, new_cache.v,
+                     new_cache.k_scale, new_cache.v_scale),
     )
 
 
@@ -189,6 +301,47 @@ def paged_step(spec, params, ids, n_past, tables, cache, window_pages):
     return paged_forward_batched(
         spec, params, ids, n_past, tables, cache, window_pages
     )
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7, 8), donate_argnums=(5,))
+def paged_decode_loop(
+    spec,
+    params,
+    last_logits,  # [B, V] f32
+    n_past,  # [B] int32
+    tables,  # [B, P]
+    cache,  # PagedKVCache (donated)
+    n_steps: int,
+    window_pages: int,
+    sampler=None,
+    key=None,
+):
+    """Multi-token paged decode fully on device: B streams x n_steps tokens
+    per dispatch (sample-then-evaluate per step, like decode_loop_batched).
+    The host pre-allocates pages covering n_past + n_steps for every active
+    stream, so the tables are static for the whole block; EoT overshoot is
+    rewound host-side (positions beyond n_past stay masked)."""
+    from llm_tpu.ops.sampling import DeviceSampler, device_sample
+
+    sampler = sampler or DeviceSampler.greedy()
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def step(carry, _):
+        logits, npast, c, k = carry
+        k, sub = jax.random.split(k)
+        toks = device_sample(logits, sub, sampler)
+        new_logits, _, c = paged_forward_batched(
+            spec, params, toks[:, None], npast, tables, c, window_pages
+        )
+        return (new_logits[:, 0, :], npast + 1, c, k), toks
+
+    (logits, npast, cache, _), all_toks = lax.scan(
+        step,
+        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key),
+        None,
+        length=n_steps,
+    )
+    return all_toks, logits, npast, cache
 
 
 # ---------------------------------------------------------------------------
@@ -222,9 +375,6 @@ class PagedEngine(Engine):
 
     def _init_device_state(self, kv_dtype, mesh) -> None:
         assert mesh is None, "PagedEngine does not support meshes yet"
-        assert kv_dtype not in (jnp.int8, "int8"), (
-            "paged int8 KV is not implemented yet"
-        )
         self.pages_per_stream = -(-self.spec.n_ctx // self.page_size)
         n_pages = self._n_pages_requested
         if n_pages is None:
@@ -257,11 +407,11 @@ class PagedEngine(Engine):
         self.stream_pages[slot] = []
         self.tables[slot, :] = PageAllocator.TRASH
 
-    def _window_pages(self) -> int:
+    def _window_pages(self, extra: int = 1) -> int:
         max_past = max(
             (s.n_past for s in self.slots if s is not None), default=0
         )
-        return max(1, -(-(max_past + 1) // self.page_size))
+        return max(1, -(-(max_past + extra) // self.page_size))
 
     def _admit(self) -> None:
         from llm_tpu.serve import ContextFull
@@ -299,6 +449,9 @@ class PagedEngine(Engine):
     # -- prefill / decode ---------------------------------------------------
 
     def _prefill(self, stream, slot: int) -> None:
+        """Prefill ONE stream's prompt through a B=1 paged forward — O(1)
+        FLOPs in max_streams (the pool and this stream's table row are all
+        the state a single-stream prefill touches)."""
         from llm_tpu.serve import ContextFull
         from llm_tpu.tokenizer import Prompt
 
@@ -313,29 +466,22 @@ class PagedEngine(Engine):
             stream.decoded_len = len(
                 self.model.tokenizer.decode(stream.tokens, True)
             )
-        n_past_vec = np.zeros(self.max_streams, np.int32)
-        for s2, st in enumerate(self.slots):
-            if st is not None:
-                n_past_vec[s2] = st.n_past
 
         pos = 0
         for start in range(0, len(prompt_tokens), self.n_batch):
             chunk = prompt_tokens[start : start + self.n_batch]
             self._ensure_pages(slot, pos + len(chunk) - 1)
-            ids = np.zeros((self.max_streams, self.n_batch), np.int32)
-            ids[slot, : len(chunk)] = chunk
-            n_past_vec[slot] = pos
-            wp = max(
-                self._window_pages(),
-                -(-(pos + len(chunk)) // self.page_size),
-            )
+            ids = np.zeros((1, self.n_batch), np.int32)
+            ids[0, : len(chunk)] = chunk
+            wp = -(-(pos + len(chunk)) // self.page_size)
             logits, _, self.pool = paged_step(
                 spec, self.params, jnp.asarray(ids),
-                jnp.asarray(n_past_vec), jnp.asarray(self.tables),
+                jnp.asarray([pos], np.int32),
+                jnp.asarray(self.tables[slot : slot + 1]),
                 self.pool, wp,
             )
             pos += len(chunk)
-            stream.last_logits = np.asarray(logits)[slot, len(chunk) - 1]
+            stream.last_logits = np.asarray(logits)[0, len(chunk) - 1]
         stream.n_past = pos
 
     def step(self):
@@ -382,7 +528,44 @@ class PagedEngine(Engine):
             )
         return events
 
-    def step_multi(self, n_steps: int = 16):
-        """Multi-step on-device decode is not paged yet; fall back to
-        single steps (page allocation must interleave with generation)."""
-        return self.step()
+    # -- multi-step on-device decode ----------------------------------------
+
+    def _plan_multi(self, active, n_steps: int) -> int:
+        """Pre-allocate pages so every active stream can decode n_steps
+        tokens without host intervention. Returns the n_steps that fits
+        (0 = fall back to single stepping)."""
+        while n_steps > 1:
+            need = 0
+            for slot, s in active:
+                last = min(s.n_past + n_steps, self.spec.n_ctx) - 1
+                have = sum(
+                    1 for j in range(last // self.page_size + 1)
+                    if self.tables[slot, j] != PageAllocator.TRASH
+                )
+                need += last // self.page_size + 1 - have
+            if need <= self.allocator.available:
+                break
+            n_steps //= 2
+        else:
+            return 0
+        try:
+            for slot, s in active:
+                self._ensure_pages(
+                    slot, min(s.n_past + n_steps, self.spec.n_ctx) - 1
+                )
+        except MemoryError:  # raced estimate; be safe
+            return 0
+        return n_steps
+
+    def _dispatch_multi(self, logits, n_past, n_steps, sampler, key):
+        active = [(sl, s) for sl, s in enumerate(self.slots) if s is not None]
+        n_steps = self._plan_multi(active, n_steps)
+        if n_steps == 0:
+            return None
+        wp = self._window_pages(extra=n_steps)
+        toks, last_logits, _, self.pool = paged_decode_loop(
+            self.spec, self.params, jnp.asarray(logits),
+            jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
+            n_steps, wp, sampler, key,
+        )
+        return np.asarray(toks), np.asarray(last_logits), n_steps

@@ -360,19 +360,12 @@ class Engine:
             n_past[slot] = s.n_past
 
         self._loop_key = jax.random.split(getattr(self, "_loop_key", jax.random.PRNGKey(0)))[0]
-        toks, last_logits, _, self.cache = decode_loop_batched(
-            spec,
-            self.params,
-            jnp.asarray(logits),
-            jnp.asarray(n_past),
-            self.cache,
-            n_steps,
-            window_bucket(max_past + n_steps, spec.n_ctx),
-            sampler,
-            self._loop_key,
+        dispatched = self._dispatch_multi(
+            logits, n_past, n_steps, sampler, self._loop_key
         )
-        toks = np.asarray(toks)  # [n_steps, B]
-        last_logits = np.asarray(last_logits)
+        if dispatched is None:  # backend can't run a block now (e.g. paged
+            return retired + self.step()  # pool too tight): single-step
+        toks, last_logits, n_steps = dispatched  # toks [n_steps, B]
 
         events = retired
         for slot, stream in active:
@@ -416,6 +409,28 @@ class Engine:
                 self._on_slot_released(slot)
             events.append((stream.request_id, "".join(text_parts), done))
         return events
+
+    def _dispatch_multi(self, logits, n_past, n_steps, sampler, key):
+        """Run the n_steps on-device decode block; returns (toks [n_steps, B]
+        np, last_logits [B, V] np, n_steps) or None to fall back to
+        single-stepping. Overridden by PagedEngine (page pre-allocation +
+        paged loop)."""
+        from llm_tpu.models.forward import decode_loop_batched
+
+        spec = self.spec
+        max_past = int(n_past.max())
+        toks, last_logits, _, self.cache = decode_loop_batched(
+            spec,
+            self.params,
+            jnp.asarray(logits),
+            jnp.asarray(n_past),
+            self.cache,
+            n_steps,
+            window_bucket(max_past + n_steps, spec.n_ctx),
+            sampler,
+            key,
+        )
+        return np.asarray(toks), np.asarray(last_logits), n_steps
 
     # -- convenience --------------------------------------------------------
 

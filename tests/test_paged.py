@@ -194,3 +194,111 @@ def test_paged_oom_with_no_other_pages_retires(model):
         steps += 1
         assert steps < 60
     assert engine.finished[rid].finish_reason == "kv_oom"
+
+
+def test_paged_int8_matches_dense_int8(model):
+    """int8 page pools: quantization is per (position, kv-head) row, so
+    paged int8 must equal the dense int8 engine token-for-token."""
+    prompts = ["<t2><t3>", "<t9><t4><t5>", "<t7>"]
+    dense = Engine(model, max_streams=3, kv_dtype="int8")
+    refs = dense.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=8, sampler=DeterministicSampler())
+         for p in prompts]
+    )
+    engine = PagedEngine(model, max_streams=3, page_size=16, kv_dtype="int8")
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=8, sampler=DeterministicSampler())
+         for p in prompts]
+    )
+    assert [texts[i] for i in range(3)] == [refs[i] for i in range(3)]
+
+
+def test_paged_step_multi_matches_single_step(model):
+    """On-device multi-token paged decode (pages pre-allocated per block)
+    equals the per-token paged path."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    prompts = ["<t2><t3>", "<t9><t4>"]
+    ref_engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype=jnp.float32)
+    refs = ref_engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=10, sampler=GreedySampler())
+         for p in prompts]
+    )
+    engine = PagedEngine(model, max_streams=2, page_size=16,
+                         kv_dtype=jnp.float32)
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=10,
+                           device_sampler=DeviceSampler.greedy())
+         for p in prompts],
+        n_steps=4,
+    )
+    assert [texts[i] for i in range(2)] == [refs[i] for i in range(2)]
+
+
+def test_paged_step_multi_int8_tight_pool(model):
+    """Multi-step with a pool too small for full blocks: the planner shrinks
+    the block or falls back to single steps, and results still match."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    ref_engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype="int8")
+    refs = ref_engine.generate_all(
+        [GenerationRequest(prompt="<t2><t3>", max_tokens=12,
+                           sampler=GreedySampler())]
+    )
+    engine = PagedEngine(model, max_streams=2, page_size=16, n_pages=4,
+                         kv_dtype="int8")
+    texts = engine.generate_all(
+        [GenerationRequest(prompt="<t2><t3>", max_tokens=12,
+                           device_sampler=DeviceSampler.greedy())],
+        n_steps=8,
+    )
+    assert texts[0] == refs[0]
+
+
+def test_paged_kernel_interpret_matches_xla(tmp_path, monkeypatch):
+    """The Pallas paged-attention kernel (interpret mode) must reproduce the
+    jnp page-scan pass exactly on kernel-eligible geometry (D=128)."""
+    import llm_tpu.ops.qmatmul as qm
+
+    path = tmp_path / "llama128.bin"
+    make_tiny_file("llama", path, n_embd=512)  # 4 heads -> D = 128
+    model = load(path, "llama", params=ModelParameters(context_size=64))
+    assert model.spec.head_dim == 128
+
+    def run():
+        engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype=jnp.float32)
+        return engine.generate_all(
+            [GenerationRequest(prompt="<t2><t3>", max_tokens=8,
+                               sampler=DeterministicSampler())]
+        )[0]
+
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+    got = run()
+    assert got == ref
+
+
+def test_paged_kernel_interpret_int8_alibi(tmp_path, monkeypatch):
+    """Kernel path with int8 pool + ALiBi (MPT geometry, D=128)."""
+    path = tmp_path / "mpt128.bin"
+    make_tiny_file("mpt", path, n_embd=512)
+    model = load(path, "mpt", params=ModelParameters(context_size=64))
+    assert model.spec.head_dim == 128 and model.spec.alibi_bias_max > 0
+
+    def run():
+        engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype="int8")
+        return engine.generate_all(
+            [GenerationRequest(prompt="<t2><t3><t4>", max_tokens=8,
+                               sampler=DeterministicSampler())]
+        )[0]
+
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+    got = run()
+    assert got == ref
