@@ -413,92 +413,54 @@ class PagedEngine(Engine):
         )
         return max(1, -(-(max_past + extra) // self.page_size))
 
-    def _admit(self) -> None:
-        from llm_tpu.serve import ContextFull
-
-        for slot in range(self.max_streams):
-            if self.slots[slot] is not None or not self.pending:
-                continue
-            stream = self.pending.pop(0)
-            try:
-                self._prefill(stream, slot)
-                self.slots[slot] = stream
-            except ContextFull:
-                self._on_slot_released(slot)
-                self._retire(stream, "context_full")
-            except MemoryError:
-                self._on_slot_released(slot)
-                # If the stream could NEVER fit (its prompt needs more pages
-                # than the whole pool) or nothing else holds pages that could
-                # free up, requeuing would busy-loop generate_all() forever:
-                # retire with kv_oom instead.
-                need = -(-len(stream.tokens or [1]) // self.page_size)
-                pool_capacity = self.pool.n_pages - 1  # minus trash page
-                others_hold_pages = any(
-                    self.stream_pages[s2]
-                    for s2 in range(self.max_streams)
-                    if s2 != slot
-                )
-                if need > pool_capacity or not others_hold_pages:
-                    self._retire(stream, "kv_oom")
-                    continue
-                # pool exhausted transiently: requeue and wait for pages
-                self.pending.insert(0, stream)
-                break
-
     # -- prefill / decode ---------------------------------------------------
 
-    def _prefill(self, stream, slot: int) -> None:
-        """Prefill ONE stream's prompt through a B=1 paged forward — O(1)
-        FLOPs in max_streams (the pool and this stream's table row are all
-        the state a single-stream prefill touches)."""
-        from llm_tpu.serve import ContextFull
-        from llm_tpu.tokenizer import Prompt
-
+    def _prefill_chunk(self, stream, slot: int) -> None:
+        """One prompt chunk through a B=1 paged forward — O(1) FLOPs in
+        max_streams (the pool and this stream's table row are all the state
+        a single-stream prefill touches). Raises MemoryError when the pool
+        has no page for the chunk (the scheduler waits or retires)."""
         spec = self.spec
-        prompt_tokens = Prompt.of(stream.request.prompt).to_tokens(
-            self.model.tokenizer, True
+        toks = stream.prefill_queue
+        pos = stream.prefill_pos
+        chunk = toks[pos : pos + self.n_batch]
+        self._ensure_pages(slot, pos + len(chunk) - 1)
+        ids = np.zeros((1, self.n_batch), np.int32)
+        ids[0, : len(chunk)] = chunk
+        wp = -(-(pos + len(chunk)) // self.page_size)
+        logits, _, self.pool = paged_step(
+            spec, self.params, jnp.asarray(ids),
+            jnp.asarray([pos], np.int32),
+            jnp.asarray(self.tables[slot : slot + 1]),
+            self.pool, wp,
         )
-        if len(prompt_tokens) >= spec.n_ctx:
-            raise ContextFull()
-        stream.tokens = list(prompt_tokens)
-        if not self.model.tokenizer.is_embedded:
-            stream.decoded_len = len(
-                self.model.tokenizer.decode(stream.tokens, True)
-            )
-
-        pos = 0
-        for start in range(0, len(prompt_tokens), self.n_batch):
-            chunk = prompt_tokens[start : start + self.n_batch]
-            self._ensure_pages(slot, pos + len(chunk) - 1)
-            ids = np.zeros((1, self.n_batch), np.int32)
-            ids[0, : len(chunk)] = chunk
-            wp = -(-(pos + len(chunk)) // self.page_size)
-            logits, _, self.pool = paged_step(
-                spec, self.params, jnp.asarray(ids),
-                jnp.asarray([pos], np.int32),
-                jnp.asarray(self.tables[slot : slot + 1]),
-                self.pool, wp,
-            )
-            pos += len(chunk)
-            stream.last_logits = np.asarray(logits)[0, len(chunk) - 1]
-        stream.n_past = pos
+        stream.prefill_pos = pos + len(chunk)
+        stream.n_past = stream.prefill_pos
+        stream.last_logits = np.asarray(logits)[0, len(chunk) - 1]
+        if stream.prefill_pos >= len(toks):
+            stream.prefilling = False
 
     def step(self):
-        """One decode step across active streams (host-side sampling)."""
+        """One decode step across decode-ready streams (host sampling);
+        prefilling streams advance one chunk first."""
         from llm_tpu.samplers import sample_token
 
         self._admit()
+        self._advance_prefills()
         events = self._drain_retired()
-        if self.active == 0:
+        decodable = self._decodable()
+        if not decodable:
             return events
         spec = self.spec
         ids = np.zeros((self.max_streams, 1), np.int32)
         n_past = np.zeros(self.max_streams, np.int32)
+        # dummy writes of prefilling slots land at their frontier (next
+        # chunk overwrites) or on the trash page
+        for slot, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                n_past[slot] = s.prefill_pos
         sampled = {}
-        for slot, stream in enumerate(self.slots):
-            if stream is None:
-                continue
+        for slot, stream in decodable:
             tok = sample_token(
                 stream.sampler, stream.rng, stream.tokens, stream.last_logits
             )
@@ -515,7 +477,7 @@ class PagedEngine(Engine):
         events += self._drain_retired()
         if not sampled:
             return events
-        wp = self._window_pages()
+        wp = max(1, -(-(int(n_past.max()) + 1) // self.page_size))
         logits, _, self.pool = paged_step(
             spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
             jnp.asarray(self.tables), self.pool, wp,
@@ -558,7 +520,7 @@ class PagedEngine(Engine):
         return n_steps
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key):
-        active = [(sl, s) for sl, s in enumerate(self.slots) if s is not None]
+        active = self._decodable()
         n_steps = self._plan_multi(active, n_steps)
         if n_steps == 0:
             return None

@@ -75,6 +75,13 @@ class _Stream:
     text: list = field(default_factory=list)
     done: bool = False
     finish_reason: str = ""
+    # chunked-prefill state: admission assigns a slot immediately and the
+    # prompt advances ONE n_batch chunk per engine step, interleaved with
+    # decode of running streams (a long prompt never stalls the batch)
+    prefilling: bool = False
+    prefill_pos: int = 0
+    prefill_queue: Optional[list] = None
+    kv_wait: bool = False  # paged: last prefill chunk hit an empty pool
 
 
 @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(5,))
@@ -239,23 +246,25 @@ class Engine:
     # -- scheduling ---------------------------------------------------------
 
     def _admit(self) -> None:
-        """Prefill pending requests into free slots."""
+        """Assign pending requests to free slots (tokenize + validate only;
+        the prompt itself advances chunk-by-chunk in _advance_prefills so a
+        long admission never stalls running streams)."""
         for slot in range(self.max_streams):
             if self.slots[slot] is not None or not self.pending:
                 continue
             stream = self.pending.pop(0)
             try:
-                self._prefill(stream, slot)
+                self._begin_prefill(stream, slot)
                 self.slots[slot] = stream
             except ContextFull:
+                self._on_slot_released(slot)
                 self._retire(stream, "context_full")
 
-    def _prefill(self, stream: _Stream, slot: int) -> None:
-        spec = self.spec
+    def _begin_prefill(self, stream: _Stream, slot: int) -> None:
         prompt_tokens = Prompt.of(stream.request.prompt).to_tokens(
             self.model.tokenizer, True
         )
-        if len(prompt_tokens) >= spec.n_ctx:
+        if len(prompt_tokens) >= self.spec.n_ctx:
             raise ContextFull()
         stream.tokens = list(prompt_tokens)
         if not self.model.tokenizer.is_embedded:
@@ -263,39 +272,84 @@ class Engine:
             stream.decoded_len = len(
                 self.model.tokenizer.decode(stream.tokens, True)
             )
-        n_past = 0
-        for start in range(0, len(prompt_tokens), self.n_batch):
-            chunk = prompt_tokens[start : start + self.n_batch]
-            bucket = self.n_batch if n_past + self.n_batch <= spec.n_ctx else len(chunk)
-            ids = np.zeros(bucket, np.int32)
-            ids[: len(chunk)] = chunk
-            logits, self.cache = _prefill_slot(
-                spec, self.params, jnp.asarray(ids), jnp.int32(n_past),
-                slot, self.cache, window_bucket(n_past, spec.n_ctx),
-            )
-            n_past += len(chunk)
-            stream.last_logits = np.asarray(logits)[len(chunk) - 1]
-        stream.n_past = n_past
+        stream.prefill_queue = prompt_tokens
+        stream.prefill_pos = 0
+        stream.prefilling = True
+        stream.n_past = 0
+
+    def _advance_prefills(self) -> None:
+        """Run ONE prompt chunk for every prefilling stream. A paged chunk
+        that cannot get pages waits — unless every other slotted stream is
+        also waiting (nobody will ever free pages), which would deadlock:
+        then the stream retires with kv_oom."""
+        for slot, stream in enumerate(self.slots):
+            if stream is None or not stream.prefilling:
+                continue
+            try:
+                self._prefill_chunk(stream, slot)
+                stream.kv_wait = False
+            except MemoryError:
+                stream.kv_wait = True
+                others = [
+                    s for s2, s in enumerate(self.slots)
+                    if s is not None and s2 != slot
+                ]
+                if not others or all(o.kv_wait for o in others):
+                    self._retire(stream, "kv_oom", slot=slot)
+
+    def _prefill_chunk(self, stream: _Stream, slot: int) -> None:
+        spec = self.spec
+        toks = stream.prefill_queue
+        pos = stream.prefill_pos
+        chunk = toks[pos : pos + self.n_batch]
+        bucket = (
+            self.n_batch if pos + self.n_batch <= spec.n_ctx else len(chunk)
+        )
+        ids = np.zeros(bucket, np.int32)
+        ids[: len(chunk)] = chunk
+        logits, self.cache = _prefill_slot(
+            spec, self.params, jnp.asarray(ids), jnp.int32(pos),
+            slot, self.cache, window_bucket(pos, spec.n_ctx),
+        )
+        stream.prefill_pos = pos + len(chunk)
+        stream.n_past = stream.prefill_pos
+        stream.last_logits = np.asarray(logits)[len(chunk) - 1]
+        if stream.prefill_pos >= len(toks):
+            stream.prefilling = False
+
+    def _decodable(self) -> list[tuple[int, "_Stream"]]:
+        return [
+            (slot, s)
+            for slot, s in enumerate(self.slots)
+            if s is not None and not s.prefilling
+        ]
 
     # -- decode -------------------------------------------------------------
 
     def step(self) -> list[tuple[int, str, bool]]:
-        """Admit pending streams, run ONE batched decode step, sample.
+        """Admit pending streams, advance prefills one chunk, run ONE
+        batched decode step over the decode-ready streams, sample.
 
         Returns a list of (request_id, new_text, done).
         """
         self._admit()
+        self._advance_prefills()
         events = self._drain_retired()
-        if self.active == 0:
+        decodable = self._decodable()
+        if not decodable:
             return events
 
         spec = self.spec
         ids = np.zeros(self.max_streams, np.int32)
         n_past = np.zeros(self.max_streams, np.int32)
+        # dummy writes of non-decoding slots must not land on live cache:
+        # point prefilling slots at their prefill frontier (the next chunk
+        # overwrites it); empty slots write at 0 harmlessly
+        for slot, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                n_past[slot] = s.prefill_pos
         sampled: dict[int, int] = {}
-        for slot, stream in enumerate(self.slots):
-            if stream is None:
-                continue
+        for slot, stream in decodable:
             tok = sample_token(
                 stream.sampler, stream.rng, stream.tokens, stream.last_logits
             )
@@ -303,9 +357,7 @@ class Engine:
             ids[slot] = tok
             n_past[slot] = stream.n_past
 
-        max_past = max(
-            (s.n_past for s in self.slots if s is not None), default=0
-        )
+        max_past = int(n_past.max())  # covers prefill-frontier dummies too
         logits, self.cache = _decode_all(
             spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
             window_bucket(max_past, spec.n_ctx), self.cache,
@@ -331,13 +383,12 @@ class Engine:
         from llm_tpu.models.forward import decode_loop_batched
 
         self._admit()
+        self._advance_prefills()
         retired = self._drain_retired()
-        if self.active == 0:
+        active = self._decodable()
+        if not active:
             return retired
         spec = self.spec
-        active = [
-            (slot, s) for slot, s in enumerate(self.slots) if s is not None
-        ]
         assert all(
             s.request.device_sampler is not None for _, s in active
         ), "step_multi requires device_sampler on every active stream"
@@ -351,10 +402,15 @@ class Engine:
         n_steps = min(n_steps, spec.n_ctx - 1 - max_past)
         if n_steps <= 0:
             # context-full streams are retired by the per-token path
-            return self.step()
+            return retired + self.step()
 
         logits = np.zeros((self.max_streams, spec.n_vocab), np.float32)
         n_past = np.zeros(self.max_streams, np.int32)
+        # dummy columns of non-decoding slots write at harmless positions
+        # (prefill frontier; overwritten by the next chunk / real decode)
+        for slot, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                n_past[slot] = s.prefill_pos
         for slot, s in active:
             logits[slot] = s.last_logits
             n_past[slot] = s.n_past

@@ -302,3 +302,24 @@ def test_paged_kernel_interpret_int8_alibi(tmp_path, monkeypatch):
     monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
     got = run()
     assert got == ref
+
+
+def test_paged_admission_interleaves_with_decode(model):
+    """Paged: chunked admission interleaves with decode and the B=1 prefill
+    leaves the running stream's pages intact."""
+    engine = PagedEngine(model, max_streams=2, page_size=16,
+                         kv_dtype=jnp.float32, n_batch=4)
+    a = engine.submit(GenerationRequest(prompt=[2, 3], max_tokens=24,
+                                        sampler=DeterministicSampler()))
+    engine.step()
+    b = engine.submit(GenerationRequest(prompt=[5] * 16, max_tokens=4,
+                                        sampler=DeterministicSampler()))
+    for i in range(4):
+        events = engine.step()
+        assert any(rid == a for rid, _, _ in events), f"step {i}: A stalled"
+    while engine.has_work():
+        engine.step()
+    ref = _dense_reference(model, [[2, 3], [5] * 16], 24)
+    assert "".join(engine.finished[a].text) == ref[0]
+    ref4 = _dense_reference(model, [[5] * 16], 4)
+    assert "".join(engine.finished[b].text) == ref4[0]
