@@ -24,6 +24,8 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from llm_tpu.parallel.sharding import MeshConfig, make_mesh
 
@@ -58,3 +60,279 @@ def multihost_mesh(model_parallel: Optional[int] = None):
     return make_mesh(
         MeshConfig(data=total // model_parallel, model=model_parallel)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-host continuous batching
+#
+# Nothing in the reference to mirror (it is single-process by design —
+# SURVEY.md §2.5; the vestigial multi-GPU hook is
+# /root/reference/crates/ggml/src/accelerator/mod.rs:68-77). Design:
+#
+# - One global ("data", "model") mesh. Weights are TP-sharded over `model`
+#   (ICI-local within each host) and replicated over `data`; the batched KV
+#   cache's stream axis rides `data`, so each host OWNS the slots whose
+#   cache shard is local and serves its own request queue into them.
+# - Every process must dispatch the SAME jitted computation each step (SPMD
+#   multi-controller rule), so per-step decisions are agreed via a tiny
+#   process_allgather of host intents (prefill pending? decodable? global
+#   max n_past for the window bucket), then all hosts dispatch:
+#     1. a global chunked-prefill step (ids [B, n_batch]) whenever ANY host
+#        has a prefilling stream — every prefilling stream on every host
+#        advances one chunk in the same dispatch; hosts without one
+#        contribute masked dummy rows at their streams' frontiers, and
+#     2. a global decode step (ids [B, 1]) over decode-ready streams.
+# - Sampling stays host-side per stream on the host's OWN logits shard
+#   (logits come back sharded over `data`; no cross-host logit traffic).
+# - At decode steady state no collective crosses DCN: TP all-reduces stay
+#   on ICI, the batch axis needs no communication, and the only DCN
+#   traffic is the few-byte intent allgather.
+
+
+from llm_tpu.serve import Engine as _LocalEngine
+
+
+class MultiHostEngine(_LocalEngine):
+    """Continuous batching scheduled across hosts (one instance per host
+    process over a shared global mesh). Single-process meshes work too —
+    the coordination collapses to local no-ops.
+
+    Inherits the single-host engine's host-side plumbing (submit, _Stream
+    bookkeeping, chunked-prefill state machine, token postprocess); all
+    device dispatch is replaced by globally-coordinated SPMD steps. Does
+    NOT call the base constructor (device state is global here).
+    """
+
+    def __init__(
+        self,
+        model,
+        mesh,
+        global_streams: int = 8,
+        kv_dtype=jnp.bfloat16,
+        n_batch: int = 64,
+    ):
+        from llm_tpu.models.forward import forward_batched, init_cache_batched
+        from llm_tpu.parallel.sharding import shard_params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.model = model
+        self.spec = model.spec
+        self.mesh = mesh
+        self.n_batch = n_batch
+        self.global_streams = global_streams
+        data = mesh.shape["data"]
+        assert global_streams % data == 0, (global_streams, data)
+
+        self.params = shard_params(model.params, mesh)
+
+        def ns(*spec):
+            return NamedSharding(mesh, P(*spec))
+
+        def dim_ok(size, axis):
+            return size % mesh.shape[axis] == 0
+
+        spec = self.spec
+        quant = kv_dtype in (jnp.int8, "int8")
+        h_ax = "model" if dim_ok(spec.n_head_kv, "model") else None
+        kv_sh = ns(None, "data", None, h_ax, None)
+        sc_sh = ns(None, "data", None, h_ax)
+        from llm_tpu.models.forward import KVCache
+
+        cache_sh = KVCache(
+            kv_sh, kv_sh, sc_sh if quant else None, sc_sh if quant else None
+        )
+        self.cache = jax.jit(
+            lambda: init_cache_batched(spec, global_streams, kv_dtype),
+            out_shardings=cache_sh,
+        )()
+
+        # each host owns the contiguous run of stream rows whose cache
+        # shard is addressable locally
+        imap = self.cache.k.sharding.devices_indices_map(self.cache.k.shape)
+        rows = [
+            (sl[1].start or 0, sl[1].stop or global_streams)
+            for d, sl in imap.items()
+            if d.process_index == jax.process_index()
+        ]
+        self._row0 = min(r[0] for r in rows)
+        row1 = max(r[1] for r in rows)
+        self.max_streams = row1 - self._row0  # local slots
+
+        self._out_sh = (ns("data", None, None), ns("data", None, None), cache_sh)
+        self._step_jit = jax.jit(
+            forward_batched,
+            static_argnums=(0, 5),
+            donate_argnums=(4,),
+            out_shardings=self._out_sh,
+        )
+
+        # host-local stream state
+        self.slots = [None] * self.max_streams
+        self.pending = []
+        self.finished = {}
+        self._retired_events = []
+        self._next_id = jax.process_index() * 1_000_000  # host-unique ids
+        self._eot = model.eot_token_id()
+        self._steps = 0
+
+    def step_multi(self, n_steps: int = 16):
+        raise NotImplementedError(
+            "multi-host on-device multi-step decode: use step(); the "
+            "single-host engines provide step_multi"
+        )
+
+    # coordination --------------------------------------------------------
+
+    def _sync(self) -> tuple[int, int, int, int]:
+        """Agree on (prefilling, decodable, max position, work) across
+        hosts. The only DCN traffic at decode steady state."""
+        from jax.experimental import multihost_utils
+
+        frontier = [
+            s.prefill_pos if s.prefilling else s.n_past
+            for s in self.slots
+            if s is not None
+        ]
+        local = np.array(
+            [
+                sum(1 for s in self.slots if s is not None and s.prefilling),
+                len(self._decodable()),
+                max(frontier, default=0),
+                1 if self.has_work() else 0,
+            ],
+            np.int64,
+        )
+        if jax.process_count() == 1:
+            g = local[None]
+        else:
+            g = np.asarray(multihost_utils.process_allgather(local))
+        return (
+            int(g[:, 0].sum()),
+            int(g[:, 1].sum()),
+            int(g[:, 2].max()),
+            int(g[:, 3].sum()),
+        )
+
+    def _to_global(self, arr: np.ndarray, pspec_axes):
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        if jax.process_count() == 1:
+            from jax.sharding import NamedSharding
+
+            return jax.device_put(
+                arr, NamedSharding(self.mesh, P(*pspec_axes))
+            )
+        return multihost_utils.host_local_array_to_global_array(
+            arr, self.mesh, P(*pspec_axes)
+        )
+
+    def _local_rows(self, arr) -> np.ndarray:
+        """Assemble this host's stream rows from the addressable shards of a
+        global [B, ...] array."""
+        out = None
+        for sh in arr.addressable_shards:
+            data = np.asarray(sh.data)
+            if out is None:
+                out = np.zeros(
+                    (self.max_streams,) + arr.shape[1:], data.dtype
+                )
+            start = (sh.index[0].start or 0) - self._row0
+            if 0 <= start < self.max_streams:
+                out[start : start + data.shape[0]] = data
+        return out
+
+    # stepping ------------------------------------------------------------
+
+    def _dispatch(self, ids: np.ndarray, n_past: np.ndarray, window: int):
+        logits, _, self.cache = self._step_jit(
+            self.spec,
+            self.params,
+            self._to_global(ids, ("data",)),
+            self._to_global(n_past, ("data",)),
+            self.cache,
+            window,
+        )
+        return self._local_rows(logits)
+
+    def _global_prefill_chunk(self, gmax: int) -> None:
+        from llm_tpu.models.forward import window_bucket
+
+        spec = self.spec
+        ids = np.zeros((self.max_streams, self.n_batch), np.int32)
+        n_past = np.zeros(self.max_streams, np.int32)
+        chunk_lens = {}
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            if s.prefilling:
+                chunk = s.prefill_queue[
+                    s.prefill_pos : s.prefill_pos + self.n_batch
+                ]
+                ids[i, : len(chunk)] = chunk
+                n_past[i] = s.prefill_pos
+                chunk_lens[i] = len(chunk)
+            else:
+                n_past[i] = s.n_past  # dummy at the decode frontier
+        logits = self._dispatch(
+            ids, n_past, window_bucket(gmax + self.n_batch, spec.n_ctx)
+        )
+        for i, ln in chunk_lens.items():
+            s = self.slots[i]
+            s.prefill_pos += ln
+            s.n_past = s.prefill_pos
+            s.last_logits = logits[i, ln - 1]
+            if s.prefill_pos >= len(s.prefill_queue):
+                s.prefilling = False
+
+    def _global_decode(self, gmax: int) -> list:
+        from llm_tpu.models.forward import window_bucket
+        from llm_tpu.samplers import sample_token
+
+        spec = self.spec
+        ids = np.zeros((self.max_streams, 1), np.int32)
+        n_past = np.zeros(self.max_streams, np.int32)
+        for i, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                n_past[i] = s.prefill_pos
+        sampled = {}
+        for i, s in self._decodable():
+            tok = sample_token(s.sampler, s.rng, s.tokens, s.last_logits)
+            sampled[i] = tok
+            ids[i, 0] = tok
+            n_past[i] = s.n_past
+        logits = self._dispatch(
+            ids, n_past, window_bucket(gmax + 1, spec.n_ctx)
+        )[:, 0, :]
+        events = []
+        for i, tok in sampled.items():
+            events.append(
+                self._finish_token(i, self.slots[i], tok, logits[i])
+            )
+        return events
+
+    def step(self) -> list:
+        """One globally-coordinated engine step. EVERY host process must
+        call step() in lockstep (the dispatches are collective)."""
+        self._admit()
+        events = self._drain_retired()
+        self._steps += 1
+        n_pref, _, gmax, _ = self._sync()
+        if n_pref:
+            self._global_prefill_chunk(gmax)
+            events += self._drain_retired()
+        _, n_dec, gmax2, _ = self._sync()
+        if n_dec:
+            events += self._global_decode(gmax2)
+        return events
+
+    def has_work_global(self) -> bool:
+        return self._sync()[3] > 0
+
+    def generate_all(self, requests) -> dict[int, str]:
+        """Submit local requests, step in global lockstep until EVERY host
+        drains, return local id -> text."""
+        ids = [self.submit(r) for r in requests]
+        while self.has_work_global():
+            self.step()
+        return {rid: "".join(self.finished[rid].text) for rid in ids}

@@ -60,7 +60,12 @@ def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
 def _put(x, mesh: Mesh, spec: P):
     """device_put with per-dimension divisibility fallback: an axis whose
     mesh size does not divide the dim is dropped (replicated) — keeps tiny
-    test models working while real shapes shard fully."""
+    test models working while real shapes shard fully.
+
+    On a multi-process (multi-host) mesh, device_put cannot target
+    non-addressable devices; each process instead provides its local shards
+    from its own full host copy via make_array_from_callback (every host
+    loads the same checkpoint)."""
     if x is None:
         return None
     entries = list(spec) + [None] * (x.ndim - len(spec))
@@ -69,7 +74,13 @@ def _put(x, mesh: Mesh, spec: P):
         if axis is not None and dim % mesh.shape[axis] != 0:
             axis = None
         fixed.append(axis)
-    return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
+    ns = NamedSharding(mesh, P(*fixed))
+    if jax.process_count() > 1:
+        import numpy as np
+
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, ns, lambda idx: host[idx])
+    return jax.device_put(x, ns)
 
 
 def _put_weight(w, mesh: Mesh, axis: Optional[str], shard_r: bool, stacked: bool):

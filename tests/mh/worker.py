@@ -1,0 +1,65 @@
+"""Worker for the 2-process multi-host engine test: each process drives 4
+virtual CPU devices, hosts a MultiHostEngine over the global 2x4 mesh, and
+serves its own disjoint streams. Logit-level agreement with the
+single-process engine is asserted by comparing generated token strings.
+
+Usage: python worker.py <process_id> <num_processes> <port> <out_json>
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+pid, nproc, port, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.distributed.initialize(
+    f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+
+import jax.numpy as jnp
+
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.parallel.sharding import MeshConfig, make_mesh
+from llm_tpu.parallel.multihost import MultiHostEngine
+from llm_tpu.samplers import DeterministicSampler
+from llm_tpu.serve import GenerationRequest
+from llm_tpu.testing import make_tiny_file
+
+assert jax.process_count() == nproc and jax.device_count() == 4 * nproc
+
+# every host loads the same (deterministic) checkpoint
+path = os.path.join(tempfile.mkdtemp(), "llama.bin")
+make_tiny_file("llama", path)
+model = load(path, "llama", params=ModelParameters(context_size=64))
+
+mesh = make_mesh(MeshConfig(data=nproc, model=4))
+engine = MultiHostEngine(
+    model, mesh, global_streams=2 * nproc, kv_dtype=jnp.float32, n_batch=4
+)
+assert engine.max_streams == 2  # two local slots per host
+
+# disjoint per-host prompts; host 1's second prompt is LONG so its chunked
+# prefill interleaves with host 0's decode across the coordinated steps
+prompts = {
+    0: [[2, 3], [9, 4, 5]],
+    1: [[7, 8], [5, 6] * 8],
+}[pid]
+texts = engine.generate_all(
+    [
+        GenerationRequest(
+            prompt=p, max_tokens=8, sampler=DeterministicSampler()
+        )
+        for p in prompts
+    ]
+)
+out = {str(i): t for i, t in enumerate(texts.values())}
+with open(out_path, "w") as f:
+    json.dump({"pid": pid, "texts": out}, f)
+print(f"[{pid}] done", flush=True)

@@ -1,0 +1,111 @@
+"""Multi-host continuous batching: a REAL 2-process test (separate OS
+processes, jax.distributed over a local coordinator, 4 virtual CPU devices
+each forming a global 2x4 data-model mesh), plus single-process MultiHostEngine
+equivalence on the 8-device mesh."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.parallel.sharding import MeshConfig, make_mesh
+from llm_tpu.parallel.multihost import MultiHostEngine
+from llm_tpu.samplers import DeterministicSampler
+from llm_tpu.serve import Engine, GenerationRequest
+from llm_tpu.testing import make_tiny_file
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("mh") / "llama.bin"
+    make_tiny_file("llama", path)
+    return load(path, "llama", params=ModelParameters(context_size=64))
+
+
+def _reference(model, prompts, n=8):
+    engine = Engine(model, max_streams=len(prompts), kv_dtype=jnp.float32)
+    out = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=n,
+                           sampler=DeterministicSampler())
+         for p in prompts]
+    )
+    return [out[i] for i in sorted(out)]
+
+
+def test_multihost_engine_single_process(model):
+    """MultiHostEngine on a single-process 2x4 mesh equals the dense
+    engine (the coordination layer collapses to local no-ops)."""
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=4,
+                             kv_dtype=jnp.float32, n_batch=4)
+    prompts = [[2, 3], [9, 4, 5], [7, 8], [5, 6] * 8]
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=8,
+                           sampler=DeterministicSampler())
+         for p in prompts]
+    )
+    refs = _reference(model, prompts)
+    assert [texts[k] for k in sorted(texts)] == refs
+
+
+def test_multihost_engine_int8_single_process(model):
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=2,
+                             kv_dtype="int8", n_batch=4)
+    ref_engine = Engine(model, max_streams=1, kv_dtype="int8")
+    ref = ref_engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=8,
+                           sampler=DeterministicSampler())]
+    )
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=8,
+                           sampler=DeterministicSampler())]
+    )
+    assert list(texts.values()) == [ref[0]]
+
+
+def test_multihost_two_processes(model, tmp_path):
+    """TWO separate host processes coordinate a global mesh and serve
+    disjoint streams; every stream's output must equal the single-process
+    engine's (cross-host TP-sharded weights + data-sharded KV, interleaved
+    chunked prefill included)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "mh", "worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    env["PYTHONPATH"] = "/root/repo"
+    outs = [tmp_path / f"out{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(outs[i])],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            p.wait(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for p in procs:
+        assert p.returncode == 0, p.stderr.read().decode()[-3000:]
+
+    results = [json.loads(outs[i].read_text()) for i in range(2)]
+    host_prompts = {0: [[2, 3], [9, 4, 5]], 1: [[7, 8], [5, 6] * 8]}
+    for pid in range(2):
+        refs = _reference(model, host_prompts[pid])
+        got = [results[pid]["texts"][str(i)] for i in range(2)]
+        assert got == refs, f"host {pid}: {got} != {refs}"
