@@ -134,7 +134,7 @@ class ContainerType:
     __slots__ = ("kind", "version")
 
     def __init__(self, kind: str, version: int | None = None):
-        assert kind in ("ggml", "ggmf", "ggjt", "ggla")
+        assert kind in ("ggml", "ggmf", "ggjt", "ggla", "gguf")
         self.kind = kind
         self.version = version
 
@@ -156,8 +156,8 @@ class ContainerType:
     @property
     def support_mmap(self) -> bool:
         # lib.rs:49-56 — only Ggjt aligns tensor data (and therefore
-        # supports zero-copy loads).
-        return self.kind == "ggjt"
+        # supports zero-copy loads). GGUF (successor format) aligns too.
+        return self.kind in ("ggjt", "gguf")
 
     @property
     def has_scored_vocab(self) -> bool:
@@ -167,7 +167,7 @@ class ContainerType:
     @property
     def aligned_tensors(self) -> bool:
         # format/loader.rs:202-207 — Ggjt and Ggla align tensor data to 32B.
-        return self.kind in ("ggjt", "ggla")
+        return self.kind in ("ggjt", "ggla", "gguf")
 
     @classmethod
     def read(cls, f) -> "ContainerType":

@@ -170,9 +170,17 @@ def load(
     tokenizer_source = tokenizer_source or TokenizerSource.embedded()
     external_tokenizer = tokenizer_source.retrieve()
 
-    reader = GgmlReader(path).load(
-        lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
-    )
+    from llm_tpu.ggml.gguf import GgufReader, is_gguf
+
+    if is_gguf(path):
+        # GGUF successor container: hyperparameters come from the metadata
+        # KV store and tensor names are translated to the classic GGML
+        # names at index time (ggml/gguf.py)
+        reader = GgufReader(path).load(architecture)
+    else:
+        reader = GgmlReader(path).load(
+            lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
+        )
     hp: Hyperparameters = reader.hyperparameters
     progress(LoadProgress("hyperparameters_loaded"))
 

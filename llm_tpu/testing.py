@@ -49,10 +49,13 @@ def tiny_hparams(arch: str, **overrides) -> Hyperparameters:
     return h
 
 
-def _tensor_names(arch: str, h: Hyperparameters) -> list[tuple[str, tuple[int, ...]]]:
+def _tensor_names(
+    arch: str, h: Hyperparameters, n_ff: int | None = None
+) -> list[tuple[str, tuple[int, ...]]]:
     """(name, ggml dims (K, R)) for every tensor of a tiny model."""
     E, V, L = h.n_embd, h.n_vocab, h.n_layer
-    F = 2 * E  # tiny FFN; real models derive n_ff from tensor shapes anyway
+    # tiny FFN default; real models derive n_ff from tensor shapes anyway
+    F = n_ff if n_ff is not None else 2 * E
     hd = E // h.n_head
     out = []
 
@@ -245,4 +248,83 @@ def make_tiny_file(
                     w.write_tensor(name, element_type, dims, quantize(element_type, data))
             else:
                 w.write_tensor(name, GgmlType.F32, dims, data.tobytes())
+    return h
+
+
+def _random_scalar_quant(rng, t: GgmlType, n: int) -> bytes:
+    """Random VALID scalar-quant block bytes at GB scale: raw random bits
+    with the f16 scale (and min) fields rewritten to small normal values so
+    dequantized weights stay sane. ~10x faster than quantizing floats —
+    what the full-geometry bench checkpoints use."""
+    from llm_tpu.ggml.types import block_size, type_size
+
+    nb = n // block_size(t)
+    ts = type_size(t)
+    # GB-scale: tile one 16 MB random pool instead of drawing every byte
+    # (weight content is irrelevant to the bench; only the layout and the
+    # scale magnitudes matter)
+    pool = np.frombuffer(rng.bytes(1 << 24), dtype=np.uint8)
+    raw = np.resize(pool, (nb, ts)).copy()
+    d16 = (
+        np.float16(
+            np.resize(
+                np.frombuffer(rng.bytes(1 << 20), np.uint16).astype(np.float32)
+                / 65535.0 * 0.019 + 0.001,
+                nb,
+            )
+        )
+        .view(np.uint8)
+        .reshape(nb, 2)
+    )
+    offs = {
+        GgmlType.Q4_0: [0], GgmlType.Q8_0: [0],
+        GgmlType.Q4_1: [0, 2], GgmlType.Q5_0: [0],
+        GgmlType.Q5_1: [0, 2],
+    }[t]
+    for o in offs:
+        raw[:, o : o + 2] = d16
+    return raw.tobytes()
+
+
+def make_bench_file(
+    arch: str,
+    path: str | Path,
+    element_type: GgmlType,
+    seed: int = 0,
+    n_ff: int | None = None,
+    **hparam_overrides,
+) -> Hyperparameters:
+    """Write a FULL-GEOMETRY random checkpoint (e.g. LLaMA-7B Q4_0,
+    ~3.9 GB) fast: quant tensors get random valid block bytes instead of
+    quantized floats. Exercises the complete load path — container parse,
+    32000-entry vocab, native transcode of GB-scale planes, host->HBM
+    transfer — at real scale (loader.rs:419-567 analog)."""
+    rng = np.random.default_rng(seed)
+    h = tiny_hparams(arch, **hparam_overrides)
+    h.file_type = FileType(
+        format=ELEMENT_TYPE_TO_FILE_TYPE[element_type],
+        quantization_version=QNT_VERSION if element_type.is_quantized else 0,
+    )
+    eot = b"</s>" if arch in ("llama", "bloom") else b"<|endoftext|>"
+    vocab = [
+        (eot if i == 0 else f"<t{i}>".encode(), float(i % 97))
+        for i in range(h.n_vocab)
+    ]
+    hb = io.BytesIO()
+    h.write_ggml(hb)
+    with open(path, "wb") as f:
+        w = GgmlWriter(f, ContainerType("ggjt", 3))
+        w.write_header(hb.getvalue(), vocab)
+        for name, dims in _tensor_names(arch, h, n_ff=n_ff):
+            n = int(np.prod(dims))
+            if len(dims) == 2:
+                if element_type in _K_QUANTS:
+                    data = _random_kquant(rng, element_type, n)
+                else:
+                    data = _random_scalar_quant(rng, element_type, n)
+                w.write_tensor(name, element_type, dims, data)
+            else:
+                data = (rng.standard_normal(n, dtype=np.float32) * 0.05 + 1.0)
+                w.write_tensor(name, GgmlType.F32, dims,
+                               data.astype(np.float32).tobytes())
     return h

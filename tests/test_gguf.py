@@ -1,0 +1,106 @@
+"""GGUF v2/v3 container: metadata + tensor index parse, loader integration,
+logit equality with the same weights in a classic GGJT container."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_tpu.ggml.gguf import GgufReader, convert_ggml_to_gguf, is_gguf
+from llm_tpu.ggml.types import GgmlType
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.testing import make_tiny_file
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gguf")
+    ggjt = d / "llama.bin"
+    gguf = d / "llama.gguf"
+    make_tiny_file("llama", ggjt)
+    convert_ggml_to_gguf(ggjt, gguf, "llama")
+    return ggjt, gguf
+
+
+def test_gguf_magic_and_index(files):
+    ggjt, gguf = files
+    assert is_gguf(gguf) and not is_gguf(ggjt)
+    r = GgufReader(gguf).load("llama")
+    assert r.container.kind == "gguf" and r.container.version == 3
+    h = r.hyperparameters
+    assert h.n_embd == 64 and h.n_layer == 2 and h.n_head == 4
+    assert len(r.vocabulary.tokens) == 96
+    # names were translated back to the classic GGML names
+    assert "tok_embeddings.weight" in r.tensors
+    assert "layers.0.attention.wq.weight" in r.tensors
+    assert "layers.1.feed_forward.w2.weight" in r.tensors
+    # payload identity with the source container
+    from llm_tpu.ggml.reader import GgmlReader
+    from llm_tpu.models.spec import get_arch
+
+    src = GgmlReader(ggjt).load(
+        lambda f: (lambda h: (h, h.n_vocab))(get_arch("llama").read_hparams(f))
+    )
+    for name in src.tensors:
+        np.testing.assert_array_equal(src.fetch(name), r.fetch(name))
+
+
+def test_gguf_load_logit_parity(files):
+    ggjt, gguf = files
+    m1 = load(ggjt, "llama", params=ModelParameters(context_size=64))
+    m2 = load(gguf, "llama", params=ModelParameters(context_size=64))
+    assert m2.container_type.kind == "gguf"
+
+    from llm_tpu.models.forward import forward_step, init_cache
+
+    ids = jnp.asarray([3, 17, 5], jnp.int32)
+    l1, _, _ = forward_step(
+        m1.spec, m1.params, ids, jnp.int32(0), init_cache(m1.spec, jnp.float32)
+    )
+    l2, _, _ = forward_step(
+        m2.spec, m2.params, ids, jnp.int32(0), init_cache(m2.spec, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_gguf_quantized_load_and_session(files, tmp_path):
+    """Q4_0 GGUF end-to-end through the session API."""
+    ggjt = tmp_path / "llama_q4.bin"
+    gguf = tmp_path / "llama_q4.gguf"
+    make_tiny_file("llama", ggjt, element_type=GgmlType.Q4_0)
+    convert_ggml_to_gguf(ggjt, gguf, "llama")
+
+    from llm_tpu.samplers import GreedySampler
+    from llm_tpu.session import (
+        InferenceParameters,
+        InferenceRequest,
+        InferenceSession,
+    )
+
+    def run(path):
+        m = load(path, "llama", params=ModelParameters(context_size=64))
+        s = InferenceSession(m)
+        out = []
+        s.infer(
+            InferenceRequest(
+                prompt="<t2><t3>",
+                parameters=InferenceParameters(sampler=GreedySampler()),
+                maximum_token_count=6,
+            ),
+            rng=np.random.default_rng(0),
+            callback=lambda r: out.append(r.text)
+            if r.kind == "inferred_token" else None,
+        )
+        return "".join(out)
+
+    assert run(gguf) == run(ggjt)
+
+
+def test_gguf_v1_rejected(tmp_path):
+    import struct
+
+    p = tmp_path / "old.gguf"
+    p.write_bytes(b"GGUF" + struct.pack("<IQQ", 1, 0, 0))
+    from llm_tpu.ggml.reader import FormatError
+
+    with pytest.raises(FormatError, match="version"):
+        GgufReader(p).load("llama")
