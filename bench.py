@@ -145,17 +145,19 @@ def probe_qstream_bw(params: ModelParams) -> float:
     qt = params.layers.w_gate
     L = qt.lo.shape[0]
     E = qt.k
+    reps = 16  # cycle the stack enough times to amortize the ~28 ms
+    #            dispatch round-trip below 3% of the measurement
 
     @jax.jit
     def chain(x, qt):
         from llm_tpu.ops.qmatmul import qmatmul
 
         def body(h, l):
-            y = qmatmul(h, qt, layer=l)
+            y = qmatmul(h, qt, layer=l % L)
             h = h + y[:, :E] * 1e-6  # dependency, keep finite
             return h, None
 
-        h, _ = jax.lax.scan(body, x, jnp.arange(L, dtype=jnp.int32))
+        h, _ = jax.lax.scan(body, x, jnp.arange(L * reps, dtype=jnp.int32))
         return h
 
     x = jnp.ones((8, E), jnp.float32)
@@ -168,7 +170,7 @@ def probe_qstream_bw(params: ModelParams) -> float:
     nbytes = qt.lo.nbytes + qt.scale.nbytes + (
         qt.bias.nbytes if qt.bias is not None else 0
     )
-    return nbytes / min(times)
+    return reps * nbytes / min(times)
 
 
 def weight_stream_bytes(params: ModelParams) -> int:

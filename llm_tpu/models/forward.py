@@ -569,6 +569,7 @@ def _decode_loop_batched_jit(
     window: Optional[int] = None,
     sampler=None,
     key=None,
+    sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
 ):
     """Batched multi-token decode on device: B streams x n_steps tokens per
     dispatch (sample-then-evaluate per step, like decode_loop). Returns
@@ -582,7 +583,7 @@ def _decode_loop_batched_jit(
     def step(carry, _):
         logits, npast, c, k = carry
         k, sub = jax.random.split(k)
-        toks = device_sample(logits, sub, sampler)
+        toks = device_sample(logits, sub, sampler, sampler_values)
         new_logits, _, c = forward_batched(
             spec, params, toks[:, None], npast, c, window
         )
@@ -598,10 +599,12 @@ def _decode_loop_batched_jit(
 
 
 def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
-                        window=None, sampler=None, key=None):
+                        window=None, sampler=None, key=None,
+                        sampler_values=None):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_batched_jit(spec, params, last_logits, n_past, cache,
-                                    n_steps, window, sampler, key)
+                                    n_steps, window, sampler, key,
+                                    sampler_values)
 
 
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(6,))

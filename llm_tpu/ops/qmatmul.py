@@ -79,6 +79,23 @@ def _pick_tile(n: int, pref: int, step: int) -> int:
     return n
 
 
+def _k_step(fmt: QFormat, packed: bool, Kp: int) -> int:
+    """K-tile granularity: every plane's SUBLANE block (tile_k divided by
+    that plane's per-row packing width) must be a multiple of 8, or the
+    tile must span the whole (padded) K — a Mosaic tiling requirement that
+    real geometries hit (e.g. GPT-2 E=768 picked tile_k=384 -> 12 scale
+    rows and failed to lower). So tile_k must be a multiple of 8x the
+    COARSEST plane width; _pick_tile falls back to full-K when no such
+    divisor exists (full blocks are always legal)."""
+    widths = [fmt.gsize * (2 if packed else 1)]
+    if fmt.lo_bits < 8:
+        widths.append(32 // fmt.lo_bits)
+    if fmt.hi_bits:
+        widths.append(32 // fmt.hi_bits)
+    step = 8 * max(widths)
+    return step if step <= Kp else Kp
+
+
 def _make_kernel(
     fmt: QFormat,
     n_k: int,
@@ -165,18 +182,8 @@ def _qmatmul_pallas(
     """x [M, K] @ dequant(qt) [K, R] -> [M, R] (padded dims trimmed)."""
     fmt = qt.fmt
     Kp, Rp = qt.k_padded, qt.r_padded
-    # tiles must divide the padded dims and stay multiples of the packing
-    # granularity (K: lcm of plane packing widths and the scale group;
-    # R: 128 lanes)
     packed = qt.scale_packed
-    k_step = fmt.gsize * (2 if packed else 1)
-    if packed and Kp > 16 * fmt.gsize:
-        # Mosaic: packed-scale sublane block must be a multiple of 8
-        k_step = max(k_step, 16 * fmt.gsize)
-    if fmt.lo_bits < 8:
-        k_step = max(k_step, 32 // fmt.lo_bits)
-    if fmt.hi_bits:
-        k_step = max(k_step, 32 // fmt.hi_bits)
+    k_step = _k_step(fmt, packed, Kp)
     tile_r = _pick_tile(Rp, tile_r, 128)
     tile_k = _pick_tile(Kp, tile_k, k_step)
     assert Rp % tile_r == 0 and Kp % tile_k == 0, (Rp, tile_r, Kp, tile_k)
@@ -261,13 +268,7 @@ def _qmatmul_pallas_stacked(
     packed = qt.scale.dtype == jnp.uint32
     Kp = qt.scale.shape[-2] * g * (2 if packed else 1)
     Rp = qt.scale.shape[-1]
-    k_step = g * (2 if packed else 1)
-    if packed and Kp > 16 * g:
-        k_step = max(k_step, 16 * g)
-    if fmt.lo_bits < 8:
-        k_step = max(k_step, 32 // fmt.lo_bits)
-    if fmt.hi_bits:
-        k_step = max(k_step, 32 // fmt.hi_bits)
+    k_step = _k_step(fmt, packed, Kp)
     tile_r = _pick_tile(Rp, tile_r, 128)
     tile_k = _pick_tile(Kp, tile_k, k_step)
     g_rows = tile_k // g // (2 if packed else 1)

@@ -315,6 +315,7 @@ def paged_decode_loop(
     window_pages: int,
     sampler=None,
     key=None,
+    sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
 ):
     """Multi-token paged decode fully on device: B streams x n_steps tokens
     per dispatch (sample-then-evaluate per step, like decode_loop_batched).
@@ -329,7 +330,7 @@ def paged_decode_loop(
     def step(carry, _):
         logits, npast, c, k = carry
         k, sub = jax.random.split(k)
-        toks = device_sample(logits, sub, sampler)
+        toks = device_sample(logits, sub, sampler, sampler_values)
         new_logits, _, c = paged_forward_batched(
             spec, params, toks[:, None], npast, tables, c, window_pages
         )
@@ -519,7 +520,8 @@ class PagedEngine(Engine):
             return 0
         return n_steps
 
-    def _dispatch_multi(self, logits, n_past, n_steps, sampler, key):
+    def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
+                        values=None):
         active = self._decodable()
         n_steps = self._plan_multi(active, n_steps)
         if n_steps == 0:
@@ -528,6 +530,6 @@ class PagedEngine(Engine):
         toks, last_logits, _, self.pool = paged_decode_loop(
             self.spec, self.params, jnp.asarray(logits),
             jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
-            n_steps, wp, sampler, key,
+            n_steps, wp, sampler, key, values,
         )
         return np.asarray(toks), np.asarray(last_logits), n_steps

@@ -393,10 +393,17 @@ class Engine:
             s.request.device_sampler is not None for _, s in active
         ), "step_multi requires device_sampler on every active stream"
         sampler = active[0][1].request.device_sampler
-        # all streams share one static sampler config per dispatch
-        assert all(
-            s.request.device_sampler == sampler for _, s in active
-        ), "step_multi: all active streams must share one DeviceSampler"
+        if all(s.request.device_sampler == sampler for _, s in active):
+            values = None  # one shared static config
+        else:
+            # heterogeneous per-stream sampling: static STRUCTURE + traced
+            # per-slot values share one compiled loop (ops/sampling.py)
+            from llm_tpu.ops.sampling import batched_sampler
+
+            per_slot = [None] * self.max_streams
+            for slot, s in active:
+                per_slot[slot] = s.request.device_sampler
+            sampler, values = batched_sampler(per_slot, self.max_streams)
 
         max_past = max(s.n_past for _, s in active)
         n_steps = min(n_steps, spec.n_ctx - 1 - max_past)
@@ -417,7 +424,7 @@ class Engine:
 
         self._loop_key = jax.random.split(getattr(self, "_loop_key", jax.random.PRNGKey(0)))[0]
         dispatched = self._dispatch_multi(
-            logits, n_past, n_steps, sampler, self._loop_key
+            logits, n_past, n_steps, sampler, self._loop_key, values
         )
         if dispatched is None:  # backend can't run a block now (e.g. paged
             return retired + self.step()  # pool too tight): single-step
@@ -466,7 +473,8 @@ class Engine:
             events.append((stream.request_id, "".join(text_parts), done))
         return events
 
-    def _dispatch_multi(self, logits, n_past, n_steps, sampler, key):
+    def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
+                        values=None):
         """Run the n_steps on-device decode block; returns (toks [n_steps, B]
         np, last_logits [B, V] np, n_steps) or None to fall back to
         single-stepping. Overridden by PagedEngine (page pre-allocation +
@@ -485,6 +493,7 @@ class Engine:
             window_bucket(max_past + n_steps, spec.n_ctx),
             sampler,
             key,
+            values,
         )
         return np.asarray(toks), np.asarray(last_logits), n_steps
 

@@ -87,3 +87,57 @@ def test_device_sampler_topk_reproducible(model):
     session2.infer_device("<t2>", 10, sampler=s, seed=7,
                           callback=lambda t: out2.append(t))
     assert out1 == out2
+
+
+def test_batched_sampler_unit():
+    """Per-stream (heterogeneous) device sampling: greedy rows are exact
+    argmax, sampled rows stay inside their own top-k set, bias applies per
+    stream."""
+    import jax
+
+    from llm_tpu.ops.sampling import batched_sampler, device_sample
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 50)), jnp.float32)
+    samplers = [
+        DeviceSampler.greedy(),
+        DeviceSampler(kind="sample", temperature=0.7, top_k=5),
+        DeviceSampler(kind="sample", temperature=1.2, top_k=2),
+        DeviceSampler(kind="greedy", bias=((7, float("inf")),)),
+    ]
+    cfg, values = batched_sampler(samplers, 4)
+    assert cfg.sample and cfg.top_k_max == 5 and cfg.bias_tokens == (7,)
+
+    for seed in range(5):
+        toks = np.asarray(
+            device_sample(logits, jax.random.PRNGKey(seed), cfg, values)
+        )
+        assert toks[0] == int(np.argmax(np.asarray(logits)[0]))
+        top5 = set(np.argsort(np.asarray(logits)[1])[-5:])
+        top2 = set(np.argsort(np.asarray(logits)[2])[-2:])
+        assert int(toks[1]) in top5
+        assert int(toks[2]) in top2
+        assert toks[3] == 7  # +inf bias wins
+
+
+def test_engine_step_multi_heterogeneous_samplers(model):
+    """Streams with DIFFERENT DeviceSamplers share one multi-step dispatch;
+    the greedy stream's text equals the host greedy reference."""
+    ref = _host_greedy(model, "<t2><t3>", 8)[0]
+
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    texts = engine.generate_all(
+        [
+            GenerationRequest(
+                prompt="<t2><t3>", max_tokens=8,
+                device_sampler=DeviceSampler.greedy(),
+            ),
+            GenerationRequest(
+                prompt="<t7>", max_tokens=8,
+                device_sampler=DeviceSampler.top_k_temperature(5, 0.9),
+            ),
+        ],
+        n_steps=4,
+    )
+    assert texts[0] == ref
+    assert len(texts[1]) > 0
