@@ -142,34 +142,47 @@ def probe_qstream_bw(params: ModelParams) -> float:
     real qmatmul scalar-prefetch kernel. This is the achievable
     speed-of-light for the decode loop's dominant traffic — the roofline
     denominator."""
-    qt = params.layers.w_gate
-    L = qt.lo.shape[0]
-    E = qt.k
-    reps = 16  # cycle the stack enough times to amortize the ~28 ms
-    #            dispatch round-trip below 3% of the measurement
+    gate, up, down = (
+        params.layers.w_gate, params.layers.w_up, params.layers.w_down
+    )
+    L = gate.lo.shape[0]
+    E = gate.k
+    Fp = down.k_padded
+    reps = 8  # cycle the stacks enough to amortize the ~28 ms dispatch RTT
 
     @jax.jit
-    def chain(x, qt):
+    def chain(x, gate, up, down):
         from llm_tpu.ops.qmatmul import qmatmul
 
-        def body(h, l):
-            y = qmatmul(h, qt, layer=l % L)
-            h = h + y[:, :E] * 1e-6  # dependency, keep finite
+        def body(h, i):
+            l = i % L
+            # two independent streams (overlappable DMA, like the real
+            # layer's q/k/v and gate/up) + one dependent (down)
+            y1 = qmatmul(h, gate, layer=l)
+            y2 = qmatmul(h, up, layer=l)
+            y3 = qmatmul(y1 + y2, down, layer=l)  # kernel pads K itself
+            h = h + y3[:, :E] * 1e-6  # inter-iteration dependency
+            h = h / (jnp.max(jnp.abs(h)) + 1.0)
             return h, None
 
         h, _ = jax.lax.scan(body, x, jnp.arange(L * reps, dtype=jnp.int32))
         return h
 
+    def plane_bytes(qt):
+        return (
+            qt.lo.nbytes + qt.scale.nbytes
+            + (qt.hi.nbytes if qt.hi is not None else 0)
+            + (qt.bias.nbytes if qt.bias is not None else 0)
+        )
+
     x = jnp.ones((8, E), jnp.float32)
-    float(chain(x, qt)[0, 0])
+    float(chain(x, gate, up, down)[0, 0])
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(x, qt)[0, 0])
+        float(chain(x, gate, up, down)[0, 0])
         times.append(time.perf_counter() - t0)
-    nbytes = qt.lo.nbytes + qt.scale.nbytes + (
-        qt.bias.nbytes if qt.bias is not None else 0
-    )
+    nbytes = plane_bytes(gate) + plane_bytes(up) + plane_bytes(down)
     return reps * nbytes / min(times)
 
 
@@ -329,6 +342,34 @@ def load_model():
     return model
 
 
+@_section("hbm-slope")
+def probe_hbm_slope(model) -> float:
+    """MARGINAL cost of the decode loop's cache reads: decode at window
+    512 vs 2048 differs only in how many bf16 KV rows attention streams.
+    Measured ~615 GB/s marginal vs ~140 GB/s serial probes — i.e. the
+    XLA-scheduled cache reads largely OVERLAP the weight-streaming kernel
+    path (latency hiding across the layer scan), they are NOT evidence of
+    a 600 GB/s serial memory system (every serial probe — dense bf16
+    chain, packed-plane kernel chain, near-pure DMA kernels in several
+    layouts/tilings/grids — converges to ~90-145 GB/s on this chip).
+    Reported for the record; the roofline treats cache reads as free
+    (overlapped) and weights as the serial bottleneck."""
+    spec, params = model.spec, model.params
+    pts = []
+    for npast, window in ((256, 512), (1920, 2048)):
+        cache = init_cache(spec, jnp.bfloat16)
+        dt, cache = time_decode_loop(
+            spec, params, cache, npast, window, steps=32
+        )
+        bytes_w = (cache.k.nbytes + cache.v.nbytes) * window / CTX
+        pts.append((bytes_w, dt))
+        del cache
+    (b0, t0), (b1, t1) = pts
+    if t1 <= t0:
+        return 0.0
+    return (b1 - b0) / (t1 - t0)
+
+
 @_section("decode")
 def decode_bench(model, roofline_bw):
     spec = model.spec
@@ -337,12 +378,13 @@ def decode_bench(model, roofline_bw):
     window = window_bucket(N_PAST + 3 * STEPS, CTX)
     dt, cache = time_decode_loop(spec, params, cache, N_PAST, window)
     tok_s = 1.0 / dt
-    step_bytes = weight_stream_bytes(params) + int(
-        (cache.k.nbytes + cache.v.nbytes) * window / CTX
-    )
+    # Roofline: the packed weight stream is the serial bottleneck; the
+    # windowed cache reads overlap it almost fully (probe_hbm_slope), so
+    # they are excluded from the denominator.
+    step_bytes = weight_stream_bytes(params)
     roofline = roofline_bw / step_bytes
     note(
-        f"decode step={dt*1e3:.1f}ms bytes/step={step_bytes/1e9:.2f}GB "
+        f"decode step={dt*1e3:.1f}ms weight bytes/step={step_bytes/1e9:.2f}GB "
         f"roofline_bw={roofline_bw/1e9:.0f}GB/s roofline={roofline:.1f}tok/s"
     )
     del cache
@@ -509,9 +551,7 @@ def stablelm_bench(roofline_bw):
     cache = init_cache(spec, jnp.bfloat16)
     window = window_bucket(N_PAST + 3 * STEPS, CTX)
     dt, cache = time_decode_loop(spec, params, cache, N_PAST, window)
-    step_bytes = weight_stream_bytes(params) + int(
-        (cache.k.nbytes + cache.v.nbytes) * window / CTX
-    )
+    step_bytes = weight_stream_bytes(params)  # cache reads overlap
     roofline = roofline_bw / step_bytes
     del cache, params
     return emit(
@@ -537,9 +577,7 @@ def gpt2_bench(roofline_bw):
     cache = init_cache(spec, jnp.bfloat16)
     window = 1024
     dt, cache = time_decode_loop(spec, params, cache, 512, window)
-    step_bytes = weight_stream_bytes(params) + int(
-        (cache.k.nbytes + cache.v.nbytes) * window / N_CTX
-    )
+    step_bytes = weight_stream_bytes(params)  # cache reads overlap
     roofline = roofline_bw / step_bytes
     del cache, params
     return emit(
@@ -557,8 +595,14 @@ def main() -> None:
 
     dense_bw = probe_dense_bw()
     qbw = probe_qstream_bw(model.params)
+    slope_bw = probe_hbm_slope(model) or 0.0
+    # the slope is an OVERLAP measurement, not a serial rate — see
+    # probe_hbm_slope; the roofline uses the best serial streaming probe
     roofline_bw = max(dense_bw, qbw)
-    note(f"probe: dense={dense_bw/1e9:.0f}GB/s qstream={qbw/1e9:.0f}GB/s")
+    note(
+        f"probe: dense={dense_bw/1e9:.0f}GB/s qstream={qbw/1e9:.0f}GB/s "
+        f"cache-overlap slope={slope_bw/1e9:.0f}GB/s"
+    )
 
     headline = decode_bench(model, roofline_bw)
     prefill_bench(model)
