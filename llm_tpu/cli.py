@@ -327,12 +327,17 @@ def cmd_info(args) -> None:
     from llm_tpu.ggml.reader import GgmlReader
     from llm_tpu.models.spec import get_arch
 
-    if not args.model_architecture:
-        _err("a model architecture is required at present")
-    arch = get_arch(args.model_architecture)
-    reader = GgmlReader(args.model_path).load(
-        lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
-    )
+    from llm_tpu.ggml.gguf import GgufReader, is_gguf
+
+    if is_gguf(args.model_path):
+        reader = GgufReader(args.model_path).load(args.model_architecture)
+    else:
+        if not args.model_architecture:
+            _err("a model architecture is required at present")
+        arch = get_arch(args.model_architecture)
+        reader = GgmlReader(args.model_path).load(
+            lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
+        )
     print(f"Container type: {reader.container!r}")
     print(f"Hyperparameters: {reader.hyperparameters}")
     print(f"Tokenizer vocabulary size: {len(reader.vocabulary)}")

@@ -178,10 +178,39 @@ def case_hyperparameters_roundtrip(model, case: dict) -> None:
     assert hp == hp2, f"hyperparameters round-trip mismatch: {hp} != {hp2}"
 
 
+def case_can_send(model, case: dict) -> None:
+    """The reference's always-run cross-thread test (llm-test
+    common.rs:3-12): a loaded Model driven from another thread produces
+    the same logits as this one."""
+    import threading
+
+    import numpy as np
+
+    from llm_tpu.session import InferenceSession
+
+    ref = InferenceSession(model)
+    ref.feed_prompt([2, 5, 3])
+    expected = np.asarray(ref.last_logits)
+
+    result: list = []
+
+    def run():
+        s = InferenceSession(model)
+        s.feed_prompt([2, 5, 3])
+        result.append(np.asarray(s.last_logits))
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    assert result, "thread produced no logits"
+    np.testing.assert_allclose(result[0], expected, rtol=1e-5, atol=1e-5)
+
+
 CASE_RUNNERS = {
     "Inference": case_inference,
     "Tokens": case_tokens,
     "Delete": case_delete,
+    "CanSend": case_can_send,
 }
 
 
@@ -203,7 +232,7 @@ def run_arch(arch: str, config_dir: Path) -> Report:
         report.error = f"{e}\n{traceback.format_exc()}"
         return report
 
-    cases = [{"Hyperparameters": {}}] + config.get(
+    cases = [{"Hyperparameters": {}}, {"CanSend": {}}] + config.get(
         "test_cases",
         [{"Inference": {"input": "<t2><t3>", "maximum_token_count": 24}},
          {"Tokens": {"input": "<t5><t7>"}},

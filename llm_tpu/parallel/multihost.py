@@ -175,11 +175,93 @@ class MultiHostEngine(_LocalEngine):
         self._eot = model.eot_token_id()
         self._steps = 0
 
-    def step_multi(self, n_steps: int = 16):
-        raise NotImplementedError(
-            "multi-host on-device multi-step decode: use step(); the "
-            "single-host engines provide step_multi"
+    def step_multi(self, n_steps: int = 16) -> list:
+        """Globally-coordinated on-device multi-token decode: all hosts
+        dispatch one decode_loop_batched block over the global batch with
+        a PRNG key derived from the synchronized step counter. The static
+        sampler structure must be globally agreed, so the hosts allgather
+        (any_sample, top_k_max) and build one BatchedDeviceSampler; flat
+        token biases are not supported across hosts yet (assert)."""
+        from jax.experimental import multihost_utils
+
+        from llm_tpu.models.forward import (
+            _decode_loop_batched_jit,
+            window_bucket,
         )
+        from llm_tpu.ops.sampling import BatchedDeviceSampler, batched_sampler
+
+        self._admit()
+        events = self._drain_retired()
+        self._steps += 1
+        n_pref, _, gmax, _ = self._sync()
+        if n_pref:
+            self._global_prefill_chunk(gmax)
+            events += self._drain_retired()
+
+        active = self._decodable()
+        per_slot = [None] * self.max_streams
+        for i, s in active:
+            ds = s.request.device_sampler
+            assert ds is not None, "step_multi requires device_sampler"
+            assert not ds.bias, "multi-host step_multi: bias unsupported"
+            per_slot[i] = ds
+        _, values = batched_sampler(per_slot, self.max_streams)
+
+        # agree on (any decodable, static sampler structure, global max)
+        local = np.array(
+            [
+                len(active),
+                int(any(d is not None and d.kind == "sample" for d in per_slot)),
+                max((d.top_k for d in per_slot
+                     if d is not None and d.kind == "sample"), default=0),
+                max((s.prefill_pos if s.prefilling else s.n_past
+                     for s in self.slots if s is not None), default=0),
+            ],
+            np.int64,
+        )
+        if jax.process_count() == 1:
+            g = local[None]
+        else:
+            g = np.asarray(multihost_utils.process_allgather(local))
+        n_dec = int(g[:, 0].sum())
+        if n_dec == 0:
+            return events
+        cfg = BatchedDeviceSampler(
+            sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
+            bias_tokens=(),
+        )
+        gmax2 = int(g[:, 3].max())
+        n_steps = min(n_steps, self.spec.n_ctx - 1 - gmax2)
+        if n_steps <= 0:
+            return events + self.step()
+
+        logits = np.zeros((self.max_streams, self.spec.n_vocab), np.float32)
+        n_past = np.zeros(self.max_streams, np.int32)
+        for i, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                n_past[i] = s.prefill_pos
+        for i, s in active:
+            logits[i] = s.last_logits
+            n_past[i] = s.n_past
+
+        key = jax.random.PRNGKey(self._steps)  # same on every host
+        toks, last_logits, _, self.cache = _decode_loop_batched_jit(
+            self.spec,
+            self.params,
+            self._to_global(logits, ("data",)),
+            self._to_global(n_past, ("data",)),
+            self.cache,
+            n_steps,
+            window_bucket(gmax2 + n_steps, self.spec.n_ctx),
+            cfg,
+            key,
+            self._to_global(
+                {k: np.asarray(v) for k, v in values.items()}, ("data",)
+            ),
+        )
+        toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
+        ll_l = self._local_rows(last_logits)
+        return events + self._postprocess_multi(active, toks_l, ll_l, n_steps)
 
     # coordination --------------------------------------------------------
 
@@ -227,19 +309,23 @@ class MultiHostEngine(_LocalEngine):
             arr, self.mesh, P(*pspec_axes)
         )
 
-    def _local_rows(self, arr) -> np.ndarray:
-        """Assemble this host's stream rows from the addressable shards of a
-        global [B, ...] array."""
+    def _local_rows(self, arr, axis: int = 0) -> np.ndarray:
+        """Assemble this host's stream rows (batch on `axis`) from the
+        addressable shards of a global array."""
         out = None
         for sh in arr.addressable_shards:
             data = np.asarray(sh.data)
             if out is None:
-                out = np.zeros(
-                    (self.max_streams,) + arr.shape[1:], data.dtype
-                )
-            start = (sh.index[0].start or 0) - self._row0
+                shape = list(arr.shape)
+                shape[axis] = self.max_streams
+                out = np.zeros(tuple(shape), data.dtype)
+            start = (sh.index[axis].start or 0) - self._row0
             if 0 <= start < self.max_streams:
-                out[start : start + data.shape[0]] = data
+                # other axes may be sharded too (e.g. vocab over `model`):
+                # place the shard at its own global index
+                idx = list(sh.index)
+                idx[axis] = slice(start, start + data.shape[axis])
+                out[tuple(idx)] = data
         return out
 
     # stepping ------------------------------------------------------------

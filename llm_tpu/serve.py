@@ -429,8 +429,16 @@ class Engine:
         if dispatched is None:  # backend can't run a block now (e.g. paged
             return retired + self.step()  # pool too tight): single-step
         toks, last_logits, n_steps = dispatched  # toks [n_steps, B]
+        return retired + self._postprocess_multi(
+            active, toks, last_logits, n_steps
+        )
 
-        events = retired
+    def _postprocess_multi(self, active, toks, last_logits, n_steps) -> list:
+        """Host-side bookkeeping after an n_steps on-device decode block:
+        per-stream truncation at EoT / max_tokens / context boundary,
+        UTF-8 assembly, retirement. Shared with MultiHostEngine."""
+        spec = self.spec
+        events = []
         for slot, stream in active:
             col = toks[:, slot]
             hit = np.nonzero(col == self._eot)[0]

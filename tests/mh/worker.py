@@ -60,6 +60,25 @@ texts = engine.generate_all(
     ]
 )
 out = {str(i): t for i, t in enumerate(texts.values())}
+
+# phase 2: on-device multi-token decode across hosts (greedy; must equal
+# the single-process reference the parent computes)
+from llm_tpu.ops.sampling import DeviceSampler
+
+engine2 = MultiHostEngine(
+    model, mesh, global_streams=2 * nproc, kv_dtype=jnp.float32, n_batch=4
+)
+ids2 = [
+    engine2.submit(
+        GenerationRequest(prompt=p, max_tokens=8,
+                          device_sampler=DeviceSampler.greedy())
+    )
+    for p in prompts
+]
+while engine2.has_work_global():
+    engine2.step_multi(4)
+multi = {str(i): "".join(engine2.finished[r].text) for i, r in enumerate(ids2)}
+
 with open(out_path, "w") as f:
-    json.dump({"pid": pid, "texts": out}, f)
+    json.dump({"pid": pid, "texts": out, "multi": multi}, f)
 print(f"[{pid}] done", flush=True)

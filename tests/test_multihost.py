@@ -109,3 +109,42 @@ def test_multihost_two_processes(model, tmp_path):
         refs = _reference(model, host_prompts[pid])
         got = [results[pid]["texts"][str(i)] for i in range(2)]
         assert got == refs, f"host {pid}: {got} != {refs}"
+        # the greedy step_multi phase must match the same references
+        # (host sampling chain default == greedy on these prompts? no —
+        # compare against explicit greedy refs)
+        from llm_tpu.samplers import GreedySampler
+
+        greedy_engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+        grefs = greedy_engine.generate_all(
+            [GenerationRequest(prompt=p, max_tokens=8,
+                               sampler=GreedySampler())
+             for p in host_prompts[pid]]
+        )
+        gmulti = [results[pid]["multi"][str(i)] for i in range(2)]
+        assert gmulti == [grefs[0], grefs[1]], f"host {pid} multi: {gmulti}"
+
+
+def test_multihost_step_multi_single_process(model):
+    """On-device multi-token decode across the coordinated global batch
+    (single-process mesh): greedy output equals the dense engine."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    ref_engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    from llm_tpu.samplers import GreedySampler
+    refs = ref_engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=8, sampler=GreedySampler())
+         for p in [[2, 3], [9, 4, 5]]]
+    )
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=2,
+                             kv_dtype=jnp.float32, n_batch=4)
+    ids = [
+        engine.submit(GenerationRequest(
+            prompt=p, max_tokens=8, device_sampler=DeviceSampler.greedy()))
+        for p in [[2, 3], [9, 4, 5]]
+    ]
+    while engine.has_work_global():
+        engine.step_multi(4)
+    got = ["".join(engine.finished[i].text) for i in ids]
+    assert got == [refs[0], refs[1]]
