@@ -477,6 +477,52 @@ def serve_bench(model, decode_rec):
     )
 
 
+@_section("paged-serve-64")
+def paged_serve_bench(model, decode_rec):
+    """BASELINE's continuous-batching scale on ONE chip: 64 streams over a
+    paged int8 pool sized for the TOKENS IN FLIGHT (2 pages/stream) — a
+    dense 64-slot int8 cache would need ~34 GB and not fit; the page pool
+    holds the same workload in ~4.3 GB."""
+    from llm_tpu.paged import PageAllocator, init_paged_cache, paged_decode_loop
+
+    spec = model.spec
+    params = model.params
+    B, PAGE, PAST = 64, 256, 300
+    pages_per = spec.n_ctx // PAGE
+    n_pages = 1 + B * 2  # two pages per stream in flight
+    pool = init_paged_cache(spec, n_pages, PAGE, "int8")
+    tables = np.full((B, pages_per), PageAllocator.TRASH, np.int32)
+    nxt = iter(range(1, n_pages))
+    for b in range(B):
+        tables[b, 0] = next(nxt)
+        tables[b, 1] = next(nxt)
+    n_past = jnp.full((B,), PAST, jnp.int32)
+    tables_j = jnp.asarray(tables)
+    last = jnp.zeros((B, spec.n_vocab), jnp.float32)
+    wp = 2
+
+    toks, ll, _, pool = paged_decode_loop(
+        spec, params, last, n_past, tables_j, pool, STEPS, wp
+    )
+    np.asarray(toks)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, ll, _, pool = paged_decode_loop(
+            spec, params, ll, n_past, tables_j, pool, STEPS, wp
+        )
+        np.asarray(toks)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    agg = B * STEPS / dt
+    single = decode_rec["value"] if decode_rec else 34.5
+    del pool
+    return emit(
+        "llama7b_q4_0_paged_serve_64streams_int8", agg, "tokens/s/chip",
+        agg / (B * single),  # batching efficiency vs 64x single-stream
+    )
+
+
 @_section("paged-mpt")
 def paged_mpt_bench(roofline_bw):
     """Staged config #4: MPT-7B geometry, Q4_K, ALiBi, 8K context, int8
@@ -608,6 +654,7 @@ def main() -> None:
     prefill_bench(model)
     ttft_bench(model)
     serve_bench(model, headline)
+    paged_serve_bench(model, headline)
 
     # free the llama weights before the 7B-scale MPT section
     del model

@@ -207,6 +207,11 @@ def _paged_attention_call(
             bytes_accessed=bytes_accessed,
             transcendentals=B * window_pages * page * hkv * rep,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # streams are independent; only the page axis carries the
+            # online-softmax scratch
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(
         jnp.asarray(tables, jnp.int32),
