@@ -487,19 +487,19 @@ def paged_serve_bench(model, decode_rec):
 
     spec = model.spec
     params = model.params
-    B, PAGE, PAST = 64, 256, 300
+    B, PAGE, PAST = 64, 256, 200
     pages_per = spec.n_ctx // PAGE
-    n_pages = 1 + B * 2  # two pages per stream in flight
+    n_pages = 1 + B  # one page per stream in flight (~2.2 GB/plane; the
+    #                  axon compile service crashes above ~8 GB total)
     pool = init_paged_cache(spec, n_pages, PAGE, "int8")
     tables = np.full((B, pages_per), PageAllocator.TRASH, np.int32)
     nxt = iter(range(1, n_pages))
     for b in range(B):
         tables[b, 0] = next(nxt)
-        tables[b, 1] = next(nxt)
     n_past = jnp.full((B,), PAST, jnp.int32)
     tables_j = jnp.asarray(tables)
     last = jnp.zeros((B, spec.n_vocab), jnp.float32)
-    wp = 2
+    wp = 1
 
     toks, ll, _, pool = paged_decode_loop(
         spec, params, last, n_past, tables_j, pool, STEPS, wp

@@ -1,17 +1,30 @@
 """Pallas paged-attention decode kernel: page tables as scalar prefetch.
 
 The TPU-native replacement for gather-then-attend paged KV reads: the
-kernel's grid is (streams, logical pages) and the BlockSpec index map for
-the K/V pool operands looks the physical page id up in the scalar-prefetched
-page table, so pages stream DIRECTLY from HBM into VMEM in logical order —
-each page is read exactly once, with no windowed-KV gather copy in front of
-attention (the round-1 paged path's main overhead). Online softmax carries
-running (max, denom, accumulator) per (kv-head, rep) across page iterations
-in VMEM scratch; int8 pools are dequantized in-register from per-row scales.
+kernel's grid is (streams, logical pages, kv-heads) and the BlockSpec index
+map for the K/V pool operands looks the physical page id up in the
+scalar-prefetched page table, so pages stream DIRECTLY from HBM into VMEM
+in logical order — each page is read exactly once, with no windowed-KV
+gather copy in front of attention.
+
+Layout/grid rationale:
+- pool [L, NP, Hkv, page, D]: a (head, page) block is one contiguous
+  page*D run, and the block's minor dims (page, D) satisfy Mosaic's
+  sublane/lane tiling rules.
+- heads INNERMOST: the per-page scale block's index map ignores the head,
+  so consecutive grid steps fetch the identical block and Mosaic elides
+  the DMA — scales are read once per page, not once per head. (A
+  per-head scale block would either violate the minor-dim tiling rules
+  or pad lanes 128x and OOM at 7B scale.)
+- the online-softmax state lives in VMEM scratch for ALL heads
+  ([Hkv, rep(, D)]), indexed by the head program id; pages advance in the
+  middle grid dim, so the state threads correctly per (stream, head).
+- one dot pair per block — no per-head python unroll (at 64 streams the
+  unrolled variant spent ~2.5 ms/layer on instruction overhead).
 
 Decode-shaped (T=1) only: prefill chunks use the jnp page-scan pass
 (llm_tpu/paged.py:_paged_online_pass), whose math this kernel reproduces
-exactly (equality-tested in interpret mode).
+exactly (equality-tested in interpret mode and on chip).
 
 Reference contrast: ggml has no paged KV at all — context overflow is an
 error (/root/reference/crates/llm-base/src/inference_session.rs:311-313).
@@ -44,25 +57,18 @@ def kernel_ok(spec, T: int, page: int) -> bool:
 
 
 def _make_kernel(
-    Hkv: int,
-    rep: int,
-    D: int,
-    page: int,
-    nw: int,
-    kq_scale: float,
-    quantized: bool,
-    has_alibi: bool,
+    nw: int, hkv: int, kq_scale: float, quantized: bool, has_alibi: bool
 ):
     def kernel(*refs):
         # scalar prefetch: tables [B, P], n_past [B], layer [1]
         tbl_ref, npast_ref, _layer_ref = refs[0], refs[1], refs[2]
         i = 3
-        q_ref = refs[i]; i += 1          # [1, Hkv, rep, D]
-        k_ref = refs[i]; i += 1          # [1, 1, page, Hkv, D]
+        q_ref = refs[i]; i += 1          # [1, 1, rep, D]
+        k_ref = refs[i]; i += 1          # [1, 1, 1, page, D]
         v_ref = refs[i]; i += 1
         ks_ref = vs_ref = None
         if quantized:
-            ks_ref = refs[i]; i += 1     # [1, 1, page, Hkv]
+            ks_ref = refs[i]; i += 1     # [1, 1, Hkv, page]
             vs_ref = refs[i]; i += 1
         slopes_ref = None
         if has_alibi:
@@ -72,56 +78,64 @@ def _make_kernel(
 
         b = pl.program_id(0)
         j = pl.program_id(1)
+        h = pl.program_id(2)
+
+        hs = pl.ds(h, 1)  # dynamic head slice into scratch/scale refs
 
         @pl.when(j == 0)
         def _():
-            m_s[...] = jnp.full_like(m_s, NEG_INF)
-            l_s[...] = jnp.zeros_like(l_s)
-            acc_s[...] = jnp.zeros_like(acc_s)
+            # head h's state initializes on its first page visit
+            m_s[hs] = jnp.full((1,) + m_s.shape[1:], NEG_INF, m_s.dtype)
+            l_s[hs] = jnp.zeros((1,) + l_s.shape[1:], l_s.dtype)
+            acc_s[hs] = jnp.zeros((1,) + acc_s.shape[1:], acc_s.dtype)
 
         npv = npast_ref[b]
+        page = k_ref.shape[3]
         pos = j * page + lax.broadcasted_iota(jnp.int32, (1, page), 1)
         valid = pos < npv  # [1, page]
 
-        for h in range(Hkv):
-            qh = q_ref[0, h]  # [rep, D]
-            kh = k_ref[0, 0, :, h, :].astype(jnp.float32)  # [page, D]
-            vh = v_ref[0, 0, :, h, :].astype(jnp.float32)
-            if quantized:
-                kh = kh * ks_ref[0, 0, :, h : h + 1]
-                vh = vh * vs_ref[0, 0, :, h : h + 1]
-            s = (
-                lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * kq_scale
-            )  # [rep, page]
-            if has_alibi:
-                slope = jnp.transpose(slopes_ref[h : h + 1, :])  # [rep, 1]
-                s = s + slope * pos.astype(jnp.float32)
-            s = jnp.where(valid, s, NEG_INF)
+        qh = q_ref[0, 0]  # [rep, D]
+        kh = k_ref[0, 0, 0].astype(jnp.float32)  # [page, D]
+        vh = v_ref[0, 0, 0].astype(jnp.float32)
+        s = (
+            lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * kq_scale
+        )  # [rep, page]
+        if quantized:
+            # dequant folded around the dots: k scale scales the SCORES
+            # per key position; v scale scales the probabilities
+            ks_row = ks_ref[0, 0, hs, :]  # [1, page]
+            s = s * ks_row
+        if has_alibi:
+            slope = jnp.transpose(slopes_ref[hs, :])  # [rep, 1]
+            s = s + slope * pos.astype(jnp.float32)
+        s = jnp.where(valid, s, NEG_INF)
 
-            m_prev = m_s[h]  # [rep, 1]
-            l_prev = l_s[h]
-            acc_prev = acc_s[h]  # [rep, D]
-            m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
-            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-            corr = jnp.exp(m_prev - m_new)
-            l_new = l_prev * corr + p.sum(axis=1, keepdims=True)
-            acc_new = acc_prev * corr + lax.dot_general(
+        m_prev = m_s[hs][0]  # [rep, 1]
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        m_s[hs] = m_new[None]
+        l_s[hs] = (l_s[hs][0] * corr + p.sum(axis=1, keepdims=True))[None]
+        if quantized:
+            vs_row = vs_ref[0, 0, hs, :]  # [1, page]
+            p = p * vs_row
+        acc_s[hs] = (
+            acc_s[hs][0] * corr
+            + lax.dot_general(
                 p, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_s[h] = m_new
-            l_s[h] = l_new
-            acc_s[h] = acc_new
+        )[None]
 
         @pl.when(j == nw - 1)
         def _():
-            m_out[0] = m_s[:, :, 0]
-            l_out[0] = l_s[:, :, 0]
-            acc_out[0] = acc_s[...]
+            m_out[0, 0] = m_s[hs][0]
+            l_out[0, 0] = l_s[hs][0]
+            acc_out[0, 0] = acc_s[hs][0]
 
     return kernel
 
@@ -135,50 +149,54 @@ def _paged_attention_call(
     *, window_pages, kq_scale, interpret, hkv, rep, d,
 ):
     B = q.shape[0]
-    page = pool_k.shape[2]
+    page = pool_k.shape[3]
     quantized = ks is not None
     has_alibi = slopes is not None
 
-    kernel = _make_kernel(
-        hkv, rep, d, page, window_pages, kq_scale, quantized, has_alibi
-    )
+    kernel = _make_kernel(window_pages, hkv, kq_scale, quantized, has_alibi)
 
-    def im_q(b, j, tbl, npst, lyr):
-        return (b, 0, 0, 0)
+    def im_q(b, j, h, tbl, npst, lyr):
+        return (b, h, 0, 0)
 
-    def im_pool(b, j, tbl, npst, lyr):
-        return (lyr[0], tbl[b, j], 0, 0, 0)
+    def im_pool(b, j, h, tbl, npst, lyr):
+        return (lyr[0], tbl[b, j], h, 0, 0)
 
-    def im_scale(b, j, tbl, npst, lyr):
+    def im_scale(b, j, h, tbl, npst, lyr):
+        # head-independent: consecutive h steps fetch the identical block,
+        # which Mosaic's pipelining elides (one scale DMA per page)
         return (lyr[0], tbl[b, j], 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, hkv, rep, d), im_q),
-        pl.BlockSpec((1, 1, page, hkv, d), im_pool),
-        pl.BlockSpec((1, 1, page, hkv, d), im_pool),
+        pl.BlockSpec((1, 1, rep, d), im_q),
+        pl.BlockSpec((1, 1, 1, page, d), im_pool),
+        pl.BlockSpec((1, 1, 1, page, d), im_pool),
     ]
     operands = [q, pool_k, pool_v]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, page, hkv), im_scale),
-            pl.BlockSpec((1, 1, page, hkv), im_scale),
+            pl.BlockSpec((1, 1, hkv, page), im_scale),
+            pl.BlockSpec((1, 1, hkv, page), im_scale),
         ]
         operands += [ks, vs]
     if has_alibi:
         in_specs.append(
-            pl.BlockSpec((hkv, rep), lambda b, j, tbl, npst, lyr: (0, 0))
+            pl.BlockSpec((hkv, rep), lambda b, j, h, tbl, npst, lyr: (0, 0))
         )
         operands.append(slopes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, window_pages),
+        grid=(B, window_pages, hkv),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, hkv, rep), lambda b, j, tbl, npst, lyr: (b, 0, 0)),
-            pl.BlockSpec((1, hkv, rep), lambda b, j, tbl, npst, lyr: (b, 0, 0)),
             pl.BlockSpec(
-                (1, hkv, rep, d), lambda b, j, tbl, npst, lyr: (b, 0, 0, 0)
+                (1, 1, rep, 1), lambda b, j, h, tbl, npst, lyr: (b, h, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, rep, 1), lambda b, j, h, tbl, npst, lyr: (b, h, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, rep, d), lambda b, j, h, tbl, npst, lyr: (b, h, 0, 0)
             ),
         ],
         scratch_shapes=[
@@ -198,8 +216,8 @@ def _paged_attention_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, hkv, rep), jnp.float32),
-            jax.ShapeDtypeStruct((B, hkv, rep), jnp.float32),
+            jax.ShapeDtypeStruct((B, hkv, rep, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, hkv, rep, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, hkv, rep, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -208,9 +226,9 @@ def _paged_attention_call(
             transcendentals=B * window_pages * page * hkv * rep,
         ),
         compiler_params=pltpu.CompilerParams(
-            # streams are independent; only the page axis carries the
-            # online-softmax scratch
-            dimension_semantics=("parallel", "arbitrary"),
+            # streams are independent; pages thread the online-softmax
+            # scratch; heads share the page's scale block
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(
@@ -219,7 +237,7 @@ def _paged_attention_call(
         jnp.asarray(layer, jnp.int32).reshape(1),
         *operands,
     )
-    return m, l, acc
+    return m[..., 0], l[..., 0], acc
 
 
 def paged_attention_pass(

@@ -7,10 +7,11 @@ max_streams x n_ctx: streams allocate fixed-size pages from a shared pool
 as their context grows and release them when they finish, so total memory
 tracks the TOKENS IN FLIGHT, not the worst case.
 
-Layout (layer-major, like the dense cache):
+Layout (layer-major; heads ABOVE positions so the Pallas kernel's
+per-(stream, head) page blocks are contiguous page*D runs):
 
-    pool.k/v          [L, n_pages, page, H_kv, D]   (bf16/f32 or int8)
-    pool.k/v_scale    [L, n_pages, page, H_kv] f32  (int8 pools only)
+    pool.k/v          [L, n_pages, H_kv, page, D]   (bf16/f32 or int8)
+    pool.k/v_scale    [L, n_pages, H_kv, page] f32  (int8 pools only)
     page_table        [B, P] int32 physical page ids (logical order)
     n_past            [B]
 
@@ -53,14 +54,14 @@ NEG_INF = -1e30
 @_register
 @dataclass
 class PagedKVCache:
-    k: jnp.ndarray  # [L, n_pages, page, H_kv, D]
+    k: jnp.ndarray  # [L, n_pages, H_kv, page, D]
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray] = None  # [L, n_pages, page, H_kv] f32
+    k_scale: Optional[jnp.ndarray] = None  # [L, n_pages, H_kv, page] f32
     v_scale: Optional[jnp.ndarray] = None
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def n_pages(self) -> int:
@@ -74,7 +75,7 @@ class PagedKVCache:
 def init_paged_cache(
     spec: ModelSpec, n_pages: int, page_size: int = 256, dtype=jnp.bfloat16
 ) -> PagedKVCache:
-    shape = (spec.n_layer, n_pages, page_size, spec.n_head_kv, spec.head_dim)
+    shape = (spec.n_layer, n_pages, spec.n_head_kv, page_size, spec.head_dim)
     if dtype in (jnp.int8, "int8"):
         return PagedKVCache(
             k=jnp.zeros(shape, jnp.int8),
@@ -131,19 +132,19 @@ def _paged_online_pass(
     folded into running (m, l, acc). Peak extra memory is ONE page per
     stream instead of the whole window."""
     B, T, Hkv, rep, D = qf.shape
-    page = pool_k.shape[2]
+    page = pool_k.shape[3]
 
     def body(carry, j):
         m, l, acc = carry
         sel = jnp.take(tables, j, axis=1)  # [B] physical page ids
-        kf = pool_k[layer, sel].astype(jnp.float32)  # [B, page, Hkv, D]
+        kf = pool_k[layer, sel].astype(jnp.float32)  # [B, Hkv, page, D]
         vf = pool_v[layer, sel].astype(jnp.float32)
         if ks is not None:
             kf = kf * ks[layer, sel][..., None]
             vf = vf * vs[layer, sel][..., None]
         pos = j * page + jnp.arange(page, dtype=jnp.int32)
         s = (
-            jnp.einsum("bthrd,bshd->bthrs", qf, kf,
+            jnp.einsum("bthrd,bhsd->bthrs", qf, kf,
                        preferred_element_type=jnp.float32)
             * spec.kq_scale
         )
@@ -161,7 +162,7 @@ def _paged_online_pass(
         corr = jnp.exp(m - m_new)
         l = l * corr + p.sum(axis=-1)
         acc = acc * corr[..., None] + jnp.einsum(
-            "bthrs,bshd->bthrd", p, vf, preferred_element_type=jnp.float32
+            "bthrs,bhsd->bthrd", p, vf, preferred_element_type=jnp.float32
         )
         return (m_new, l, acc), None
 
@@ -259,14 +260,27 @@ def paged_forward_batched(
 
     pp = phys_pages.reshape(-1)  # [B*T]
     oo = offsets.reshape(-1)
+    # one flat destination index per (token, head): (page*Hkv + h)*page_sz
+    # + offset over the pool flattened to [L, NP*Hkv*page(, D)] — a SINGLE
+    # adjacent-advanced-index scatter (a [:, pp, :, oo] form with the page
+    # and offset axes apart would make XLA materialize a transposed copy
+    # of the whole multi-GB pool and OOM at 7B scale)
+    Hkv = cache.k.shape[2]
+    # destination (page*Hkv + h) rows over the pool's fused (NP, Hkv) axes
+    # plus the page offset — TWO ADJACENT advanced indices, so XLA emits a
+    # plain scatter with the batch dims in place (a non-adjacent [:, pp, :,
+    # oo] form would transpose a copy of the whole multi-GB pool and OOM)
+    rows = pp[:, None] * Hkv + jnp.arange(Hkv, dtype=jnp.int32)[None, :]
+    offs = jnp.broadcast_to(oo[:, None], rows.shape)  # [B*T, Hkv]
 
     def scatter(pool, new):
-        # pool [L, NP, page, ...]; new [L, B, T, ...].
-        # pool[:, pp, oo] has shape [L, B*T, ...] (advanced indices are
-        # adjacent), so this is a single scatter — no pool transpose.
+        # pool [L, NP, Hkv, page(, D)]; new [L, B, T, H(, D)]
         L = new.shape[0]
-        flat_new = new.reshape((L, -1) + new.shape[3:])
-        return pool.at[:, pp, oo].set(flat_new.astype(pool.dtype))
+        tail = pool.shape[4:]  # (D,) or ()
+        flat_pool = pool.reshape((L, -1, page) + tail)  # [L, NP*Hkv, page(,D)]
+        flat_new = new.reshape((L, -1, Hkv) + tail)  # [L, BT, H(, D)]
+        out = flat_pool.at[:, rows, offs].set(flat_new.astype(pool.dtype))
+        return out.reshape(pool.shape)
 
     if quantized:
         kq, ks = k_news  # attention already emits (codes, scales)
