@@ -104,3 +104,18 @@ def test_ignore_eos_and_sampler_dsl(model_path, capsys):
     ])
     out = capsys.readouterr().out
     assert len(out.strip()) > 0
+
+
+def test_batch_size_auto(tmp_path, capsys, monkeypatch):
+    """--batch-size auto picks a backend-appropriate prefill chunk."""
+    from llm_tpu.cli import main
+
+    path = tmp_path / "llama.bin"
+    make_tiny_file("llama", path)
+    main([
+        "infer", "-m", str(path), "-a", "llama", "-p", "<t2><t3>",
+        "-n", "2", "--num-ctx-tokens", "64", "--batch-size", "auto",
+        "--sampler", "topk:k=1",
+    ])
+    out = capsys.readouterr().out
+    assert len(out) > 0

@@ -323,3 +323,26 @@ def test_paged_admission_interleaves_with_decode(model):
     assert "".join(engine.finished[a].text) == ref[0]
     ref4 = _dense_reference(model, [[5] * 16], 4)
     assert "".join(engine.finished[b].text) == ref4[0]
+
+
+def test_paged_kernel_interpret_mqa_falcon(tmp_path, monkeypatch):
+    """Kernel path with multi-query attention (falcon-7B: Hkv=1, rep=H) —
+    exercises rep>1 blocks in the (streams, pages, heads) grid."""
+    path = tmp_path / "falcon128.bin"
+    make_tiny_file("falcon", path, n_embd=512)
+    model = load(path, "falcon", params=ModelParameters(context_size=64))
+    assert model.spec.head_dim == 128 and model.spec.n_head_kv == 1
+
+    def run():
+        engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype="int8")
+        return engine.generate_all(
+            [GenerationRequest(prompt=[2, 3, 4], max_tokens=8,
+                               sampler=DeterministicSampler())]
+        )[0]
+
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+    got = run()
+    assert got == ref
