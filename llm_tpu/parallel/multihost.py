@@ -415,10 +415,14 @@ class MultiHostEngine(_LocalEngine):
     def has_work_global(self) -> bool:
         return self._sync()[3] > 0
 
-    def generate_all(self, requests) -> dict[int, str]:
+    def generate_all(self, requests, n_steps: int = 1) -> dict[int, str]:
         """Submit local requests, step in global lockstep until EVERY host
-        drains, return local id -> text."""
+        drains, return local id -> text. n_steps > 1 uses the coordinated
+        on-device multi-token decode (device_sampler required)."""
         ids = [self.submit(r) for r in requests]
         while self.has_work_global():
-            self.step()
+            if n_steps > 1:
+                self.step_multi(n_steps)
+            else:
+                self.step()
         return {rid: "".join(self.finished[rid].text) for rid in ids}
