@@ -147,7 +147,6 @@ def probe_qstream_bw(params: ModelParams) -> float:
     )
     L = gate.lo.shape[0]
     E = gate.k
-    Fp = down.k_padded
     reps = 8  # cycle the stacks enough to amortize the ~28 ms dispatch RTT
 
     @jax.jit

@@ -20,6 +20,12 @@ def _err(msg: str) -> "NoReturn":  # noqa: F821
     sys.exit(1)
 
 
+def _batch_size(v: str):
+    if v == "auto":
+        return v
+    return int(v)  # argparse reports ValueError as a usage error
+
+
 # ---------------------------------------------------------------------------
 # shared argument groups
 
@@ -61,7 +67,7 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
                    help="accepted for parity; XLA owns intra-chip parallelism")
     g.add_argument("-n", "--num-predict", type=int, default=None,
                    help="how many tokens to generate (default: until EOT)")
-    g.add_argument("--batch-size", default="8",
+    g.add_argument("--batch-size", type=_batch_size, default=8,
                    help="prompt batch size (default 8, reference parity); "
                         "'auto' picks a TPU-efficient chunk (512 — prefill "
                         "throughput measured ~25x the chunk-8 default)")

@@ -193,6 +193,8 @@ class GgufReader:
         if not toks:
             return
         scores = self.metadata.get("tokenizer.ggml.scores") or [0.0] * len(toks)
+        if len(scores) < len(toks):  # malformed: pad rather than truncate
+            scores = list(scores) + [0.0] * (len(toks) - len(scores))
         for t, s in zip(toks, scores):
             self.vocabulary.tokens.append(
                 t if isinstance(t, bytes) else str(t).encode()

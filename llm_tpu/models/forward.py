@@ -570,6 +570,7 @@ def _decode_loop_batched_jit(
     sampler=None,
     key=None,
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
+    write_mask=None,  # [B] bool: dummy slots never write the cache
 ):
     """Batched multi-token decode on device: B streams x n_steps tokens per
     dispatch (sample-then-evaluate per step, like decode_loop). Returns
@@ -585,7 +586,7 @@ def _decode_loop_batched_jit(
         k, sub = jax.random.split(k)
         toks = device_sample(logits, sub, sampler, sampler_values)
         new_logits, _, c = forward_batched(
-            spec, params, toks[:, None], npast, c, window
+            spec, params, toks[:, None], npast, c, window, write_mask
         )
         return (new_logits[:, 0, :], npast + 1, c, k), toks
 
@@ -600,11 +601,11 @@ def _decode_loop_batched_jit(
 
 def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
                         window=None, sampler=None, key=None,
-                        sampler_values=None):
+                        sampler_values=None, write_mask=None):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_batched_jit(spec, params, last_logits, n_past, cache,
                                     n_steps, window, sampler, key,
-                                    sampler_values)
+                                    sampler_values, write_mask)
 
 
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(6,))
@@ -915,11 +916,19 @@ def forward_batched(
     n_past: jnp.ndarray,  # [B] int32
     cache: KVCache,  # [L, B, S, H_kv, D]
     window: Optional[int] = None,
+    write_mask: Optional[jnp.ndarray] = None,  # [B] bool
 ):
     """Batched forward over B independent streams sharing the weights.
 
     Returns (logits [B, T, V] f32, hidden [B, T, E] f32, new cache).
     `window` (static) bounds cache reads; must cover max(n_past).
+
+    `write_mask` (default: all True) disables the KV-cache write for masked
+    streams entirely — the safe way to run DUMMY rows (empty or
+    mid-prefill slots in a full-batch SPMD dispatch). Without it a dummy
+    row near the context boundary is lethal: dynamic_update_slice CLAMPS
+    an out-of-bounds start, silently overwriting LIVE positions < n_past
+    with garbage K/V.
     """
     B, T = ids.shape
     positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -955,27 +964,42 @@ def forward_batched(
     # k_news: [L, B, T, H, D]; per-stream DUS at its own n_past (vmap over
     # the batch axis 1 of both cache and update)
 
-    def write(c, new, p):  # c [L, S, H, D], new [L, T, H, D]
-        return lax.dynamic_update_slice(c, new, (0, p, 0, 0))
+    wm = (
+        jnp.ones((B,), jnp.bool_) if write_mask is None
+        else jnp.asarray(write_mask)
+    )
 
-    def write_scale(c, new, p):  # c [L, S, H], new [L, T, H]
-        return lax.dynamic_update_slice(c, new, (0, p, 0))
+    def write(c, new, p, en):  # c [L, S, H, D], new [L, T, H, D]
+        # masked streams re-write their OWN current values (read-modify
+        # no-op) instead of `new` — a per-stream predicated DUS
+        cur = lax.dynamic_slice(
+            c, (0, p, 0, 0), (c.shape[0],) + new.shape[1:]
+        )
+        return lax.dynamic_update_slice(
+            c, jnp.where(en, new, cur), (0, p, 0, 0)
+        )
 
-    vwrite = jax.vmap(write, in_axes=(1, 1, 0), out_axes=1)
+    def write_scale(c, new, p, en):  # c [L, S, H], new [L, T, H]
+        cur = lax.dynamic_slice(c, (0, p, 0), (c.shape[0],) + new.shape[1:])
+        return lax.dynamic_update_slice(
+            c, jnp.where(en, new, cur), (0, p, 0)
+        )
+
+    vwrite = jax.vmap(write, in_axes=(1, 1, 0, 0), out_axes=1)
     if quantized:
         kq, ks = k_news  # attention already emits (codes, scales)
         vq, vs = v_news
-        vwrite_s = jax.vmap(write_scale, in_axes=(1, 1, 0), out_axes=1)
+        vwrite_s = jax.vmap(write_scale, in_axes=(1, 1, 0, 0), out_axes=1)
         new_cache = KVCache(
-            vwrite(cache.k, kq, n_past),
-            vwrite(cache.v, vq, n_past),
-            vwrite_s(cache.k_scale, ks, n_past),
-            vwrite_s(cache.v_scale, vs, n_past),
+            vwrite(cache.k, kq, n_past, wm),
+            vwrite(cache.v, vq, n_past, wm),
+            vwrite_s(cache.k_scale, ks, n_past, wm),
+            vwrite_s(cache.v_scale, vs, n_past, wm),
         )
     else:
         new_cache = KVCache(
-            vwrite(cache.k, k_news.astype(cache.k.dtype), n_past),
-            vwrite(cache.v, v_news.astype(cache.v.dtype), n_past),
+            vwrite(cache.k, k_news.astype(cache.k.dtype), n_past, wm),
+            vwrite(cache.v, v_news.astype(cache.v.dtype), n_past, wm),
         )
 
     E = h.shape[-1]
@@ -992,10 +1016,14 @@ def forward_batched(
 
 
 @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
-def _forward_batched_step_jit(spec, params, ids, n_past, cache, window=None):
-    return forward_batched(spec, params, ids, n_past, cache, window)
+def _forward_batched_step_jit(spec, params, ids, n_past, cache, window=None,
+                              write_mask=None):
+    return forward_batched(spec, params, ids, n_past, cache, window,
+                           write_mask)
 
 
-def forward_batched_step(spec, params, ids, n_past, cache, window=None):
+def forward_batched_step(spec, params, ids, n_past, cache, window=None,
+                         write_mask=None):
     _check_window(window, n_past)
-    return _forward_batched_step_jit(spec, params, ids, n_past, cache, window)
+    return _forward_batched_step_jit(spec, params, ids, n_past, cache,
+                                     window, write_mask)

@@ -56,9 +56,7 @@ def kernel_ok(spec, T: int, page: int) -> bool:
     )
 
 
-def _make_kernel(
-    nw: int, hkv: int, kq_scale: float, quantized: bool, has_alibi: bool
-):
+def _make_kernel(nw: int, kq_scale: float, quantized: bool, has_alibi: bool):
     def kernel(*refs):
         # scalar prefetch: tables [B, P], n_past [B], layer [1]
         tbl_ref, npast_ref, _layer_ref = refs[0], refs[1], refs[2]
@@ -153,7 +151,7 @@ def _paged_attention_call(
     quantized = ks is not None
     has_alibi = slopes is not None
 
-    kernel = _make_kernel(window_pages, hkv, kq_scale, quantized, has_alibi)
+    kernel = _make_kernel(window_pages, kq_scale, quantized, has_alibi)
 
     def im_q(b, j, h, tbl, npst, lyr):
         return (b, h, 0, 0)

@@ -117,9 +117,9 @@ def _paged_online_pass(
     spec: ModelSpec,
     qf: jnp.ndarray,  # [B, T, Hkv, rep, D] f32
     *,
-    pool_k,  # [L, NP, page, Hkv, D] the FULL pool (gathered per page —
+    pool_k,  # [L, NP, Hkv, page, D] the FULL pool (gathered per page —
     pool_v,  # no per-layer slice copy)
-    ks,  # [L, NP, page, Hkv] f32 | None
+    ks,  # [L, NP, Hkv, page] f32 | None
     vs,
     layer,  # scalar int32
     tables: jnp.ndarray,  # [B, P]
@@ -305,8 +305,7 @@ def paged_forward_batched(
     return (
         logits.reshape(B, T, -1).astype(jnp.float32),
         h.astype(jnp.float32),
-        PagedKVCache(new_cache.k, new_cache.v,
-                     new_cache.k_scale, new_cache.v_scale),
+        new_cache,
     )
 
 
@@ -426,7 +425,10 @@ class PagedEngine(Engine):
         max_past = max(
             (s.n_past for s in self.slots if s is not None), default=0
         )
-        return max(1, -(-(max_past + extra) // self.page_size))
+        wp = max(1, -(-(max_past + extra) // self.page_size))
+        # never beyond the table width: positions >= n_ctx cannot exist,
+        # and the kernel's scalar-prefetch tbl[b, j] must stay in bounds
+        return min(wp, self.pages_per_stream)
 
     # -- prefill / decode ---------------------------------------------------
 
@@ -535,7 +537,9 @@ class PagedEngine(Engine):
         return n_steps
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
-                        values=None):
+                        values=None, write_mask=None):
+        # write_mask unused: dummy rows' writes are already redirected to
+        # the trash page by the page-table TRASH entries
         active = self._decodable()
         n_steps = self._plan_multi(active, n_steps)
         if n_steps == 0:

@@ -122,6 +122,10 @@ class MultiHostEngine(_LocalEngine):
         self.global_streams = global_streams
         data = mesh.shape["data"]
         assert global_streams % data == 0, (global_streams, data)
+        # prefill chunks are dispatched at FIXED width n_batch (SPMD: all
+        # hosts run the identical program); requiring n_batch | n_ctx keeps
+        # every padded chunk write inside the cache ring
+        assert model.spec.n_ctx % n_batch == 0, (model.spec.n_ctx, n_batch)
 
         self.params = shard_params(model.params, mesh)
 
@@ -164,7 +168,7 @@ class MultiHostEngine(_LocalEngine):
             static_argnums=(0, 5),
             donate_argnums=(4,),
             out_shardings=self._out_sh,
-        )
+        )  # (spec, params, ids, n_past, cache, window, write_mask)
 
         # host-local stream state
         self.slots = [None] * self.max_streams
@@ -237,12 +241,11 @@ class MultiHostEngine(_LocalEngine):
 
         logits = np.zeros((self.max_streams, self.spec.n_vocab), np.float32)
         n_past = np.zeros(self.max_streams, np.int32)
-        for i, s in enumerate(self.slots):
-            if s is not None and s.prefilling:
-                n_past[i] = s.prefill_pos
+        mask = np.zeros(self.max_streams, bool)
         for i, s in active:
             logits[i] = s.last_logits
             n_past[i] = s.n_past
+            mask[i] = True
 
         key = jax.random.PRNGKey(self._steps)  # same on every host
         toks, last_logits, _, self.cache = _decode_loop_batched_jit(
@@ -258,6 +261,7 @@ class MultiHostEngine(_LocalEngine):
             self._to_global(
                 {k: np.asarray(v) for k, v in values.items()}, ("data",)
             ),
+            self._to_global(mask, ("data",)),
         )
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
@@ -330,7 +334,8 @@ class MultiHostEngine(_LocalEngine):
 
     # stepping ------------------------------------------------------------
 
-    def _dispatch(self, ids: np.ndarray, n_past: np.ndarray, window: int):
+    def _dispatch(self, ids: np.ndarray, n_past: np.ndarray, window: int,
+                  write_mask: np.ndarray):
         logits, _, self.cache = self._step_jit(
             self.spec,
             self.params,
@@ -338,6 +343,7 @@ class MultiHostEngine(_LocalEngine):
             self._to_global(n_past, ("data",)),
             self.cache,
             window,
+            self._to_global(write_mask, ("data",)),
         )
         return self._local_rows(logits)
 
@@ -347,21 +353,20 @@ class MultiHostEngine(_LocalEngine):
         spec = self.spec
         ids = np.zeros((self.max_streams, self.n_batch), np.int32)
         n_past = np.zeros(self.max_streams, np.int32)
+        mask = np.zeros(self.max_streams, bool)  # only prefilling rows write
         chunk_lens = {}
         for i, s in enumerate(self.slots):
-            if s is None:
+            if s is None or not s.prefilling:
                 continue
-            if s.prefilling:
-                chunk = s.prefill_queue[
-                    s.prefill_pos : s.prefill_pos + self.n_batch
-                ]
-                ids[i, : len(chunk)] = chunk
-                n_past[i] = s.prefill_pos
-                chunk_lens[i] = len(chunk)
-            else:
-                n_past[i] = s.n_past  # dummy at the decode frontier
+            chunk = s.prefill_queue[
+                s.prefill_pos : s.prefill_pos + self.n_batch
+            ]
+            ids[i, : len(chunk)] = chunk
+            n_past[i] = s.prefill_pos
+            chunk_lens[i] = len(chunk)
+            mask[i] = True
         logits = self._dispatch(
-            ids, n_past, window_bucket(gmax + self.n_batch, spec.n_ctx)
+            ids, n_past, window_bucket(gmax + self.n_batch, spec.n_ctx), mask
         )
         for i, ln in chunk_lens.items():
             s = self.slots[i]
@@ -378,17 +383,16 @@ class MultiHostEngine(_LocalEngine):
         spec = self.spec
         ids = np.zeros((self.max_streams, 1), np.int32)
         n_past = np.zeros(self.max_streams, np.int32)
-        for i, s in enumerate(self.slots):
-            if s is not None and s.prefilling:
-                n_past[i] = s.prefill_pos
+        mask = np.zeros(self.max_streams, bool)
         sampled = {}
         for i, s in self._decodable():
             tok = sample_token(s.sampler, s.rng, s.tokens, s.last_logits)
             sampled[i] = tok
             ids[i, 0] = tok
             n_past[i] = s.n_past
+            mask[i] = True
         logits = self._dispatch(
-            ids, n_past, window_bucket(gmax + 1, spec.n_ctx)
+            ids, n_past, window_bucket(gmax + 1, spec.n_ctx), mask
         )[:, 0, :]
         events = []
         for i, tok in sampled.items():

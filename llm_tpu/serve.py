@@ -113,10 +113,11 @@ def _prefill_slot(spec, params, ids, n_past, slot, cache, window=None):
 
 
 @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(5,))
-def _decode_all(spec, params, ids, n_past, window, cache):
-    """One batched decode step: ids [B], n_past [B], cache [L, B, ...]."""
+def _decode_all(spec, params, ids, n_past, window, cache, write_mask):
+    """One batched decode step: ids [B], n_past [B], cache [L, B, ...];
+    dummy slots (write_mask False) never touch the cache."""
     logits, _, new_cache = forward_batched(
-        spec, params, ids[:, None], n_past, cache, window
+        spec, params, ids[:, None], n_past, cache, window, write_mask
     )
     return logits[:, 0, :], new_cache
 
@@ -342,12 +343,9 @@ class Engine:
         spec = self.spec
         ids = np.zeros(self.max_streams, np.int32)
         n_past = np.zeros(self.max_streams, np.int32)
-        # dummy writes of non-decoding slots must not land on live cache:
-        # point prefilling slots at their prefill frontier (the next chunk
-        # overwrites it); empty slots write at 0 harmlessly
-        for slot, s in enumerate(self.slots):
-            if s is not None and s.prefilling:
-                n_past[slot] = s.prefill_pos
+        # dummy rows (empty / mid-prefill slots) run with write_mask False:
+        # they never touch the cache, so their n_past can stay 0
+        mask = np.zeros(self.max_streams, bool)
         sampled: dict[int, int] = {}
         for slot, stream in decodable:
             tok = sample_token(
@@ -356,11 +354,13 @@ class Engine:
             sampled[slot] = tok
             ids[slot] = tok
             n_past[slot] = stream.n_past
+            mask[slot] = True
 
-        max_past = int(n_past.max())  # covers prefill-frontier dummies too
+        max_past = int(n_past.max())
         logits, self.cache = _decode_all(
             spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
             window_bucket(max_past, spec.n_ctx), self.cache,
+            jnp.asarray(mask),
         )
         logits = np.asarray(logits)
 
@@ -413,18 +413,15 @@ class Engine:
 
         logits = np.zeros((self.max_streams, spec.n_vocab), np.float32)
         n_past = np.zeros(self.max_streams, np.int32)
-        # dummy columns of non-decoding slots write at harmless positions
-        # (prefill frontier; overwritten by the next chunk / real decode)
-        for slot, s in enumerate(self.slots):
-            if s is not None and s.prefilling:
-                n_past[slot] = s.prefill_pos
+        mask = np.zeros(self.max_streams, bool)
         for slot, s in active:
             logits[slot] = s.last_logits
             n_past[slot] = s.n_past
+            mask[slot] = True
 
         self._loop_key = jax.random.split(getattr(self, "_loop_key", jax.random.PRNGKey(0)))[0]
         dispatched = self._dispatch_multi(
-            logits, n_past, n_steps, sampler, self._loop_key, values
+            logits, n_past, n_steps, sampler, self._loop_key, values, mask
         )
         if dispatched is None:  # backend can't run a block now (e.g. paged
             return retired + self.step()  # pool too tight): single-step
@@ -482,7 +479,7 @@ class Engine:
         return events
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
-                        values=None):
+                        values=None, write_mask=None):
         """Run the n_steps on-device decode block; returns (toks [n_steps, B]
         np, last_logits [B, V] np, n_steps) or None to fall back to
         single-stepping. Overridden by PagedEngine (page pre-allocation +
@@ -502,6 +499,7 @@ class Engine:
             sampler,
             key,
             values,
+            jnp.asarray(write_mask) if write_mask is not None else None,
         )
         return np.asarray(toks), np.asarray(last_logits), n_steps
 

@@ -148,3 +148,36 @@ def test_multihost_step_multi_single_process(model):
         engine.step_multi(4)
     got = ["".join(engine.finished[i].text) for i in ids]
     assert got == [refs[0], refs[1]]
+
+
+def test_multihost_admission_near_context_boundary(model):
+    """Regression (round-2 review finding): the global prefill chunk's
+    n_batch-wide dummy rows used to clamp in dynamic_update_slice near the
+    context limit and overwrite LIVE cache of decoding streams; write_mask
+    now suppresses dummy writes entirely."""
+    from llm_tpu.samplers import GreedySampler
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=2,
+                             kv_dtype=jnp.float32, n_batch=8)
+    # stream A: long prompt, decode until close to n_ctx=64
+    a = engine.submit(GenerationRequest(prompt=[2] * 41, max_tokens=20,
+                                        sampler=GreedySampler()))
+    for _ in range(21):
+        engine.step()
+    sa = engine.slots[0]
+    # prefill (6 chunked steps) + decodes -> past 56 -> next dummy row spans [57, 65) > n_ctx, the
+    # exact pre-fix clamp trigger
+    assert sa is not None and sa.n_past >= 56
+    # admit B now: its 8-wide prefill dispatch gives A a dummy row whose
+    # clamped write would have corrupted A's positions < n_past
+    engine.submit(GenerationRequest(prompt=[5, 6, 7], max_tokens=2,
+                                    sampler=GreedySampler()))
+    while engine.has_work_global():
+        engine.step()
+    ref_engine = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    ref = ref_engine.generate_all(
+        [GenerationRequest(prompt=[2] * 41, max_tokens=20,
+                           sampler=GreedySampler())]
+    )
+    assert "".join(engine.finished[a].text) == ref[0]
