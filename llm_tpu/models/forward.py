@@ -964,26 +964,35 @@ def forward_batched(
     # k_news: [L, B, T, H, D]; per-stream DUS at its own n_past (vmap over
     # the batch axis 1 of both cache and update)
 
-    wm = (
-        jnp.ones((B,), jnp.bool_) if write_mask is None
-        else jnp.asarray(write_mask)
-    )
+    if write_mask is None:
+        # static fast path: plain per-stream DUS, no predication read
+        def write(c, new, p, en):  # c [L, S, H, D], new [L, T, H, D]
+            return lax.dynamic_update_slice(c, new, (0, p, 0, 0))
 
-    def write(c, new, p, en):  # c [L, S, H, D], new [L, T, H, D]
-        # masked streams re-write their OWN current values (read-modify
-        # no-op) instead of `new` — a per-stream predicated DUS
-        cur = lax.dynamic_slice(
-            c, (0, p, 0, 0), (c.shape[0],) + new.shape[1:]
-        )
-        return lax.dynamic_update_slice(
-            c, jnp.where(en, new, cur), (0, p, 0, 0)
-        )
+        def write_scale(c, new, p, en):  # c [L, S, H], new [L, T, H]
+            return lax.dynamic_update_slice(c, new, (0, p, 0))
 
-    def write_scale(c, new, p, en):  # c [L, S, H], new [L, T, H]
-        cur = lax.dynamic_slice(c, (0, p, 0), (c.shape[0],) + new.shape[1:])
-        return lax.dynamic_update_slice(
-            c, jnp.where(en, new, cur), (0, p, 0)
-        )
+        wm = jnp.ones((B,), jnp.bool_)
+    else:
+        wm = jnp.asarray(write_mask)
+
+        def write(c, new, p, en):  # c [L, S, H, D], new [L, T, H, D]
+            # masked streams re-write their OWN current values (read-
+            # modify no-op) instead of `new` — a per-stream predicated DUS
+            cur = lax.dynamic_slice(
+                c, (0, p, 0, 0), (c.shape[0],) + new.shape[1:]
+            )
+            return lax.dynamic_update_slice(
+                c, jnp.where(en, new, cur), (0, p, 0, 0)
+            )
+
+        def write_scale(c, new, p, en):  # c [L, S, H], new [L, T, H]
+            cur = lax.dynamic_slice(
+                c, (0, p, 0), (c.shape[0],) + new.shape[1:]
+            )
+            return lax.dynamic_update_slice(
+                c, jnp.where(en, new, cur), (0, p, 0)
+            )
 
     vwrite = jax.vmap(write, in_axes=(1, 1, 0, 0), out_axes=1)
     if quantized:
