@@ -541,6 +541,11 @@ class InferenceSession:
                 c = min(C, context_size - p)
                 pos = p + np.arange(c)
                 valid = (pos >= first) & (pos <= context_size - 2)
+                # fixed full-context window: ONE compilation for the whole
+                # corpus (window buckets would compile len(ctx)/512 variants
+                # of the T=512 graph — minutes each at 7B on this chip;
+                # the extra masked cache reads are negligible next to the
+                # weight stream)
                 s, self.cache = nll_step(
                     spec,
                     model.params,
@@ -549,7 +554,7 @@ class InferenceSession:
                     jnp.asarray(valid),
                     jnp.int32(self.n_past),
                     self.cache,
-                    window_bucket(self.n_past + c, spec.n_ctx),
+                    spec.n_ctx,
                 )
                 chunk_nll.append(s)
                 self.n_past += c
