@@ -85,28 +85,176 @@ def _read_value(f: BinaryIO, t: int) -> Any:
     raise FormatError(f"unsupported GGUF value type {t}")
 
 
-# GGUF -> classic GGML tensor names, per architecture. Layer index rides
-# the {} placeholder. Unmapped names pass through unchanged.
+# GGUF -> classic GGML tensor names, per architecture (the gguf.md naming
+# convention: token_embd / output_norm / blk.N.attn_* ...). Layer index
+# rides the {} placeholder. Unmapped names pass through unchanged.
+
+
+def _blk(table: dict, **suffix_maps) -> dict:
+    """Expand {gguf_suffix: ggml_pattern} pairs into blk.{}.* entries."""
+    out = dict(table)
+    for gguf_sfx, ggml_pat in suffix_maps.items():
+        out[f"blk.{{}}.{gguf_sfx}"] = ggml_pat
+    return out
+
+
 _NAME_MAPS = {
-    "llama": {
-        "token_embd.weight": "tok_embeddings.weight",
-        "output_norm.weight": "norm.weight",
-        "output.weight": "output.weight",
-        "blk.{}.attn_norm.weight": "layers.{}.attention_norm.weight",
-        "blk.{}.attn_q.weight": "layers.{}.attention.wq.weight",
-        "blk.{}.attn_k.weight": "layers.{}.attention.wk.weight",
-        "blk.{}.attn_v.weight": "layers.{}.attention.wv.weight",
-        "blk.{}.attn_output.weight": "layers.{}.attention.wo.weight",
-        "blk.{}.ffn_norm.weight": "layers.{}.ffn_norm.weight",
-        "blk.{}.ffn_gate.weight": "layers.{}.feed_forward.w1.weight",
-        "blk.{}.ffn_down.weight": "layers.{}.feed_forward.w2.weight",
-        "blk.{}.ffn_up.weight": "layers.{}.feed_forward.w3.weight",
-    },
+    "llama": _blk(
+        {
+            "token_embd.weight": "tok_embeddings.weight",
+            "output_norm.weight": "norm.weight",
+            "output.weight": "output.weight",
+        },
+        **{
+            "attn_norm.weight": "layers.{}.attention_norm.weight",
+            "attn_q.weight": "layers.{}.attention.wq.weight",
+            "attn_k.weight": "layers.{}.attention.wk.weight",
+            "attn_v.weight": "layers.{}.attention.wv.weight",
+            "attn_output.weight": "layers.{}.attention.wo.weight",
+            "ffn_norm.weight": "layers.{}.ffn_norm.weight",
+            "ffn_gate.weight": "layers.{}.feed_forward.w1.weight",
+            "ffn_down.weight": "layers.{}.feed_forward.w2.weight",
+            "ffn_up.weight": "layers.{}.feed_forward.w3.weight",
+        },
+    ),
+    "gpt2": _blk(
+        {
+            "token_embd.weight": "model/wte",
+            "pos_embd.weight": "model/wpe",
+            "output_norm.weight": "model/ln_f/g",
+            "output_norm.bias": "model/ln_f/b",
+            "output.weight": "model/lm_head",
+        },
+        **{
+            "attn_norm.weight": "model/h{}/ln_1/g",
+            "attn_norm.bias": "model/h{}/ln_1/b",
+            "attn_qkv.weight": "model/h{}/attn/c_attn/w",
+            "attn_qkv.bias": "model/h{}/attn/c_attn/b",
+            "attn_output.weight": "model/h{}/attn/c_proj/w",
+            "attn_output.bias": "model/h{}/attn/c_proj/b",
+            "ffn_norm.weight": "model/h{}/ln_2/g",
+            "ffn_norm.bias": "model/h{}/ln_2/b",
+            "ffn_up.weight": "model/h{}/mlp/c_fc/w",
+            "ffn_up.bias": "model/h{}/mlp/c_fc/b",
+            "ffn_down.weight": "model/h{}/mlp/c_proj/w",
+            "ffn_down.bias": "model/h{}/mlp/c_proj/b",
+        },
+    ),
+    "gptj": _blk(
+        {
+            "token_embd.weight": "transformer.wte.weight",
+            "output_norm.weight": "transformer.ln_f.weight",
+            "output_norm.bias": "transformer.ln_f.bias",
+            "output.weight": "lm_head.weight",
+            "output.bias": "lm_head.bias",
+        },
+        **{
+            "attn_norm.weight": "transformer.h.{}.ln_1.weight",
+            "attn_norm.bias": "transformer.h.{}.ln_1.bias",
+            "attn_q.weight": "transformer.h.{}.attn.q_proj.weight",
+            "attn_k.weight": "transformer.h.{}.attn.k_proj.weight",
+            "attn_v.weight": "transformer.h.{}.attn.v_proj.weight",
+            "attn_output.weight": "transformer.h.{}.attn.out_proj.weight",
+            "ffn_up.weight": "transformer.h.{}.mlp.fc_in.weight",
+            "ffn_up.bias": "transformer.h.{}.mlp.fc_in.bias",
+            "ffn_down.weight": "transformer.h.{}.mlp.fc_out.weight",
+            "ffn_down.bias": "transformer.h.{}.mlp.fc_out.bias",
+        },
+    ),
+    "gptneox": _blk(
+        {
+            "token_embd.weight": "gpt_neox.embed_in.weight",
+            "output_norm.weight": "gpt_neox.final_layer_norm.weight",
+            "output_norm.bias": "gpt_neox.final_layer_norm.bias",
+            "output.weight": "embed_out.weight",
+        },
+        **{
+            "attn_norm.weight": "gpt_neox.layers.{}.input_layernorm.weight",
+            "attn_norm.bias": "gpt_neox.layers.{}.input_layernorm.bias",
+            "attn_qkv.weight": "gpt_neox.layers.{}.attention.query_key_value.weight",
+            "attn_qkv.bias": "gpt_neox.layers.{}.attention.query_key_value.bias",
+            "attn_output.weight": "gpt_neox.layers.{}.attention.dense.weight",
+            "attn_output.bias": "gpt_neox.layers.{}.attention.dense.bias",
+            "ffn_norm.weight": "gpt_neox.layers.{}.post_attention_layernorm.weight",
+            "ffn_norm.bias": "gpt_neox.layers.{}.post_attention_layernorm.bias",
+            "ffn_up.weight": "gpt_neox.layers.{}.mlp.dense_h_to_4h.weight",
+            "ffn_up.bias": "gpt_neox.layers.{}.mlp.dense_h_to_4h.bias",
+            "ffn_down.weight": "gpt_neox.layers.{}.mlp.dense_4h_to_h.weight",
+            "ffn_down.bias": "gpt_neox.layers.{}.mlp.dense_4h_to_h.bias",
+        },
+    ),
+    "bloom": _blk(
+        {
+            "token_embd.weight": "tok_embeddings.weight",
+            "token_embd_norm.weight": "norm.weight",
+            "token_embd_norm.bias": "norm.bias",
+            "output_norm.weight": "output_norm.weight",
+            "output_norm.bias": "output_norm.bias",
+            "output.weight": "output.weight",
+        },
+        **{
+            "attn_norm.weight": "layers.{}.attention_norm.weight",
+            "attn_norm.bias": "layers.{}.attention_norm.bias",
+            "attn_qkv.weight": "layers.{}.attention.query_key_value.weight",
+            "attn_qkv.bias": "layers.{}.attention.query_key_value.bias",
+            "attn_output.weight": "layers.{}.attention.wo.weight",
+            "attn_output.bias": "layers.{}.attention.wo.bias",
+            "ffn_norm.weight": "layers.{}.ffn_norm.weight",
+            "ffn_norm.bias": "layers.{}.ffn_norm.bias",
+            "ffn_up.weight": "layers.{}.feed_forward.w1.weight",
+            "ffn_up.bias": "layers.{}.feed_forward.w1.bias",
+            "ffn_down.weight": "layers.{}.feed_forward.w2.weight",
+            "ffn_down.bias": "layers.{}.feed_forward.w2.bias",
+        },
+    ),
+    "mpt": _blk(
+        {
+            "token_embd.weight": "transformer.wte.weight",
+            "output_norm.weight": "transformer.norm_f.weight",
+        },
+        **{
+            "attn_norm.weight": "transformer.blocks.{}.norm_1.weight",
+            "attn_qkv.weight": "transformer.blocks.{}.attn.Wqkv.weight",
+            "attn_output.weight": "transformer.blocks.{}.attn.out_proj.weight",
+            "ffn_norm.weight": "transformer.blocks.{}.norm_2.weight",
+            "ffn_up.weight": "transformer.blocks.{}.ffn.up_proj.weight",
+            "ffn_down.weight": "transformer.blocks.{}.ffn.down_proj.weight",
+        },
+    ),
+    "falcon": _blk(
+        {
+            "token_embd.weight": "transformer.word_embeddings.weight",
+            "output_norm.weight": "transformer.ln_f.weight",
+            "output_norm.bias": "transformer.ln_f.bias",
+            "output.weight": "lm_head.weight",
+        },
+        **{
+            # 7B single shared LN; 40B ln_attn (attn_norm) + ln_mlp
+            # (attn_norm_2) — the 7B file simply lacks attn_norm_2
+            "attn_norm.weight": "transformer.h.{}.input_layernorm.weight",
+            "attn_norm.bias": "transformer.h.{}.input_layernorm.bias",
+            "attn_norm_2.weight": "transformer.h.{}.ln_mlp.weight",
+            "attn_norm_2.bias": "transformer.h.{}.ln_mlp.bias",
+            "attn_qkv.weight": "transformer.h.{}.self_attention.query_key_value.weight",
+            "attn_output.weight": "transformer.h.{}.self_attention.dense.weight",
+            "ffn_up.weight": "transformer.h.{}.mlp.dense_h_to_4h.weight",
+            "ffn_down.weight": "transformer.h.{}.mlp.dense_4h_to_h.weight",
+        },
+    ),
 }
 
 
-def _translate_name(arch: str, name: str) -> str:
-    table = _NAME_MAPS.get(arch, {})
+def _name_table(arch: str, metadata: dict) -> dict:
+    table = dict(_NAME_MAPS.get(arch, {}))
+    if arch == "falcon":
+        kv = int(metadata.get("falcon.attention.head_count_kv", 1) or 1)
+        if kv > 1:  # 40B layout: dual norms ln_attn + ln_mlp
+            table["blk.{}.attn_norm.weight"] = "transformer.h.{}.ln_attn.weight"
+            table["blk.{}.attn_norm.bias"] = "transformer.h.{}.ln_attn.bias"
+    return table
+
+
+def _translate_name(table: dict, name: str) -> str:
     if name in table:
         return table[name]
     parts = name.split(".")
@@ -172,8 +320,9 @@ class GgufReader:
             align = int(self.metadata.get("general.alignment", 32))
             data_start = (f.tell() + align - 1) // align * align
 
+            table = _name_table(arch, self.metadata)
             for name, n_dims, dims, element_type, offset in infos:
-                gname = _translate_name(arch, name)
+                gname = _translate_name(table, name)
                 self.tensors[gname] = TensorInfo(
                     name=gname,
                     n_dims=n_dims,
@@ -221,6 +370,9 @@ class GgufReader:
             get("rope.dimension_count",
                 h.n_embd // h.n_head if h.n_head else 0)
         )
+        h.use_parallel_residual = bool(get("use_parallel_residual", True))
+        h.alibi_bias_max = float(get("attention.alibi_bias_max", 0.0))
+        h.n_mult = int(get("feed_forward_multiple", 256) or 256)
         ft = md.get("general.file_type")
         if ft is not None:
             # GGUF file_type is the bare ftype enum (no QNT_VERSION_FACTOR);
@@ -338,7 +490,9 @@ class GgufWriter:
 def convert_ggml_to_gguf(
     src: str | Path, dst: str | Path, architecture: str = "llama"
 ) -> None:
-    """Convert a classic GGML/GGJT checkpoint into GGUF v3 (llama mapping)."""
+    """Convert a classic GGML/GGJT checkpoint into GGUF v3 (all 7 archs)."""
+    import re
+
     from llm_tpu.ggml.reader import GgmlReader
     from llm_tpu.models.spec import get_arch
 
@@ -347,16 +501,27 @@ def convert_ggml_to_gguf(
         lambda f: (lambda h: (h, h.n_vocab))(arch_info.read_hparams(f))
     )
     h = reader.hyperparameters
-    reverse = {v: k for k, v in _NAME_MAPS.get(architecture, {}).items()}
+    table = _name_table(
+        architecture,
+        {"falcon.attention.head_count_kv": h.n_head_kv},
+    )
+    # reverse map: ggml pattern -> gguf pattern, with the ggml layer index
+    # matched by regex (ggml names differ per arch: layers.N, model/hN,
+    # transformer.h.N, transformer.blocks.N, gpt_neox.layers.N)
+    reverse = {v: k for k, v in table.items()}
+    rev_res = [
+        (re.compile("^" + re.escape(pat).replace(r"\{\}", r"(\d+)") + "$"), g)
+        for pat, g in reverse.items()
+        if "{}" in pat
+    ]
 
     def to_gguf_name(name: str) -> str:
         if name in reverse:
             return reverse[name]
-        parts = name.split(".")
-        if len(parts) > 2 and parts[0] == "layers" and parts[1].isdigit():
-            pattern = f"layers.{{}}.{'.'.join(parts[2:])}"
-            if pattern in reverse:
-                return reverse[pattern].format(parts[1])
+        for rx, gguf_pat in rev_res:
+            m = rx.match(name)
+            if m:
+                return gguf_pat.format(m.group(1))
         return name
 
     with open(dst, "wb") as f:
@@ -370,7 +535,18 @@ def convert_ggml_to_gguf(
             h.n_head_kv or h.n_head,
         )
         w.add_metadata(f"{architecture}.rope.dimension_count", h.n_rot)
-        w.add_metadata(f"{architecture}.context_length", h.n_ctx or 2048)
+        w.add_metadata(
+            f"{architecture}.context_length", h.n_ctx or h.max_seq_len or 2048
+        )
+        w.add_metadata(
+            f"{architecture}.use_parallel_residual",
+            bool(h.use_parallel_residual),
+        )
+        if h.alibi_bias_max:
+            w.add_metadata(
+                f"{architecture}.attention.alibi_bias_max",
+                float(h.alibi_bias_max),
+            )
         w.add_metadata("general.file_type", int(h.file_type.format))
         w.add_metadata(
             "tokenizer.ggml.tokens", list(reader.vocabulary.tokens)

@@ -104,3 +104,82 @@ def test_gguf_v1_rejected(tmp_path):
 
     with pytest.raises(FormatError, match="version"):
         GgufReader(p).load("llama")
+
+
+@pytest.mark.parametrize(
+    "arch", ["gpt2", "gptj", "gptneox", "bloom", "mpt", "falcon"]
+)
+def test_gguf_all_archs_logit_parity(arch, tmp_path):
+    """GGUF name maps cover every architecture: convert a classic
+    checkpoint, reload through the GGUF path, logits must be identical —
+    and the converted file must use PROPER gguf names (blk.N.*), not
+    passthroughs."""
+    import jax.numpy as jnp
+
+    ggjt = tmp_path / f"{arch}.bin"
+    gguf = tmp_path / f"{arch}.gguf"
+    make_tiny_file(arch, ggjt)
+    convert_ggml_to_gguf(ggjt, gguf, arch)
+
+    # the reader re-translates, so check the ORIGINAL stored names follow
+    # the gguf convention via a raw parse
+    import struct as _s
+
+    names = set()
+    with open(gguf, "rb") as f:
+        f.read(8)
+        n_tensors, n_kv = _s.unpack("<QQ", f.read(16))
+        from llm_tpu.ggml.gguf import _read_string, _read, _read_value
+        for _ in range(n_kv):
+            _read_string(f)
+            t = _read(f, "<I", 4)
+            _read_value(f, t)
+        for _ in range(n_tensors):
+            names.add(_read_string(f).decode())
+            nd = _read(f, "<I", 4)
+            f.read(8 * nd + 12)
+    assert "token_embd.weight" in names, names
+    assert any(n.startswith("blk.0.") for n in names), names
+    assert any(n.startswith("blk.1.") for n in names), names
+
+    from llm_tpu.models.forward import forward_step, init_cache
+
+    m1 = load(ggjt, arch, params=ModelParameters(context_size=64))
+    m2 = load(gguf, arch, params=ModelParameters(context_size=64))
+    ids = jnp.asarray([3, 17, 5], jnp.int32)
+    l1, _, _ = forward_step(
+        m1.spec, m1.params, ids, jnp.int32(0), init_cache(m1.spec, jnp.float32)
+    )
+    l2, _, _ = forward_step(
+        m2.spec, m2.params, ids, jnp.int32(0), init_cache(m2.spec, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_gguf_falcon_40b_dual_norm_layout(tmp_path):
+    """falcon n_head_kv>1 (40B layout): attn_norm maps to ln_attn and
+    attn_norm_2 to ln_mlp, switched on the metadata head_count_kv."""
+    import jax.numpy as jnp
+
+    ggjt = tmp_path / "falcon40.bin"
+    gguf = tmp_path / "falcon40.gguf"
+    make_tiny_file("falcon", ggjt, n_head_kv=2)
+    convert_ggml_to_gguf(ggjt, gguf, "falcon")
+
+    r = GgufReader(gguf).load("falcon")
+    assert r.hyperparameters.n_head_kv == 2
+    assert "transformer.h.0.ln_attn.weight" in r.tensors
+    assert "transformer.h.0.ln_mlp.weight" in r.tensors
+
+    from llm_tpu.models.forward import forward_step, init_cache
+
+    m1 = load(ggjt, "falcon", params=ModelParameters(context_size=64))
+    m2 = load(gguf, "falcon", params=ModelParameters(context_size=64))
+    ids = jnp.asarray([3, 17, 5], jnp.int32)
+    l1, _, _ = forward_step(
+        m1.spec, m1.params, ids, jnp.int32(0), init_cache(m1.spec, jnp.float32)
+    )
+    l2, _, _ = forward_step(
+        m2.spec, m2.params, ids, jnp.int32(0), init_cache(m2.spec, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
