@@ -476,6 +476,15 @@ def cmd_chat(args) -> None:
         print(">> ", end="", flush=True)
 
 
+def cmd_gguf_convert(args) -> None:
+    from llm_tpu.ggml.gguf import convert_ggml_to_gguf
+
+    convert_ggml_to_gguf(
+        args.source, args.destination, args.model_architecture
+    )
+    print(f"wrote {args.destination}", file=sys.stderr)
+
+
 def cmd_quantize(args) -> None:
     from llm_tpu.ggml.types import ContainerType, GgmlType
     from llm_tpu.quantize import QuantizeError, quantize
@@ -576,6 +585,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--message-prompt-prefix", default=None)
     p.add_argument("-q", "--message-prompt-prefix-file", default=None)
     p.set_defaults(fn=cmd_chat)
+
+    p = sub.add_parser(
+        "gguf-convert",
+        help="convert a classic GGML/GGJT checkpoint to GGUF v3",
+    )
+    p.add_argument("source")
+    p.add_argument("destination")
+    p.add_argument("-a", "--model-architecture", required=True)
+    p.set_defaults(fn=cmd_gguf_convert)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")
     p.add_argument("-a", "--model-architecture", default=None,

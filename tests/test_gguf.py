@@ -183,3 +183,16 @@ def test_gguf_falcon_40b_dual_norm_layout(tmp_path):
         m2.spec, m2.params, ids, jnp.int32(0), init_cache(m2.spec, jnp.float32)
     )
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_cli_gguf_convert(tmp_path, capsys):
+    from llm_tpu.cli import main
+
+    ggjt = tmp_path / "m.bin"
+    gguf = tmp_path / "m.gguf"
+    make_tiny_file("llama", ggjt)
+    main(["gguf-convert", str(ggjt), str(gguf), "-a", "llama"])
+    assert is_gguf(gguf)
+    main(["info", "-m", str(gguf), "-a", "llama"])
+    out = capsys.readouterr().out
+    assert "gguf" in out
