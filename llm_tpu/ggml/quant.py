@@ -323,12 +323,17 @@ def dequantize(t: GgmlType, data: bytes | np.ndarray, n_elements: int) -> np.nda
 
 def quantize(t: GgmlType, x: np.ndarray) -> bytes:
     """Encode float32 array into on-disk type `t` (ggml rounding semantics)."""
-    data, _ = quantize_with_hist(t, x)
+    data, _ = quantize_with_hist(t, x, want_hist=False)
     return data
 
 
-def quantize_with_hist(t: GgmlType, x: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """Quantize and return (bytes, histogram[16]) like ggml_quantize_*."""
+def quantize_with_hist(
+    t: GgmlType, x: np.ndarray, want_hist: bool = True
+) -> tuple[bytes, np.ndarray]:
+    """Quantize and return (bytes, histogram[16]) like ggml_quantize_*.
+
+    `want_hist=False` skips the histogram (np.bincount's internal intp
+    conversion is ~half of total encode time at 7B scale)."""
     x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
     if t == GgmlType.F32:
         return x.astype("<f4").tobytes(), np.zeros(16, dtype=np.int64)
@@ -341,7 +346,7 @@ def quantize_with_hist(t: GgmlType, x: np.ndarray) -> tuple[bytes, np.ndarray]:
     if x.size % bs != 0:
         raise ValueError(f"{x.size} not a multiple of block size {bs} for {t}")
     xb = x.reshape(-1, bs)
-    return fn(xb)
+    return fn(xb, want_hist)
 
 
 def _signed_absmax(xb: np.ndarray) -> np.ndarray:
@@ -353,12 +358,20 @@ def _signed_absmax(xb: np.ndarray) -> np.ndarray:
     return xb[np.arange(xb.shape[0]), idx]
 
 
+def _hist_maybe(want: bool, vals: np.ndarray, shift: int = 0) -> np.ndarray:
+    return _hist(vals, shift) if want else np.zeros(16, dtype=np.int64)
+
+
 def _hist(vals: np.ndarray, nbins_shift: int = 0) -> np.ndarray:
-    v = vals.reshape(-1).astype(np.int64) >> nbins_shift
-    return np.bincount(v, minlength=16)[:16]
+    # bincount the narrow dtype directly — an int64 conversion here was
+    # 85% of total quantize time at 7B scale
+    v = vals.reshape(-1)
+    if nbins_shift:
+        v = v >> nbins_shift
+    return np.bincount(v, minlength=16)[:16].astype(np.int64)
 
 
-def _qz_q4_0(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q4_0(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     maxv = _signed_absmax(xb)
     d = maxv / -8.0
@@ -367,10 +380,10 @@ def _qz_q4_0(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out = np.empty((nb, 18), dtype=np.uint8)
     out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)
     out[:, 2:18] = _pack_nibbles(q)
-    return out.tobytes(), _hist(q)
+    return out.tobytes(), _hist_maybe(want_hist, q)
 
 
-def _qz_q4_1(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q4_1(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     mn = xb.min(axis=1)
     mx = xb.max(axis=1)
@@ -383,7 +396,7 @@ def _qz_q4_1(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)
     out[:, 2:4] = mn.astype("<f2")[:, None].view(np.uint8)
     out[:, 4:20] = _pack_nibbles(q)
-    return out.tobytes(), _hist(q)
+    return out.tobytes(), _hist_maybe(want_hist, q)
 
 
 def _pack_q5(q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -395,7 +408,7 @@ def _pack_q5(q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return nibs, qh[:, None].view(np.uint8).reshape(-1, 4)
 
 
-def _qz_q5_0(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q5_0(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     maxv = _signed_absmax(xb)
     d = maxv / -16.0
@@ -406,10 +419,10 @@ def _qz_q5_0(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)
     out[:, 2:6] = qh
     out[:, 6:22] = qs
-    return out.tobytes(), _hist(q, 1)
+    return out.tobytes(), _hist_maybe(want_hist, q, 1)
 
 
-def _qz_q5_1(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q5_1(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     mn = xb.min(axis=1)
     mx = xb.max(axis=1)
@@ -424,22 +437,21 @@ def _qz_q5_1(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 2:4] = mn.astype("<f2")[:, None].view(np.uint8)
     out[:, 4:8] = qh
     out[:, 8:24] = qs
-    return out.tobytes(), _hist(q, 1)
+    return out.tobytes(), _hist_maybe(want_hist, q, 1)
 
 
-def _qz_q8_0(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q8_0(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     amax = np.abs(xb).max(axis=1)
     d = amax / 127.0
     inv = np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 0.0)
-    # roundf: round half away from zero
+    # roundf: round half away from zero = trunc(x + copysign(0.5, x))
     scaled = xb * inv[:, None]
-    q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
-    q = q.astype(np.int8)
+    q = np.trunc(scaled + np.copysign(np.float32(0.5), scaled)).astype(np.int8)
     out = np.empty((nb, 34), dtype=np.uint8)
     out[:, 0:2] = d.astype("<f2")[:, None].view(np.uint8)
     out[:, 2:34] = q.view(np.uint8)
-    return out.tobytes(), _hist((q.astype(np.int64) + 128) >> 4)
+    return out.tobytes(), _hist_maybe(want_hist, (q.astype(np.int16) + 128).astype(np.uint8) >> 4)
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +554,7 @@ def _pack_2bit(L: np.ndarray) -> np.ndarray:
     return (v << shifts).sum(axis=2, dtype=np.uint8).reshape(nb, 64)
 
 
-def _qz_q2_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q2_k(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     scale, minv, _ = _make_qkx1(xb.reshape(nb * 16, 16), 3, ntry=5)
     scales = scale.reshape(nb, 16)
@@ -573,7 +585,7 @@ def _qz_q2_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 16:80] = _pack_2bit(L)
     out[:, 80:82] = d.astype("<f2")[:, None].view(np.uint8)
     out[:, 82:84] = dmin.astype("<f2")[:, None].view(np.uint8)
-    return out.tobytes(), _hist(L)
+    return out.tobytes(), _hist_maybe(want_hist, L)
 
 
 def _pack_q3k_scales(ls: np.ndarray) -> np.ndarray:
@@ -594,7 +606,7 @@ def _pack_q3k_scales(ls: np.ndarray) -> np.ndarray:
     return out
 
 
-def _qz_q3_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q3_k(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     scale, _ = _make_qx(xb.reshape(nb * 16, 16), 4)
     scales = scale.reshape(nb, 16)
@@ -624,7 +636,7 @@ def _qz_q3_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 32:96] = _pack_2bit(L & 3)
     out[:, 96:108] = np.where(has[:, None], _pack_q3k_scales(ls6), 0)
     out[:, 108:110] = d.astype("<f2")[:, None].view(np.uint8)
-    return out.tobytes(), _hist(L, 0)
+    return out.tobytes(), _hist_maybe(want_hist, L, 0)
 
 
 def _pack_k4_scale_min(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
@@ -669,7 +681,7 @@ def _k45_encode_common(xb: np.ndarray, nmax: int):
     return d, dmin, _pack_k4_scale_min(ls, lm), L
 
 
-def _qz_q4_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q4_k(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     d, dmin, sm, L = _k45_encode_common(xb, 15)
     v = L.reshape(nb, 4, 2, 32).astype(np.uint8)  # [nb, chunk, sub, byte]
@@ -679,10 +691,10 @@ def _qz_q4_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 2:4] = dmin.astype("<f2")[:, None].view(np.uint8)
     out[:, 4:16] = sm
     out[:, 16:144] = qs
-    return out.tobytes(), _hist(L)
+    return out.tobytes(), _hist_maybe(want_hist, L)
 
 
-def _qz_q5_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q5_k(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     d, dmin, sm, L = _k45_encode_common(xb, 31)
     v = L.reshape(nb, 4, 2, 32).astype(np.uint8)
@@ -700,10 +712,10 @@ def _qz_q5_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 4:16] = sm
     out[:, 16:48] = qh
     out[:, 48:176] = qs
-    return out.tobytes(), _hist(L, 1)
+    return out.tobytes(), _hist_maybe(want_hist, L, 1)
 
 
-def _qz_q6_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
+def _qz_q6_k(xb: np.ndarray, want_hist: bool = True) -> tuple[bytes, np.ndarray]:
     nb = xb.shape[0]
     scale, _ = _make_qx(xb.reshape(nb * 16, 16), 32)
     scales = scale.reshape(nb, 16)
@@ -736,7 +748,7 @@ def _qz_q6_k(xb: np.ndarray) -> tuple[bytes, np.ndarray]:
     out[:, 128:192] = qh.reshape(nb, 64)
     out[:, 192:208] = sc8.view(np.uint8)
     out[:, 208:210] = d.astype("<f2")[:, None].view(np.uint8)
-    return out.tobytes(), _hist(L, 2)
+    return out.tobytes(), _hist_maybe(want_hist, L, 2)
 
 
 _QUANT = {
