@@ -96,6 +96,11 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
                         "host path")
     g.add_argument("--decode-steps", type=int, default=32,
                    help="tokens generated per dispatch with --device-sampling")
+    g.add_argument("--draft-model", default=None,
+                   help="speculative decoding: path to a small draft model "
+                        "of the same family (greedy sampling only; output "
+                        "is identical to plain greedy decoding, just "
+                        "faster)")
 
 
 def add_prompt_args(p: argparse.ArgumentParser) -> None:
@@ -223,12 +228,64 @@ def _print_token(text: str) -> None:
 # subcommands
 
 
+def _infer_speculative(args, model) -> None:
+    import time
+
+    from llm_tpu.loader import ModelParameters, load as _load
+    from llm_tpu.speculative import SpeculativeSession
+    from llm_tpu.tokenizer import Prompt
+
+    draft = _load(
+        args.draft_model,
+        args.model_architecture,
+        tokenizer_source=tokenizer_source(args),
+        params=ModelParameters(context_size=args.num_ctx_tokens),
+    )
+    import jax.numpy as jnp
+
+    s = SpeculativeSession(
+        model, draft, k=4,
+        kv_dtype="int8" if args.kv_int8 else jnp.bfloat16,
+    )
+    prompt = resolve_prompt(args)
+    toks = Prompt.of(prompt).to_tokens(model.tokenizer, True)
+    print(prompt, end="", flush=True)
+    t0 = time.monotonic()
+    s.feed_prompt(toks)
+
+    decoded = [len(model.tokenizer.decode(s.tokens, True))]
+
+    def emit(tok):
+        # whole-sequence decode diff (the HF incremental rule)
+        if tok == model.eot_token_id():
+            return
+        text = model.tokenizer.decode(s.tokens, True)
+        sys.stdout.write(text[decoded[0]:].decode("utf-8", "replace"))
+        sys.stdout.flush()
+        decoded[0] = len(text)
+
+    out = s.generate(args.num_predict or 128, callback=emit)
+    dt = time.monotonic() - t0
+    print(file=sys.stderr)
+    if args.stats:
+        print(
+            f"predict_tokens: {len(out)}\n"
+            f"per_token_duration: {dt / max(len(out), 1) * 1e3:.3f}ms\n"
+            f"draft_acceptance: {s.acceptance_rate:.2f}",
+            file=sys.stderr,
+        )
+
+
 def cmd_infer(args) -> None:
     from llm_tpu import session as S
     from llm_tpu import snapshot as snap
 
     prompt = resolve_prompt(args)
     model = load_model(args)
+    if getattr(args, "draft_model", None):
+        if args.sampler_options or args.device_sampling:
+            _err("--draft-model supports greedy sampling only")
+        return _infer_speculative(args, model)
     config = session_config(args)
 
     persist = Path(args.persist_session) if args.persist_session else None

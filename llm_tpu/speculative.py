@@ -1,0 +1,177 @@
+"""Speculative decoding: a small draft model proposes, the target verifies.
+
+Nothing like this exists in the reference (single model, token-at-a-time —
+inference_session.rs:381-424), but it maps perfectly onto this framework's
+two-jit design and the masked-overshoot property of the KV cache:
+
+- the DRAFT model runs k cheap decode steps on device (`decode_loop`),
+- the TARGET model scores all k proposals in ONE T=k forward (prefill-
+  shaped — the MXU-efficient shape, instead of k bandwidth-bound T=1
+  steps),
+- the longest matching prefix is accepted plus one bonus token from the
+  target's own distribution, and both caches "rewind" for free: entries
+  beyond n_past are masked, so rejected positions are simply overwritten
+  by the next iteration (the same property the reference's rewind relies
+  on, inference_session.rs:353-377).
+
+Greedy-only v1: acceptance compares argmax, so the output is EXACTLY the
+target model's greedy generation (tested with an arbitrary draft) — the
+draft only changes the speed, never the text. Per accepted token the
+target streams its weights 1/(n_accepted+1) times instead of once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from llm_tpu.models.forward import (
+    forward_step,
+    init_cache,
+    window_bucket,
+)
+
+
+class SpeculativeSession:
+    """Greedy speculative decoding over a (target, draft) model pair.
+
+    Both models must share a tokenizer/vocabulary (the usual setup: a
+    quantized small model of the same family as the target).
+    """
+
+    def __init__(self, target, draft, k: int = 4, kv_dtype=jnp.bfloat16):
+        assert target.spec.n_vocab == draft.spec.n_vocab, (
+            "draft and target must share a vocabulary"
+        )
+        self.target = target
+        self.draft = draft
+        self.k = k
+        self.t_cache = init_cache(target.spec, kv_dtype)
+        self.d_cache = init_cache(draft.spec, kv_dtype)
+        self.n_past = 0
+        self.tokens: list[int] = []
+        self.last_logits: Optional[np.ndarray] = None  # target's, at head
+        self.accepted = 0  # drafted tokens accepted (telemetry)
+        self.drafted = 0
+
+    def _window(self, extra: int) -> int:
+        return window_bucket(self.n_past + extra, self.target.spec.n_ctx)
+
+    def feed_prompt(self, tokens) -> None:
+        ids = jnp.asarray(list(tokens), jnp.int32)
+        w = self._window(len(tokens))
+        tl, _, self.t_cache = forward_step(
+            self.target.spec, self.target.params, ids,
+            jnp.int32(self.n_past), self.t_cache, w,
+        )
+        dl, _, self.d_cache = forward_step(
+            self.draft.spec, self.draft.params, ids,
+            jnp.int32(self.n_past), self.d_cache, w,
+        )
+        self.n_past += len(tokens)
+        self.tokens.extend(int(t) for t in tokens)
+        self.last_logits = np.asarray(tl)[-1]
+        self._draft_logits = np.asarray(dl)[-1]
+
+    def generate(
+        self,
+        max_tokens: int,
+        callback: Optional[Callable[[int], None]] = None,
+    ) -> list[int]:
+        """Greedy-generate up to max_tokens (stops at the target's EoT).
+        Returns the generated token ids; output is IDENTICAL to plain
+        greedy decoding of the target model."""
+        from llm_tpu.models.forward import decode_loop
+        from llm_tpu.ops.sampling import DeviceSampler
+
+        spec_t, spec_d = self.target.spec, self.draft.spec
+        eot = self.target.eot_token_id()
+        out: list[int] = []
+
+        while len(out) < max_tokens:
+            k = min(self.k, max_tokens - len(out),
+                    spec_t.n_ctx - 1 - self.n_past)
+            if k <= 0:
+                break
+            w = self._window(k + 1)
+            # 1. draft proposes k tokens (chained from the TARGET's current
+            # logits, so proposal 0 is the draft's guess at the target's
+            # next token)
+            toks, d_logits, _, self.d_cache = decode_loop(
+                spec_d, self.draft.params,
+                jnp.asarray(self.last_logits, jnp.float32),
+                jnp.int32(self.n_past), self.d_cache, k, w,
+                DeviceSampler.greedy(),
+            )
+            proposals = np.asarray(toks)  # [k]
+
+            # 2. target scores all k proposals in one T=k forward
+            t_logits, _, self.t_cache = forward_step(
+                spec_t, self.target.params, jnp.asarray(proposals),
+                jnp.int32(self.n_past), self.t_cache, w,
+            )
+            t_logits = np.asarray(t_logits)  # [k, V]
+
+            # 3. accept the longest prefix where the target agrees.
+            # target's prediction for position i is argmax of logits BEFORE
+            # consuming proposal i: last_logits for i=0, t_logits[i-1] after
+            prev = self.last_logits
+            n_acc = 0
+            for i in range(k):
+                want = int(np.argmax(prev))
+                if int(proposals[i]) != want:
+                    break
+                n_acc += 1
+                prev = t_logits[i]
+                if want == eot:
+                    break
+            self.drafted += k
+            self.accepted += n_acc
+
+            # 4. emit accepted tokens + one bonus/correction token from the
+            # target's own logits at the divergence point
+            emitted = [int(p) for p in proposals[:n_acc]]
+            hit_eot = bool(emitted and emitted[-1] == eot)
+            if not hit_eot and len(out) + n_acc < max_tokens:
+                bonus = int(np.argmax(prev))
+                emitted.append(bonus)
+                hit_eot = bonus == eot
+            if not emitted:
+                break
+
+            # 5. advance both caches: positions beyond n_past stay masked,
+            # so the rejected tail needs no cleanup — but the BONUS token
+            # (and any correction) was never evaluated; re-evaluate it so
+            # last_logits reflects the full emitted sequence
+            n_keep = len(emitted)
+            self.n_past += n_acc
+            self.tokens.extend(emitted)
+            out.extend(emitted)
+            if callback:
+                for t in emitted:
+                    callback(t)
+            if hit_eot:
+                break
+            if n_keep > n_acc:  # bonus token: evaluate it in both models
+                ids = jnp.asarray([emitted[-1]], jnp.int32)
+                tl, _, self.t_cache = forward_step(
+                    spec_t, self.target.params, ids,
+                    jnp.int32(self.n_past), self.t_cache, w,
+                )
+                dl, _, self.d_cache = forward_step(
+                    spec_d, self.draft.params, ids,
+                    jnp.int32(self.n_past), self.d_cache, w,
+                )
+                self.n_past += 1
+                self.last_logits = np.asarray(tl)[-1]
+            else:
+                # all k accepted, no bonus (budget): target logits at the
+                # last accepted position are the new head
+                self.last_logits = prev
+        return out
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.drafted if self.drafted else 0.0
