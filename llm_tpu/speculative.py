@@ -14,10 +14,17 @@ two-jit design and the masked-overshoot property of the KV cache:
   by the next iteration (the same property the reference's rewind relies
   on, inference_session.rs:353-377).
 
-Greedy-only v1: acceptance compares argmax, so the output is EXACTLY the
-target model's greedy generation (tested with an arbitrary draft) — the
-draft only changes the speed, never the text. Per accepted token the
-target streams its weights 1/(n_accepted+1) times instead of once.
+Two modes, both distribution-exact:
+- `SpeculativeSession` (greedy): acceptance compares argmax, so the
+  output is EXACTLY the target model's greedy generation (tested with an
+  arbitrary draft) — the draft only changes the speed, never the text.
+- `SampledSpeculativeSession` (temperature/top-k): proposals are
+  accepted with probability min(1, p/q) and rejections resample from
+  normalize(max(p - q, 0)) — the rejection-sampling identity makes the
+  output distribution exactly the target's sampling distribution.
+
+Per accepted token the target streams its weights 1/(n_accepted+1)
+times instead of once.
 """
 
 from __future__ import annotations
@@ -175,3 +182,142 @@ class SpeculativeSession:
     @property
     def acceptance_rate(self) -> float:
         return self.accepted / self.drafted if self.drafted else 0.0
+
+
+# ---------------------------------------------------------------------------
+# sampled speculative decoding (rejection sampling; Leviathan et al. 2022)
+
+
+def _sampling_probs(logits: np.ndarray, temperature: float, top_k: int):
+    """The target/draft sampling transform as probabilities: temperature
+    scaling + optional top-k truncation (matches ops/sampling.device_sample
+    for the 'sample' kind)."""
+    x = logits.astype(np.float64) / max(temperature, 1e-6)
+    if top_k and top_k < x.shape[-1]:
+        kth = np.partition(x, -top_k)[-top_k]
+        x = np.where(x < kth, -np.inf, x)
+    x = x - x.max()
+    p = np.exp(x)
+    return p / p.sum()
+
+
+class SampledSpeculativeSession(SpeculativeSession):
+    """Speculative decoding with SAMPLED generation: proposals x_i ~ q_i
+    from the draft are accepted with probability min(1, p_i(x_i)/q_i(x_i))
+    and rejections resample from normalize(max(p_i - q_i, 0)) — the output
+    distribution is EXACTLY the target model's sampling distribution
+    (rejection-sampling identity), for any draft."""
+
+    def __init__(self, target, draft, k: int = 4, temperature: float = 0.8,
+                 top_k: int = 0, kv_dtype=jnp.bfloat16):
+        super().__init__(target, draft, k=k, kv_dtype=kv_dtype)
+        self.temperature = temperature
+        self.top_k = top_k
+
+    def _draft_propose(self, k: int, w: int, rng: np.random.Generator):
+        """k draft samples + the pre-sample draft logits of each step
+        (host loop over the draft's T=1 forward; the draft is small)."""
+        spec_d = self.draft.spec
+        proposals = np.zeros(k, np.int32)
+        q_logits = np.zeros((k, spec_d.n_vocab), np.float32)
+        logits = self._draft_logits
+        for i in range(k):
+            q_logits[i] = logits
+            q = _sampling_probs(logits, self.temperature, self.top_k)
+            proposals[i] = rng.choice(len(q), p=q)
+            dl, _, self.d_cache = forward_step(
+                spec_d, self.draft.params,
+                jnp.asarray([proposals[i]], jnp.int32),
+                jnp.int32(self.n_past + i), self.d_cache, w,
+            )
+            logits = np.asarray(dl)[0]
+        return proposals, q_logits, logits
+
+    def generate(
+        self,
+        max_tokens: int,
+        seed: int = 0,
+        callback: Optional[Callable[[int], None]] = None,
+    ) -> list[int]:
+        rng = np.random.default_rng(seed)
+        spec_t = self.target.spec
+        eot = self.target.eot_token_id()
+        out: list[int] = []
+
+        while len(out) < max_tokens:
+            k = min(self.k, max_tokens - len(out),
+                    spec_t.n_ctx - 1 - self.n_past)
+            if k <= 0:
+                break
+            w = self._window(k + 1)
+            proposals, q_logits, d_head = self._draft_propose(k, w, rng)
+            t_logits, _, self.t_cache = forward_step(
+                spec_t, self.target.params, jnp.asarray(proposals),
+                jnp.int32(self.n_past), self.t_cache, w,
+            )
+            t_logits = np.asarray(t_logits)
+
+            target_heads = [self.last_logits] + [t_logits[i] for i in range(k)]
+            emitted: list[int] = []
+            n_acc = 0
+            corrected = False
+            for i in range(k):
+                p = _sampling_probs(target_heads[i], self.temperature,
+                                    self.top_k)
+                q = _sampling_probs(q_logits[i], self.temperature, self.top_k)
+                x = int(proposals[i])
+                self.drafted += 1
+                if rng.random() < min(1.0, p[x] / max(q[x], 1e-30)):
+                    emitted.append(x)
+                    n_acc += 1
+                    self.accepted += 1
+                    if x == eot:
+                        break
+                else:
+                    resid = np.maximum(p - q, 0.0)
+                    tot = resid.sum()
+                    tok = (
+                        int(rng.choice(len(p), p=resid / tot))
+                        if tot > 0
+                        else int(rng.choice(len(p), p=p))
+                    )
+                    emitted.append(tok)
+                    corrected = True
+                    break
+            hit_eot = bool(emitted and emitted[-1] == eot)
+            if (not corrected and not hit_eot
+                    and len(out) + len(emitted) < max_tokens):
+                p = _sampling_probs(target_heads[n_acc], self.temperature,
+                                    self.top_k)
+                bonus = int(rng.choice(len(p), p=p))
+                emitted.append(bonus)
+                corrected = True  # bonus also needs (re-)evaluation
+                hit_eot = bonus == eot
+            if not emitted:
+                break
+
+            self.n_past += n_acc
+            self.tokens.extend(emitted)
+            out.extend(emitted)
+            if callback:
+                for t in emitted:
+                    callback(t)
+            if hit_eot:
+                break
+            if corrected:  # last emitted token was never evaluated
+                ids = jnp.asarray([emitted[-1]], jnp.int32)
+                tl, _, self.t_cache = forward_step(
+                    spec_t, self.target.params, ids,
+                    jnp.int32(self.n_past), self.t_cache, w,
+                )
+                dl, _, self.d_cache = forward_step(
+                    self.draft.spec, self.draft.params, ids,
+                    jnp.int32(self.n_past), self.d_cache, w,
+                )
+                self.n_past += 1
+                self.last_logits = np.asarray(tl)[0]
+                self._draft_logits = np.asarray(dl)[0]
+            else:
+                self.last_logits = target_heads[n_acc]
+                self._draft_logits = d_head
+        return out

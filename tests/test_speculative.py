@@ -91,3 +91,58 @@ def test_cli_draft_model_matches_plain_greedy(tmp_path, capsys):
     # whole-sequence decode which skips id 1); the generated text must match
     norm = lambda s: s.strip().replace("<t1>", "")
     assert norm(spec) == norm(plain)
+
+
+def test_rejection_sampling_identity():
+    """The accept/resample procedure must reproduce the TARGET distribution
+    exactly for arbitrary (p, q) — the core speculative-sampling identity,
+    checked empirically on analytic distributions."""
+    rng = np.random.default_rng(0)
+    V = 8
+    p = rng.random(V); p /= p.sum()
+    q = rng.random(V); q /= q.sum()
+
+    N = 200_000
+    counts = np.zeros(V)
+    for _ in range(N):
+        x = rng.choice(V, p=q)
+        if rng.random() < min(1.0, p[x] / q[x]):
+            counts[x] += 1
+        else:
+            resid = np.maximum(p - q, 0.0)
+            counts[rng.choice(V, p=resid / resid.sum())] += 1
+    emp = counts / N
+    np.testing.assert_allclose(emp, p, atol=0.01)
+
+
+def test_sampled_speculative_runs_and_is_seeded(models):
+    """Sampled speculative decoding: deterministic per seed, plausible
+    acceptance, different seeds diverge."""
+    from llm_tpu.speculative import SampledSpeculativeSession
+
+    target, draft = models
+
+    def run(seed):
+        s = SampledSpeculativeSession(target, draft, k=3, temperature=0.9,
+                                      top_k=20)
+        s.feed_prompt([2, 9, 4])
+        return s.generate(12, seed=seed), s.acceptance_rate
+
+    o1, acc = run(3)
+    o2, _ = run(3)
+    o3, _ = run(4)
+    assert o1 == o2
+    assert 0.0 <= acc <= 1.0
+    assert len(o1) > 0
+    assert o1 != o3 or len(o1) < 3  # different seeds diverge (overwhelmingly)
+
+
+def test_sampled_speculative_selfdraft_high_acceptance(models):
+    """Draft == target: p == q so min(1, p/q) == 1 and everything accepts."""
+    from llm_tpu.speculative import SampledSpeculativeSession
+
+    target, _ = models
+    s = SampledSpeculativeSession(target, target, k=4, temperature=0.8)
+    s.feed_prompt([2, 9])
+    s.generate(12, seed=1)
+    assert s.acceptance_rate > 0.95, s.acceptance_rate
