@@ -22,8 +22,12 @@ Metrics:
   llama7b_q4_0_load          seconds, full loader path at 7B scale
   llama7b_q4_0_decode        tokens/s/chip vs measured roofline  [headline]
   llama7b_q4_0_prefill_512   prompt tokens/s at chunk 512
+  llama7b_q4_0_prefill_8kctx_512   prefill at n_past 7168 of an 8K window
+                                   (flash-style online-softmax attention)
   llama7b_q4_0_ttft_64tok    p50 ms to first token (64-token prompt)
   llama7b_q4_0_serve_8streams_int8kv   aggregate tokens/s, B=8, int8 KV
+  llama7b_q4_0_paged_serve_64streams_int8   64 streams over a paged int8
+                                            pool sized to tokens in flight
   mpt7b_q4_k_8k_paged_int8_decode      staged config #4: ALiBi + Q4_K +
                                        8K context + int8 paged KV (Pallas
                                        paged-attention kernel)
@@ -417,6 +421,40 @@ def prefill_bench(model):
     return emit("llama7b_q4_0_prefill_512", T / dt, "tokens/s", 0.0)
 
 
+@_section("prefill-8k")
+def prefill_8k_bench(model):
+    """VERDICT round-1 #3 done-criterion: prefill T=512 at n_ctx=8192 runs
+    on chip within memory — the flash-style online-softmax attention path
+    (the materialized scores would be ~0.5 GB/layer)."""
+    from llm_tpu.models.forward import _use_online
+
+    import dataclasses
+
+    spec8k = dataclasses.replace(model.spec, n_ctx=8192)
+    assert _use_online(512, spec8k.n_head, 7680)[0], "online path not engaged"
+    params = model.params
+    T, PAST = 512, 7168
+    cache = init_cache(spec8k, jnp.bfloat16)  # 8K bf16 cache: 4.3 GB
+    ids = jnp.asarray(np.arange(2, 2 + T) % 31000, jnp.int32)
+    window = window_bucket(PAST + T, 8192)
+
+    logits, _, cache = forward_step(
+        spec8k, params, ids, jnp.int32(PAST), cache, window
+    )
+    np.asarray(logits[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        logits, _, cache = forward_step(
+            spec8k, params, ids, jnp.int32(PAST), cache, window
+        )
+        np.asarray(logits[-1])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    del cache
+    return emit("llama7b_q4_0_prefill_8kctx_512", T / dt, "tokens/s", 0.0)
+
+
 @_section("ttft")
 def ttft_bench(model):
     spec, params = model.spec, model.params
@@ -651,6 +689,7 @@ def main() -> None:
 
     headline = decode_bench(model, roofline_bw)
     prefill_bench(model)
+    prefill_8k_bench(model)
     ttft_bench(model)
     serve_bench(model, headline)
     paged_serve_bench(model, headline)
