@@ -453,8 +453,17 @@ def cmd_repl(args) -> None:
         template = Path(args.prompt_file).read_text().rstrip("\n")
 
     print(">> ", end="", flush=True)
+    pending: list[str] = []
     for line in sys.stdin:
         line = line.rstrip("\n")
+        if line.endswith("\\"):
+            # rustyline-style line continuation (interactive.rs:209-220)
+            pending.append(line[:-1])
+            print(".. ", end="", flush=True)
+            continue
+        if pending:
+            line = "\n".join(pending + [line])
+            pending = []
         if not line:
             print(">> ", end="", flush=True)
             continue

@@ -74,3 +74,20 @@ def test_truncated_file(tmp_path, model_path):
     trunc.write_bytes(data[: len(data) // 2])
     with pytest.raises(Exception):
         load(trunc, "llama")
+
+
+def test_repl_line_continuation(tmp_path, capsys, monkeypatch):
+    """A trailing backslash continues the line (interactive.rs:209-220)."""
+    import io
+
+    from llm_tpu.cli import main
+
+    path = tmp_path / "llama.bin"
+    make_tiny_file("llama", path)
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("<t2>\\\n<t3>\n")
+    )
+    main(["repl", "-m", str(path), "-a", "llama", "-n", "2",
+          "--num-ctx-tokens", "64", "--sampler", "topk:k=1"])
+    out = capsys.readouterr().out
+    assert ".. " in out  # continuation prompt shown
