@@ -490,6 +490,8 @@ def cmd_repl(args) -> None:
             )
         except S.ContextFull:
             print("Context window full.", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — a bad line must not kill the repl
+            print(f"error: {e}", file=sys.stderr)
         print()
         print(">> ", end="", flush=True)
 
