@@ -185,6 +185,8 @@ def paged_forward_batched(
     tables: jnp.ndarray,  # [B, P] physical page ids
     cache: PagedKVCache,
     window_pages: int,  # static: logical pages covered by attention reads
+    allow_kernel: bool = True,  # False under a mesh: the Pallas kernel is
+    #                             not SPMD-partitioned; the jnp page scan is
 ):
     """Batched forward over paged caches. Returns (logits, hidden, cache).
 
@@ -214,7 +216,7 @@ def paged_forward_batched(
 
     from llm_tpu.ops.paged_attention import paged_attention_pass, kernel_ok
 
-    use_kernel = kernel_ok(spec, T, page)
+    use_kernel = allow_kernel and kernel_ok(spec, T, page)
 
     def body(carry, l):
         layer = _LayerView(params.layers, l)
@@ -309,14 +311,15 @@ def paged_forward_batched(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 6), donate_argnums=(5,))
-def paged_step(spec, params, ids, n_past, tables, cache, window_pages):
+@partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=(5,))
+def paged_step(spec, params, ids, n_past, tables, cache, window_pages,
+               allow_kernel=True):
     return paged_forward_batched(
-        spec, params, ids, n_past, tables, cache, window_pages
+        spec, params, ids, n_past, tables, cache, window_pages, allow_kernel
     )
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8), donate_argnums=(5,))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 11), donate_argnums=(5,))
 def paged_decode_loop(
     spec,
     params,
@@ -329,6 +332,7 @@ def paged_decode_loop(
     sampler=None,
     key=None,
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
+    allow_kernel: bool = True,
 ):
     """Multi-token paged decode fully on device: B streams x n_steps tokens
     per dispatch (sample-then-evaluate per step, like decode_loop_batched).
@@ -345,7 +349,8 @@ def paged_decode_loop(
         k, sub = jax.random.split(k)
         toks = device_sample(logits, sub, sampler, sampler_values)
         new_logits, _, c = paged_forward_batched(
-            spec, params, toks[:, None], npast, tables, c, window_pages
+            spec, params, toks[:, None], npast, tables, c, window_pages,
+            allow_kernel,
         )
         return (new_logits[:, 0, :], npast + 1, c, k), toks
 
@@ -382,19 +387,40 @@ class PagedEngine(Engine):
         n_pages: Optional[int] = None,
         kv_dtype=jnp.bfloat16,
         n_batch: int = 64,
+        mesh=None,
     ):
         self.page_size = page_size
         self._n_pages_requested = n_pages
-        super().__init__(model, max_streams, kv_dtype, n_batch, mesh=None)
+        super().__init__(model, max_streams, kv_dtype, n_batch, mesh=mesh)
 
     def _init_device_state(self, kv_dtype, mesh) -> None:
-        assert mesh is None, "PagedEngine does not support meshes yet"
+        # Under a TP mesh the page pool shards over kv heads and the jnp
+        # page-scan pass runs under GSPMD (the Pallas kernel is not
+        # SPMD-partitioned; single-chip keeps the kernel).
+        self._allow_kernel = mesh is None
+        if mesh is not None:
+            from llm_tpu.parallel import shard_params
+
+            self.params = shard_params(self.model.params, mesh)
         self.pages_per_stream = -(-self.spec.n_ctx // self.page_size)
         n_pages = self._n_pages_requested
         if n_pages is None:
             # default: every stream can reach full context (+1 trash page)
             n_pages = 1 + self.max_streams * self.pages_per_stream
         self.pool = init_paged_cache(self.spec, n_pages, self.page_size, kv_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from llm_tpu.parallel.sharding import _put
+
+            spec_kv = P(None, None, "model", None, None)
+            spec_sc = P(None, None, "model", None)
+            self.pool = PagedKVCache(
+                _put(self.pool.k, mesh, spec_kv),
+                _put(self.pool.v, mesh, spec_kv),
+                _put(self.pool.k_scale, mesh, spec_sc),
+                _put(self.pool.v_scale, mesh, spec_sc),
+            )
         self.allocator = PageAllocator(n_pages)
         self.tables = np.full(
             (self.max_streams, self.pages_per_stream),
@@ -497,7 +523,7 @@ class PagedEngine(Engine):
         wp = max(1, -(-(int(n_past.max()) + 1) // self.page_size))
         logits, _, self.pool = paged_step(
             spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
-            jnp.asarray(self.tables), self.pool, wp,
+            jnp.asarray(self.tables), self.pool, wp, self._allow_kernel,
         )
         logits = np.asarray(logits)[:, 0, :]
 
@@ -548,6 +574,6 @@ class PagedEngine(Engine):
         toks, last_logits, _, self.pool = paged_decode_loop(
             self.spec, self.params, jnp.asarray(logits),
             jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
-            n_steps, wp, sampler, key, values,
+            n_steps, wp, sampler, key, values, self._allow_kernel,
         )
         return np.asarray(toks), np.asarray(last_logits), n_steps

@@ -346,3 +346,47 @@ def test_paged_kernel_interpret_mqa_falcon(tmp_path, monkeypatch):
     monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
     got = run()
     assert got == ref
+
+
+def test_paged_engine_tp_mesh_matches_single_device(model):
+    """Paged serving over a TP mesh: pool sharded over kv heads, weights
+    Megatron-sharded, jnp page-scan under GSPMD — equals the meshless
+    engine token-for-token."""
+    from llm_tpu.parallel import MeshConfig, make_mesh
+
+    prompts = ["<t2><t3>", "<t9><t4><t5>"]
+    ref = PagedEngine(model, max_streams=2, page_size=16,
+                      kv_dtype=jnp.float32).generate_all(
+        [GenerationRequest(prompt=p, max_tokens=8,
+                           sampler=DeterministicSampler())
+         for p in prompts]
+    )
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    with mesh:
+        engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype=jnp.float32, mesh=mesh)
+        texts = engine.generate_all(
+            [GenerationRequest(prompt=p, max_tokens=8,
+                               sampler=DeterministicSampler())
+             for p in prompts]
+        )
+    assert [texts[i] for i in sorted(texts)] == [ref[0], ref[1]]
+
+
+def test_paged_engine_tp_mesh_int8(model):
+    from llm_tpu.parallel import MeshConfig, make_mesh
+
+    ref = PagedEngine(model, max_streams=1, page_size=16,
+                      kv_dtype="int8").generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=8,
+                           sampler=DeterministicSampler())]
+    )
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    with mesh:
+        engine = PagedEngine(model, max_streams=1, page_size=16,
+                             kv_dtype="int8", mesh=mesh)
+        texts = engine.generate_all(
+            [GenerationRequest(prompt=[2, 3], max_tokens=8,
+                               sampler=DeterministicSampler())]
+        )
+    assert texts[0] == ref[0]
