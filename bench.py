@@ -79,8 +79,15 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float) -> dict:
     }
     _MATRIX.append(rec)
     print(json.dumps(rec), flush=True)
+    # MERGE by metric name: a partial or single-section run must never
+    # clobber previously recorded metrics
+    try:
+        existing = {r["metric"]: r for r in json.load(open("BENCH_MATRIX.json"))}
+    except Exception:  # noqa: BLE001
+        existing = {}
+    existing.update({r["metric"]: r for r in _MATRIX})
     with open("BENCH_MATRIX.json", "w") as f:
-        json.dump(_MATRIX, f, indent=1)
+        json.dump(list(existing.values()), f, indent=1)
     return rec
 
 
