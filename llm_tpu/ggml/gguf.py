@@ -90,10 +90,10 @@ def _read_value(f: BinaryIO, t: int) -> Any:
 # rides the {} placeholder. Unmapped names pass through unchanged.
 
 
-def _blk(table: dict, **suffix_maps) -> dict:
+def _blk(table: dict, layer_map: dict) -> dict:
     """Expand {gguf_suffix: ggml_pattern} pairs into blk.{}.* entries."""
     out = dict(table)
-    for gguf_sfx, ggml_pat in suffix_maps.items():
+    for gguf_sfx, ggml_pat in layer_map.items():
         out[f"blk.{{}}.{gguf_sfx}"] = ggml_pat
     return out
 
@@ -105,7 +105,7 @@ _NAME_MAPS = {
             "output_norm.weight": "norm.weight",
             "output.weight": "output.weight",
         },
-        **{
+        {
             "attn_norm.weight": "layers.{}.attention_norm.weight",
             "attn_q.weight": "layers.{}.attention.wq.weight",
             "attn_k.weight": "layers.{}.attention.wk.weight",
@@ -125,7 +125,7 @@ _NAME_MAPS = {
             "output_norm.bias": "model/ln_f/b",
             "output.weight": "model/lm_head",
         },
-        **{
+        {
             "attn_norm.weight": "model/h{}/ln_1/g",
             "attn_norm.bias": "model/h{}/ln_1/b",
             "attn_qkv.weight": "model/h{}/attn/c_attn/w",
@@ -148,7 +148,7 @@ _NAME_MAPS = {
             "output.weight": "lm_head.weight",
             "output.bias": "lm_head.bias",
         },
-        **{
+        {
             "attn_norm.weight": "transformer.h.{}.ln_1.weight",
             "attn_norm.bias": "transformer.h.{}.ln_1.bias",
             "attn_q.weight": "transformer.h.{}.attn.q_proj.weight",
@@ -168,7 +168,7 @@ _NAME_MAPS = {
             "output_norm.bias": "gpt_neox.final_layer_norm.bias",
             "output.weight": "embed_out.weight",
         },
-        **{
+        {
             "attn_norm.weight": "gpt_neox.layers.{}.input_layernorm.weight",
             "attn_norm.bias": "gpt_neox.layers.{}.input_layernorm.bias",
             "attn_qkv.weight": "gpt_neox.layers.{}.attention.query_key_value.weight",
@@ -192,7 +192,7 @@ _NAME_MAPS = {
             "output_norm.bias": "output_norm.bias",
             "output.weight": "output.weight",
         },
-        **{
+        {
             "attn_norm.weight": "layers.{}.attention_norm.weight",
             "attn_norm.bias": "layers.{}.attention_norm.bias",
             "attn_qkv.weight": "layers.{}.attention.query_key_value.weight",
@@ -212,7 +212,7 @@ _NAME_MAPS = {
             "token_embd.weight": "transformer.wte.weight",
             "output_norm.weight": "transformer.norm_f.weight",
         },
-        **{
+        {
             "attn_norm.weight": "transformer.blocks.{}.norm_1.weight",
             "attn_qkv.weight": "transformer.blocks.{}.attn.Wqkv.weight",
             "attn_output.weight": "transformer.blocks.{}.attn.out_proj.weight",
@@ -228,7 +228,7 @@ _NAME_MAPS = {
             "output_norm.bias": "transformer.ln_f.bias",
             "output.weight": "lm_head.weight",
         },
-        **{
+        {
             # 7B single shared LN; 40B ln_attn (attn_norm) + ln_mlp
             # (attn_norm_2) — the 7B file simply lacks attn_norm_2
             "attn_norm.weight": "transformer.h.{}.input_layernorm.weight",
@@ -371,7 +371,12 @@ class GgufReader:
                 h.n_embd // h.n_head if h.n_head else 0)
         )
         h.use_parallel_residual = bool(get("use_parallel_residual", True))
-        h.alibi_bias_max = float(get("attention.alibi_bias_max", 0.0))
+        # standard key first (llama.cpp: {arch}.attention.max_alibi_bias);
+        # accept our earlier spelling for files we wrote before
+        h.alibi_bias_max = float(
+            get("attention.max_alibi_bias", 0.0)
+            or get("attention.alibi_bias_max", 0.0)
+        )
         h.n_mult = int(get("feed_forward_multiple", 256) or 256)
         ft = md.get("general.file_type")
         if ft is not None:
@@ -544,8 +549,12 @@ def convert_ggml_to_gguf(
         )
         if h.alibi_bias_max:
             w.add_metadata(
-                f"{architecture}.attention.alibi_bias_max",
+                f"{architecture}.attention.max_alibi_bias",
                 float(h.alibi_bias_max),
+            )
+        if h.n_mult:
+            w.add_metadata(
+                f"{architecture}.feed_forward_multiple", int(h.n_mult)
             )
         w.add_metadata("general.file_type", int(h.file_type.format))
         w.add_metadata(
