@@ -909,30 +909,10 @@ def init_cache_batched(spec: ModelSpec, batch: int, dtype=jnp.bfloat16) -> KVCac
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def forward_batched(
-    spec: ModelSpec,
-    params: ModelParams,
-    ids: jnp.ndarray,  # [B, T] int32
-    n_past: jnp.ndarray,  # [B] int32
-    cache: KVCache,  # [L, B, S, H_kv, D]
-    window: Optional[int] = None,
-    write_mask: Optional[jnp.ndarray] = None,  # [B] bool
-):
-    """Batched forward over B independent streams sharing the weights.
-
-    Returns (logits [B, T, V] f32, hidden [B, T, E] f32, new cache).
-    `window` (static) bounds cache reads; must cover max(n_past).
-
-    `write_mask` (default: all True) disables the KV-cache write for masked
-    streams entirely — the safe way to run DUMMY rows (empty or
-    mid-prefill slots in a full-batch SPMD dispatch). Without it a dummy
-    row near the context boundary is lethal: dynamic_update_slice CLAMPS
-    an out-of-bounds start, silently overwriting LIVE positions < n_past
-    with garbage K/V.
-    """
+def embed_batched(spec: ModelSpec, params: ModelParams, ids, positions):
+    """[B, T] ids -> [B, T, E] f32 embeddings (+ post-embed norm / learned
+    positions per spec)."""
     B, T = ids.shape
-    positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-
     h = quant_rows_lookup(params.wte, ids.reshape(-1)).reshape(B, T, -1)
     if spec.post_embed_norm:
         h = layer_norm(h, params.emb_norm_w, params.emb_norm_b)
@@ -940,8 +920,37 @@ def forward_batched(
         h = h + quant_rows_lookup(params.wpe, positions.reshape(-1)).reshape(
             B, T, -1
         )
+    return h
 
-    W = cache.k.shape[2] if window is None else min(window, cache.k.shape[2])
+
+def head_batched(spec: ModelSpec, params: ModelParams, h):
+    """Final norm + lm_head: [B, T, E] hidden -> (logits [B, T, V] f32,
+    normed hidden [B, T, E] f32)."""
+    B, T, E = h.shape
+    h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
+    head = params.lm_head if params.lm_head is not None else params.wte
+    logits = qmatmul(h.reshape(B * T, E), head)
+    if params.lm_head_b is not None:
+        logits = logits + params.lm_head_b
+    return (
+        logits.reshape(B, T, -1).astype(jnp.float32),
+        h.astype(jnp.float32),
+    )
+
+
+def scan_layers_batched(
+    spec: ModelSpec,
+    layers: LayerParams,  # stacked, leading axis = n (any contiguous run)
+    h: jnp.ndarray,  # [B, T, E]
+    positions: jnp.ndarray,  # [B, T]
+    n_past: jnp.ndarray,  # [B]
+    cache: KVCache,  # [n, B, S, H_kv, D]
+    W: int,
+):
+    """lax.scan the layer stack over `h`. The layer count comes from the
+    CACHE leading axis (not spec.n_layer) so a pipeline stage can run its
+    local slice of the stack. Returns (h, (k_news, v_news)) with k_news
+    stacked [n, B, T, ...] (code/scale tuples when the cache is int8)."""
     quantized = cache.k_scale is not None
 
     def body(carry, xs):
@@ -951,19 +960,30 @@ def forward_batched(
         else:
             l, k_l, v_l = xs
             kc, vc = (k_l[:, :W], None), (v_l[:, :W], None)
-        layer = _LayerView(params.layers, l)
+        layer = _LayerView(layers, l)
         hh, k_new, v_new = _layer_batched(
             spec, carry, layer, positions, n_past, kc, vc
         )
         return hh, (k_new, v_new)
 
-    xs = (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v)
+    n = cache.k.shape[0]
+    xs = (jnp.arange(n, dtype=jnp.int32), cache.k, cache.v)
     if quantized:
         xs = xs + (cache.k_scale, cache.v_scale)
-    h, (k_news, v_news) = lax.scan(body, h, xs)
-    # k_news: [L, B, T, H, D]; per-stream DUS at its own n_past (vmap over
-    # the batch axis 1 of both cache and update)
+    return lax.scan(body, h, xs)
 
+
+def write_cache_batched(
+    cache: KVCache,  # [n, B, S, H_kv, D]
+    k_news,  # [n, B, T, H, D] (or (codes, scales) when int8)
+    v_news,
+    n_past: jnp.ndarray,  # [B]
+    write_mask: Optional[jnp.ndarray],  # [B] bool | None (= all write)
+) -> KVCache:
+    """Per-stream dynamic_update_slice of the new K/V rows at each stream's
+    own n_past (vmap over the batch axis 1 of both cache and update)."""
+    quantized = cache.k_scale is not None
+    B = cache.k.shape[1]
     if write_mask is None:
         # static fast path: plain per-stream DUS, no predication read
         def write(c, new, p, en):  # c [L, S, H, D], new [L, T, H, D]
@@ -999,29 +1019,50 @@ def forward_batched(
         kq, ks = k_news  # attention already emits (codes, scales)
         vq, vs = v_news
         vwrite_s = jax.vmap(write_scale, in_axes=(1, 1, 0, 0), out_axes=1)
-        new_cache = KVCache(
+        return KVCache(
             vwrite(cache.k, kq, n_past, wm),
             vwrite(cache.v, vq, n_past, wm),
             vwrite_s(cache.k_scale, ks, n_past, wm),
             vwrite_s(cache.v_scale, vs, n_past, wm),
         )
-    else:
-        new_cache = KVCache(
-            vwrite(cache.k, k_news.astype(cache.k.dtype), n_past, wm),
-            vwrite(cache.v, v_news.astype(cache.v.dtype), n_past, wm),
-        )
-
-    E = h.shape[-1]
-    h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
-    head = params.lm_head if params.lm_head is not None else params.wte
-    logits = qmatmul(h.reshape(B * T, E), head)
-    if params.lm_head_b is not None:
-        logits = logits + params.lm_head_b
-    return (
-        logits.reshape(B, T, -1).astype(jnp.float32),
-        h.astype(jnp.float32),
-        new_cache,
+    return KVCache(
+        vwrite(cache.k, k_news.astype(cache.k.dtype), n_past, wm),
+        vwrite(cache.v, v_news.astype(cache.v.dtype), n_past, wm),
     )
+
+
+def forward_batched(
+    spec: ModelSpec,
+    params: ModelParams,
+    ids: jnp.ndarray,  # [B, T] int32
+    n_past: jnp.ndarray,  # [B] int32
+    cache: KVCache,  # [L, B, S, H_kv, D]
+    window: Optional[int] = None,
+    write_mask: Optional[jnp.ndarray] = None,  # [B] bool
+):
+    """Batched forward over B independent streams sharing the weights.
+
+    Returns (logits [B, T, V] f32, hidden [B, T, E] f32, new cache).
+    `window` (static) bounds cache reads; must cover max(n_past).
+
+    `write_mask` (default: all True) disables the KV-cache write for masked
+    streams entirely — the safe way to run DUMMY rows (empty or
+    mid-prefill slots in a full-batch SPMD dispatch). Without it a dummy
+    row near the context boundary is lethal: dynamic_update_slice CLAMPS
+    an out-of-bounds start, silently overwriting LIVE positions < n_past
+    with garbage K/V.
+    """
+    B, T = ids.shape
+    positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    h = embed_batched(spec, params, ids, positions)
+
+    W = cache.k.shape[2] if window is None else min(window, cache.k.shape[2])
+    h, (k_news, v_news) = scan_layers_batched(
+        spec, params.layers, h, positions, n_past, cache, W
+    )
+    new_cache = write_cache_batched(cache, k_news, v_news, n_past, write_mask)
+    logits, h = head_batched(spec, params, h)
+    return logits, h, new_cache
 
 
 @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
