@@ -99,8 +99,8 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--draft-model", default=None,
                    help="speculative decoding: path to a small draft model "
                         "of the same family (greedy sampling only; output "
-                        "is identical to plain greedy decoding, just "
-                        "faster)")
+                        "matches plain greedy decoding — exactly, up to "
+                        "bf16 argmax ties — just faster)")
 
 
 def add_prompt_args(p: argparse.ArgumentParser) -> None:
@@ -243,13 +243,20 @@ def _infer_speculative(args, model) -> None:
     )
     import jax.numpy as jnp
 
+    if args.kv_int8:
+        kv_dtype = "int8"
+    elif args.no_float16:
+        kv_dtype = jnp.float32
+    else:
+        kv_dtype = jnp.bfloat16
     s = SpeculativeSession(
-        model, draft, k=4,
-        kv_dtype="int8" if args.kv_int8 else jnp.bfloat16,
+        model, draft, k=4, kv_dtype=kv_dtype,
+        n_batch=session_config(args).n_batch,
     )
     prompt = resolve_prompt(args)
     toks = Prompt.of(prompt).to_tokens(model.tokenizer, True)
-    print(prompt, end="", flush=True)
+    if not args.hide_prompt:
+        print(prompt, end="", flush=True)
     t0 = time.monotonic()
     s.feed_prompt(toks)
 
@@ -264,7 +271,10 @@ def _infer_speculative(args, model) -> None:
         sys.stdout.flush()
         decoded[0] = len(text)
 
-    out = s.generate(args.num_predict or 128, callback=emit)
+    out = s.generate(
+        args.num_predict if args.num_predict is not None else 2**31,
+        callback=emit,
+    )
     dt = time.monotonic() - t0
     print(file=sys.stderr)
     if args.stats:
@@ -285,6 +295,11 @@ def cmd_infer(args) -> None:
     if getattr(args, "draft_model", None):
         if args.sampler_options or args.device_sampling:
             _err("--draft-model supports greedy sampling only")
+        if args.token_bias or args.ignore_eos:
+            _err("--draft-model does not support --token-bias/--ignore-eos "
+                 "(greedy acceptance has no bias hook)")
+        if args.load_session or args.save_session or args.persist_session:
+            _err("--draft-model does not support session snapshots")
         return _infer_speculative(args, model)
     config = session_config(args)
 

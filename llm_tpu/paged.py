@@ -475,7 +475,7 @@ class PagedEngine(Engine):
             spec, self.params, jnp.asarray(ids),
             jnp.asarray([pos], np.int32),
             jnp.asarray(self.tables[slot : slot + 1]),
-            self.pool, wp,
+            self.pool, wp, self._allow_kernel,
         )
         stream.prefill_pos = pos + len(chunk)
         stream.n_past = stream.prefill_pos

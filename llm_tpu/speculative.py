@@ -16,8 +16,13 @@ two-jit design and the masked-overshoot property of the KV cache:
 
 Two modes, both distribution-exact:
 - `SpeculativeSession` (greedy): acceptance compares argmax, so the
-  output is EXACTLY the target model's greedy generation (tested with an
+  output is the target model's greedy generation (tested with an
   arbitrary draft) — the draft only changes the speed, never the text.
+  Caveat: "greedy-equal" is exact at the argmax level; on TPU the T=k
+  verify forward reduces bf16 matmuls in a different order than a T=1
+  step, so logits that are within rounding of a tie CAN flip argmax
+  relative to plain token-at-a-time decoding (the f32 CPU path is
+  bit-identical and is what the equality test pins).
 - `SampledSpeculativeSession` (temperature/top-k): proposals are
   accepted with probability min(1, p/q) and rejections resample from
   normalize(max(p - q, 0)) — the rejection-sampling identity makes the
@@ -48,13 +53,15 @@ class SpeculativeSession:
     quantized small model of the same family as the target).
     """
 
-    def __init__(self, target, draft, k: int = 4, kv_dtype=jnp.bfloat16):
+    def __init__(self, target, draft, k: int = 4, kv_dtype=jnp.bfloat16,
+                 n_batch: int = 512):
         assert target.spec.n_vocab == draft.spec.n_vocab, (
             "draft and target must share a vocabulary"
         )
         self.target = target
         self.draft = draft
         self.k = k
+        self.n_batch = n_batch
         self.t_cache = init_cache(target.spec, kv_dtype)
         self.d_cache = init_cache(draft.spec, kv_dtype)
         self.n_past = 0
@@ -67,20 +74,38 @@ class SpeculativeSession:
         return window_bucket(self.n_past + extra, self.target.spec.n_ctx)
 
     def feed_prompt(self, tokens) -> None:
-        ids = jnp.asarray(list(tokens), jnp.int32)
-        w = self._window(len(tokens))
-        tl, _, self.t_cache = forward_step(
-            self.target.spec, self.target.params, ids,
-            jnp.int32(self.n_past), self.t_cache, w,
-        )
-        dl, _, self.d_cache = forward_step(
-            self.draft.spec, self.draft.params, ids,
-            jnp.int32(self.n_past), self.d_cache, w,
-        )
-        self.n_past += len(tokens)
-        self.tokens.extend(int(t) for t in tokens)
-        self.last_logits = np.asarray(tl)[-1]
-        self._draft_logits = np.asarray(dl)[-1]
+        """Feed the prompt in fixed n_batch-bucketed chunks (the same
+        scheme as session._evaluate) so every prompt length reuses one
+        compiled (T=n_batch) graph per model instead of compiling a fresh
+        T=len(prompt) graph — and the attention scores stay chunk-sized."""
+        toks = [int(t) for t in tokens]
+        spec_t, spec_d = self.target.spec, self.draft.spec
+        ctx = min(spec_t.n_ctx, spec_d.n_ctx)
+        for start in range(0, len(toks), self.n_batch):
+            chunk = toks[start : start + self.n_batch]
+            n = len(chunk)
+            # pad to the bucket, except near the context boundary where
+            # dynamic_update_slice would clamp and clobber live entries
+            bucket = 1 if n == 1 else self.n_batch
+            if self.n_past + bucket > ctx:
+                bucket = n
+            ids = np.zeros(bucket, np.int32)
+            ids[:n] = chunk
+            ids_j = jnp.asarray(ids)
+            tl, _, self.t_cache = forward_step(
+                spec_t, self.target.params, ids_j,
+                jnp.int32(self.n_past), self.t_cache,
+                window_bucket(self.n_past, spec_t.n_ctx),
+            )
+            dl, _, self.d_cache = forward_step(
+                spec_d, self.draft.params, ids_j,
+                jnp.int32(self.n_past), self.d_cache,
+                window_bucket(self.n_past, spec_d.n_ctx),
+            )
+            self.n_past += n
+            self.tokens.extend(chunk)
+            self.last_logits = np.asarray(tl)[n - 1]
+            self._draft_logits = np.asarray(dl)[n - 1]
 
     def generate(
         self,
@@ -88,8 +113,9 @@ class SpeculativeSession:
         callback: Optional[Callable[[int], None]] = None,
     ) -> list[int]:
         """Greedy-generate up to max_tokens (stops at the target's EoT).
-        Returns the generated token ids; output is IDENTICAL to plain
-        greedy decoding of the target model."""
+        Returns the generated token ids; output matches plain greedy
+        decoding of the target model (exactly, up to argmax ties under
+        bf16 reduction-order differences — see module docstring)."""
         from llm_tpu.models.forward import decode_loop
         from llm_tpu.ops.sampling import DeviceSampler
 
