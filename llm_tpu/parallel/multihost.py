@@ -430,3 +430,254 @@ class MultiHostEngine(_LocalEngine):
             else:
                 self.step()
         return {rid: "".join(self.finished[rid].text) for rid in ids}
+
+
+# ---------------------------------------------------------------------------
+# paged KV pools under the cross-host engine
+#
+# Each host owns a LOCAL physical page pool: the global pool's page axis is
+# sharded over `data`, every host's tables address only its own pages (ids
+# are host-local; each host's page 0 is its own trash page), and the
+# engine dispatches ONE global SPMD program per step via shard_map with
+# `data` MANUAL and `model` AUTOMATIC — page gathers/scatters are host-local
+# array ops inside the manual region (no cross-host page traffic, ever),
+# while the TP weight sharding still rides GSPMD within each host's ICI
+# domain. Dummy rows (slots not written this dispatch) point at their
+# stream's frontier: positions >= n_past are rewritten before they are ever
+# read, and positions past the table redirect to the trash page
+# (paged.py:paged_forward_batched).
+
+
+from functools import partial as _partial
+
+from jax.sharding import PartitionSpec as _P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+@_partial(jax.jit, static_argnums=(0, 6, 7, 8), donate_argnums=(5,))
+def _mh_paged_step(
+    spec, params, ids, n_past, tables, pool, window_pages, allow_kernel, mesh
+):
+    from llm_tpu.paged import PagedKVCache, paged_forward_batched
+
+    pool_spec = PagedKVCache(
+        _P(None, "data"), _P(None, "data"), _P(None, "data"), _P(None, "data")
+    )
+    fn = _shard_map(
+        lambda p, i, n, t, c: paged_forward_batched(
+            spec, p, i, n, t, c, window_pages, allow_kernel
+        ),
+        mesh=mesh,
+        axis_names={"data"},
+        in_specs=(_P(), _P("data"), _P("data"), _P("data"), pool_spec),
+        out_specs=(_P("data"), _P("data"), pool_spec),
+        check_vma=False,
+    )
+    return fn(params, ids, n_past, tables, pool)
+
+
+class MultiHostPagedEngine(MultiHostEngine):
+    """Cross-host continuous batching over host-local paged KV pools.
+
+    Inherits all coordination (submit/_sync/step/generate_all) from
+    MultiHostEngine; replaces the dense data-sharded slot cache with a
+    per-host page pool + host-local tables/allocator, and the two dispatch
+    sites with the manual-`data` shard_map'd paged step."""
+
+    def __init__(
+        self,
+        model,
+        mesh,
+        global_streams: int = 8,
+        kv_dtype="int8",
+        n_batch: int = 64,
+        page_size: int = 256,
+        n_pages: Optional[int] = None,
+    ):
+        from jax.sharding import NamedSharding
+        from llm_tpu.paged import PageAllocator, init_paged_cache
+        from llm_tpu.parallel.sharding import shard_params
+
+        self.model = model
+        self.spec = model.spec
+        self.mesh = mesh
+        self.n_batch = n_batch
+        self.global_streams = global_streams
+        data = mesh.shape["data"]
+        assert global_streams % data == 0, (global_streams, data)
+        assert model.spec.n_ctx % n_batch == 0, (model.spec.n_ctx, n_batch)
+        self.params = shard_params(model.params, mesh)
+
+        # local row ownership from a probe array sharded over `data`
+        probe = jax.jit(
+            lambda: jnp.zeros(global_streams, jnp.int8),
+            out_shardings=NamedSharding(mesh, _P("data")),
+        )()
+        rows = [
+            (sl[0].start or 0, sl[0].stop or global_streams)
+            for d, sl in probe.sharding.devices_indices_map(
+                probe.shape
+            ).items()
+            if d.process_index == jax.process_index()
+        ]
+        self._row0 = min(r[0] for r in rows)
+        self.max_streams = max(r[1] for r in rows) - self._row0
+
+        self.page_size = page_size
+        self.pages_per_stream = -(-self.spec.n_ctx // page_size)
+        local_pages = (
+            n_pages
+            if n_pages is not None
+            else 1 + self.max_streams * self.pages_per_stream
+        )
+        assert local_pages >= 2, "need a real page beside the trash page"
+        pool_sh = NamedSharding(mesh, _P(None, "data"))
+        self.pool = jax.jit(
+            lambda: init_paged_cache(
+                self.spec, data * local_pages, page_size, kv_dtype
+            ),
+            out_shardings=jax.tree_util.tree_map(
+                lambda _: pool_sh,
+                init_paged_cache(self.spec, 1, page_size, kv_dtype),
+            ),
+        )()
+        self.allocator = PageAllocator(local_pages)
+        self.tables = np.full(
+            (self.max_streams, self.pages_per_stream),
+            PageAllocator.TRASH,
+            np.int32,
+        )
+        self.stream_pages: list[list[int]] = [
+            [] for _ in range(self.max_streams)
+        ]
+        # inside the manual-`data` region the per-host compute is ordinary
+        # single-device code UNLESS tensor parallelism rides the auto axis
+        self._allow_kernel = mesh.shape.get("model", 1) == 1
+
+        self.slots = [None] * self.max_streams
+        self.pending = []
+        self.finished = {}
+        self._retired_events = []
+        self._next_id = jax.process_index() * 1_000_000
+        self._eot = model.eot_token_id()
+        self._steps = 0
+
+    # page bookkeeping (host-local) ----------------------------------------
+
+    def _ensure_pages(self, slot: int, last_pos: int) -> None:
+        from llm_tpu.paged import PageAllocator
+
+        for j in range(last_pos // self.page_size + 1):
+            if self.tables[slot, j] == PageAllocator.TRASH:
+                (p,) = self.allocator.alloc(1)
+                self.tables[slot, j] = p
+                self.stream_pages[slot].append(p)
+
+    def _on_slot_released(self, slot: int) -> None:
+        from llm_tpu.paged import PageAllocator
+
+        self.allocator.release(self.stream_pages[slot])
+        self.stream_pages[slot] = []
+        self.tables[slot, :] = PageAllocator.TRASH
+
+    # dispatch --------------------------------------------------------------
+
+    def _window_pages(self, gmax: int, extra: int) -> int:
+        wp = max(1, -(-(gmax + extra) // self.page_size))
+        return min(wp, self.pages_per_stream)
+
+    def _paged_dispatch(self, ids: np.ndarray, n_past: np.ndarray, wp: int):
+        logits, _, self.pool = _mh_paged_step(
+            self.spec,
+            self.params,
+            self._to_global(ids, ("data",)),
+            self._to_global(n_past, ("data",)),
+            self._to_global(self.tables, ("data",)),
+            self.pool,
+            wp,
+            self._allow_kernel,
+            self.mesh,
+        )
+        return self._local_rows(logits)
+
+    def _frontiers(self) -> np.ndarray:
+        """Dummy-row n_past: every slotted stream's write positions start at
+        its frontier (safe: rewritten before read, or trash-paged)."""
+        n_past = np.zeros(self.max_streams, np.int32)
+        for i, s in enumerate(self.slots):
+            if s is not None:
+                n_past[i] = s.prefill_pos if s.prefilling else s.n_past
+        return n_past
+
+    def _global_prefill_chunk(self, gmax: int) -> None:
+        ids = np.zeros((self.max_streams, self.n_batch), np.int32)
+        n_past = self._frontiers()
+        chunk_lens = {}
+        for i, s in enumerate(self.slots):
+            if s is None or not s.prefilling:
+                continue
+            chunk = s.prefill_queue[
+                s.prefill_pos : s.prefill_pos + self.n_batch
+            ]
+            try:
+                self._ensure_pages(i, s.prefill_pos + len(chunk) - 1)
+            except MemoryError:
+                # no pages this step: the row runs as a dummy (frontier,
+                # zero ids); deadlock rule matches Engine._advance_prefills
+                s.kv_wait = True
+                others = [
+                    o for j, o in enumerate(self.slots)
+                    if o is not None and j != i
+                ]
+                if not others or all(o.kv_wait for o in others):
+                    self._retire(s, "kv_oom", slot=i)
+                continue
+            s.kv_wait = False
+            ids[i, : len(chunk)] = chunk
+            chunk_lens[i] = len(chunk)
+        logits = self._paged_dispatch(
+            ids, n_past, self._window_pages(gmax, self.n_batch)
+        )
+        for i, ln in chunk_lens.items():
+            s = self.slots[i]
+            s.prefill_pos += ln
+            s.n_past = s.prefill_pos
+            s.last_logits = logits[i, ln - 1]
+            if s.prefill_pos >= len(s.prefill_queue):
+                s.prefilling = False
+
+    def _global_decode(self, gmax: int) -> list:
+        from llm_tpu.samplers import sample_token
+
+        ids = np.zeros((self.max_streams, 1), np.int32)
+        n_past = self._frontiers()
+        sampled = {}
+        for i, s in self._decodable():
+            tok = sample_token(s.sampler, s.rng, s.tokens, s.last_logits)
+            try:
+                self._ensure_pages(i, s.n_past)
+            except MemoryError:
+                self._retire(s, "kv_oom", slot=i)
+                n_past[i] = 0
+                continue
+            sampled[i] = tok
+            ids[i, 0] = tok
+        logits = self._paged_dispatch(
+            ids, n_past, self._window_pages(gmax, 1)
+        )[:, 0, :]
+        events = []
+        for i, tok in sampled.items():
+            events.append(
+                self._finish_token(i, self.slots[i], tok, logits[i])
+            )
+        return events
+
+    def step_multi(self, n_steps: int = 16) -> list:
+        """Paged multi-host on-device decode loop is not composed yet;
+        fall back to coordinated per-token steps (identical on all hosts,
+        so the lockstep contract holds)."""
+        return self.step()

@@ -181,3 +181,72 @@ def test_multihost_admission_near_context_boundary(model):
                            sampler=GreedySampler())]
     )
     assert "".join(engine.finished[a].text) == ref[0]
+
+
+def test_multihost_paged_single_process(model):
+    """MultiHostPagedEngine (host-local page pools, manual-`data`
+    shard_map, auto `model` TP) equals the dense engine on a single-process
+    2x4 mesh — including a prompt long enough to interleave chunked
+    prefill with running decodes."""
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(
+        model, mesh, global_streams=4, kv_dtype=jnp.bfloat16, n_batch=4,
+        page_size=8,
+    )
+    prompts = [[2, 3], [9, 4, 5], [7, 8], [5, 6] * 8]
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=8,
+                           sampler=DeterministicSampler())
+         for p in prompts]
+    )
+    ref_engine = Engine(model, max_streams=4, kv_dtype=jnp.bfloat16)
+    refs = ref_engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=8,
+                           sampler=DeterministicSampler())
+         for p in prompts]
+    )
+    assert [texts[k] for k in sorted(texts)] == [refs[i] for i in sorted(refs)]
+
+
+def test_multihost_paged_int8(model):
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+    from llm_tpu.paged import PagedEngine
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(
+        model, mesh, global_streams=2, kv_dtype="int8", n_batch=4,
+        page_size=8,
+    )
+    ref_engine = PagedEngine(
+        model, max_streams=1, kv_dtype="int8", n_batch=4, page_size=8
+    )
+    req = lambda: GenerationRequest(
+        prompt=[2, 3, 4], max_tokens=8, sampler=DeterministicSampler()
+    )
+    refs = ref_engine.generate_all([req()])
+    texts = engine.generate_all([req()])
+    assert list(texts.values()) == [refs[0]]
+
+
+def test_multihost_paged_kv_oom_retires(model):
+    """A pool too small for the prompt retires the stream with kv_oom
+    instead of deadlocking the global lockstep."""
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    # 2 local pages (1 real beside trash) of 8 positions; prompt needs 3
+    engine = MultiHostPagedEngine(
+        model, mesh, global_streams=2, kv_dtype=jnp.bfloat16, n_batch=4,
+        page_size=8, n_pages=2,
+    )
+    rid = engine.submit(
+        GenerationRequest(prompt=[2] * 20, max_tokens=4,
+                          sampler=DeterministicSampler())
+    )
+    for _ in range(30):
+        if not engine.has_work_global():
+            break
+        engine.step()
+    assert engine.finished[rid].finish_reason == "kv_oom"
