@@ -79,6 +79,24 @@ while engine2.has_work_global():
     engine2.step_multi(4)
 multi = {str(i): "".join(engine2.finished[r].text) for i, r in enumerate(ids2)}
 
+# phase 3: host-local paged KV pools (pool page axis sharded over `data`,
+# page tables host-local, manual-`data` shard_map dispatch)
+from llm_tpu.parallel.multihost import MultiHostPagedEngine
+
+engine3 = MultiHostPagedEngine(
+    model, mesh, global_streams=2 * nproc, kv_dtype=jnp.bfloat16,
+    n_batch=4, page_size=8,
+)
+texts3 = engine3.generate_all(
+    [
+        GenerationRequest(
+            prompt=p, max_tokens=8, sampler=DeterministicSampler()
+        )
+        for p in prompts
+    ]
+)
+paged = {str(i): t for i, t in enumerate(texts3.values())}
+
 with open(out_path, "w") as f:
-    json.dump({"pid": pid, "texts": out, "multi": multi}, f)
+    json.dump({"pid": pid, "texts": out, "multi": multi, "paged": paged}, f)
 print(f"[{pid}] done", flush=True)

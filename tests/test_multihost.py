@@ -122,6 +122,16 @@ def test_multihost_two_processes(model, tmp_path):
         )
         gmulti = [results[pid]["multi"][str(i)] for i in range(2)]
         assert gmulti == [grefs[0], grefs[1]], f"host {pid} multi: {gmulti}"
+        # the paged phase (host-local page pools, bf16) must match the
+        # dense bf16 engine
+        paged_engine = Engine(model, max_streams=2, kv_dtype=jnp.bfloat16)
+        prefs = paged_engine.generate_all(
+            [GenerationRequest(prompt=p, max_tokens=8,
+                               sampler=DeterministicSampler())
+             for p in host_prompts[pid]]
+        )
+        gpaged = [results[pid]["paged"][str(i)] for i in range(2)]
+        assert gpaged == [prefs[0], prefs[1]], f"host {pid} paged: {gpaged}"
 
 
 def test_multihost_step_multi_single_process(model):
