@@ -575,11 +575,15 @@ def cmd_quantize(args) -> None:
     if not args.model_architecture:
         _err("the architecture must be known for quantization")
     target = GgmlType[args.target.upper()]
-    container = (
-        ContainerType("ggml")
-        if args.container_type == "ggml"
-        else ContainerType("ggjt", 3)
-    )
+    if args.container_type == "ggml":
+        container = ContainerType("ggml")
+    elif args.container_type == "gguf" or (
+        args.container_type == "ggjt-v3"
+        and str(args.destination).endswith(".gguf")
+    ):
+        container = ContainerType("gguf", 3)
+    else:
+        container = ContainerType("ggjt", 3)
 
     def progress(ev):
         if ev.kind == "tensor_quantized":
@@ -685,8 +689,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--tokenizer-repository", default=None)
     p.add_argument("source", help="the file to quantize")
     p.add_argument("destination", help="the file to write the quantized model to")
-    p.add_argument("-c", "--container-type", choices=["ggml", "ggjt-v3"],
-                   default="ggjt-v3")
+    p.add_argument("-c", "--container-type",
+                   choices=["ggml", "ggjt-v3", "gguf"], default="ggjt-v3")
     p.add_argument("target",
                    choices=["q4_0", "q4_1", "q5_0", "q5_1", "q8_0"])
     p.set_defaults(fn=cmd_quantize)

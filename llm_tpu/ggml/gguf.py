@@ -321,8 +321,10 @@ class GgufReader:
             data_start = (f.tell() + align - 1) // align * align
 
             table = _name_table(arch, self.metadata)
+            self.source_names: dict[str, str] = {}
             for name, n_dims, dims, element_type, offset in infos:
                 gname = _translate_name(table, name)
+                self.source_names[gname] = name  # classic -> original GGUF
                 self.tensors[gname] = TensorInfo(
                     name=gname,
                     n_dims=n_dims,
@@ -492,27 +494,15 @@ class GgufWriter:
             f.write(b"\x00" * ((-len(data)) % self.ALIGN))
 
 
-def convert_ggml_to_gguf(
-    src: str | Path, dst: str | Path, architecture: str = "llama"
-) -> None:
-    """Convert a classic GGML/GGJT checkpoint into GGUF v3 (all 7 archs)."""
+def gguf_name_fn(architecture: str, metadata: Optional[dict] = None):
+    """classic GGML tensor name -> GGUF name translator for an arch.
+
+    The ggml layer index is matched by regex (ggml names differ per arch:
+    layers.N, model/hN, transformer.h.N, transformer.blocks.N,
+    gpt_neox.layers.N); unmapped names pass through unchanged."""
     import re
 
-    from llm_tpu.ggml.reader import GgmlReader
-    from llm_tpu.models.spec import get_arch
-
-    arch_info = get_arch(architecture)
-    reader = GgmlReader(src).load(
-        lambda f: (lambda h: (h, h.n_vocab))(arch_info.read_hparams(f))
-    )
-    h = reader.hyperparameters
-    table = _name_table(
-        architecture,
-        {"falcon.attention.head_count_kv": h.n_head_kv},
-    )
-    # reverse map: ggml pattern -> gguf pattern, with the ggml layer index
-    # matched by regex (ggml names differ per arch: layers.N, model/hN,
-    # transformer.h.N, transformer.blocks.N, gpt_neox.layers.N)
+    table = _name_table(architecture, metadata or {})
     reverse = {v: k for k, v in table.items()}
     rev_res = [
         (re.compile("^" + re.escape(pat).replace(r"\{\}", r"(\d+)") + "$"), g)
@@ -529,41 +519,55 @@ def convert_ggml_to_gguf(
                 return gguf_pat.format(m.group(1))
         return name
 
+    return to_gguf_name
+
+
+def arch_metadata(architecture: str, h, vocabulary) -> dict:
+    """GGUF metadata block from classic hyperparameters + scored vocab."""
+    md = {
+        "general.architecture": architecture,
+        f"{architecture}.embedding_length": h.n_embd,
+        f"{architecture}.block_count": h.n_layer,
+        f"{architecture}.attention.head_count": h.n_head,
+        f"{architecture}.attention.head_count_kv": h.n_head_kv or h.n_head,
+        f"{architecture}.rope.dimension_count": h.n_rot,
+        f"{architecture}.context_length": h.n_ctx or h.max_seq_len or 2048,
+        f"{architecture}.use_parallel_residual": bool(
+            h.use_parallel_residual
+        ),
+        "general.file_type": int(h.file_type.format),
+        "tokenizer.ggml.tokens": list(vocabulary.tokens),
+        "tokenizer.ggml.scores": [float(s) for s in vocabulary.scores],
+    }
+    if h.alibi_bias_max:
+        md[f"{architecture}.attention.max_alibi_bias"] = float(
+            h.alibi_bias_max
+        )
+    if h.n_mult:
+        md[f"{architecture}.feed_forward_multiple"] = int(h.n_mult)
+    return md
+
+
+def convert_ggml_to_gguf(
+    src: str | Path, dst: str | Path, architecture: str = "llama"
+) -> None:
+    """Convert a classic GGML/GGJT checkpoint into GGUF v3 (all 7 archs)."""
+    from llm_tpu.ggml.reader import GgmlReader
+    from llm_tpu.models.spec import get_arch
+
+    arch_info = get_arch(architecture)
+    reader = GgmlReader(src).load(
+        lambda f: (lambda h: (h, h.n_vocab))(arch_info.read_hparams(f))
+    )
+    h = reader.hyperparameters
+    to_gguf_name = gguf_name_fn(
+        architecture, {"falcon.attention.head_count_kv": h.n_head_kv}
+    )
+
     with open(dst, "wb") as f:
         w = GgufWriter(f)
-        w.add_metadata("general.architecture", architecture)
-        w.add_metadata(f"{architecture}.embedding_length", h.n_embd)
-        w.add_metadata(f"{architecture}.block_count", h.n_layer)
-        w.add_metadata(f"{architecture}.attention.head_count", h.n_head)
-        w.add_metadata(
-            f"{architecture}.attention.head_count_kv",
-            h.n_head_kv or h.n_head,
-        )
-        w.add_metadata(f"{architecture}.rope.dimension_count", h.n_rot)
-        w.add_metadata(
-            f"{architecture}.context_length", h.n_ctx or h.max_seq_len or 2048
-        )
-        w.add_metadata(
-            f"{architecture}.use_parallel_residual",
-            bool(h.use_parallel_residual),
-        )
-        if h.alibi_bias_max:
-            w.add_metadata(
-                f"{architecture}.attention.max_alibi_bias",
-                float(h.alibi_bias_max),
-            )
-        if h.n_mult:
-            w.add_metadata(
-                f"{architecture}.feed_forward_multiple", int(h.n_mult)
-            )
-        w.add_metadata("general.file_type", int(h.file_type.format))
-        w.add_metadata(
-            "tokenizer.ggml.tokens", list(reader.vocabulary.tokens)
-        )
-        w.add_metadata(
-            "tokenizer.ggml.scores",
-            [float(s) for s in reader.vocabulary.scores],
-        )
+        for k, v in arch_metadata(architecture, h, reader.vocabulary).items():
+            w.add_metadata(k, v)
         for name, info in reader.tensors.items():
             w.add_tensor(
                 to_gguf_name(name),

@@ -67,11 +67,21 @@ def quantize(
     container: Optional[ContainerType] = None,
     progress: Optional[Callable[[QuantizeProgress], None]] = None,
 ) -> None:
+    """Quantize a checkpoint. Containers mix freely: classic GGML/GGJT or
+    GGUF on either side (GGUF is selected by the source file's magic and by
+    a `.gguf` destination suffix or container=("gguf", 3)); GGUF metadata
+    passes through verbatim when both sides are GGUF."""
+    from llm_tpu.ggml.gguf import GgufReader, is_gguf
+
     if target not in VALID_TARGETS:
         raise QuantizeError(
             f"invalid quantization target {target}; valid targets: "
             f"{[str(t) for t in VALID_TARGETS]}"
         )
+    src_gguf = is_gguf(source)
+    dst_gguf = (container is not None and container.kind == "gguf") or (
+        container is None and str(destination).endswith(".gguf")
+    )
     container = container or ContainerType("ggjt", 3)
     progress = progress or (lambda ev: None)
     arch = get_arch(architecture)
@@ -81,9 +91,12 @@ def quantize(
     quant_res = [re.compile(p) for p in arch.quantize_patterns]
     skip_res = [re.compile(p) for p in arch.skip_quantize_patterns]
 
-    reader = GgmlReader(source).load(
-        lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
-    )
+    if src_gguf:
+        reader = GgufReader(source).load(architecture)
+    else:
+        reader = GgmlReader(source).load(
+            lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
+        )
     hp = reader.hyperparameters
     progress(QuantizeProgress("hyperparameters_loaded"))
 
@@ -91,18 +104,23 @@ def quantize(
         format=ELEMENT_TYPE_TO_FILE_TYPE[target],
         quantization_version=QNT_VERSION,
     )
-    hb = io.BytesIO()
-    hp.write_ggml(hb)
 
     total_hist = np.zeros(16, dtype=np.int64)
     total_orig = total_new = 0
 
     with open(destination, "wb") as f:
-        w = GgmlWriter(f, container)
-        vocab = list(zip(reader.vocabulary.tokens, reader.vocabulary.scores))
-        if not container.has_scored_vocab:
-            vocab = [(t, 0.0) for t, _ in vocab]
-        w.write_header(hb.getvalue(), vocab)
+        if dst_gguf:
+            w = _GgufQuantizeSink(f, reader, architecture, hp, src_gguf)
+        else:
+            w = GgmlWriter(f, container)
+            hb = io.BytesIO()
+            hp.write_ggml(hb)
+            vocab = list(
+                zip(reader.vocabulary.tokens, reader.vocabulary.scores)
+            )
+            if not container.has_scored_vocab:
+                vocab = [(t, 0.0) for t, _ in vocab]
+            w.write_header(hb.getvalue(), vocab)
 
         for name, info in reader.tensors.items():
             raw = reader.fetch(name)
@@ -149,6 +167,9 @@ def quantize(
                 total_new += len(raw)
                 w.write_tensor(name, info.element_type, info.dims, bytes(raw))
 
+        if dst_gguf:
+            w.finish()
+
     progress(
         QuantizeProgress(
             "finished",
@@ -157,3 +178,36 @@ def quantize(
             history=total_hist,
         )
     )
+
+
+class _GgufQuantizeSink:
+    """GgmlWriter-shaped sink that emits GGUF v3.
+
+    GGUF source: metadata passes through verbatim (only general.file_type is
+    rewritten — that is what llama.cpp's quantize does) and tensors keep
+    their original GGUF names. Classic source: metadata is synthesized from
+    the hyperparameters + scored vocab and classic names are translated to
+    the gguf.md convention."""
+
+    def __init__(self, f, reader, architecture: str, hp, src_gguf: bool):
+        from llm_tpu.ggml.gguf import GgufWriter, arch_metadata, gguf_name_fn
+
+        self._w = GgufWriter(f)
+        if src_gguf:
+            md = dict(reader.metadata)
+            md["general.file_type"] = int(hp.file_type.format)
+            self._name = lambda n: reader.source_names.get(n, n)
+        else:
+            md = arch_metadata(architecture, hp, reader.vocabulary)
+            self._name = gguf_name_fn(
+                architecture,
+                {"falcon.attention.head_count_kv": hp.n_head_kv},
+            )
+        for k, v in md.items():
+            self._w.add_metadata(k, v)
+
+    def write_tensor(self, name, element_type, dims, data) -> None:
+        self._w.add_tensor(self._name(name), element_type, dims, data)
+
+    def finish(self) -> None:
+        self._w.finish()

@@ -196,3 +196,96 @@ def test_cli_gguf_convert(tmp_path, capsys):
     main(["info", "-m", str(gguf), "-a", "llama"])
     out = capsys.readouterr().out
     assert "gguf" in out
+
+
+def test_quantize_emits_gguf(files, tmp_path):
+    """quantize writes GGUF when the destination says so; the GGUF result
+    is logit-identical to the classic-container quantization of the same
+    source."""
+    from llm_tpu.ggml.types import ELEMENT_TYPE_TO_FILE_TYPE
+    from llm_tpu.models.forward import forward_step, init_cache
+    from llm_tpu.quantize import quantize
+
+    ggjt, _ = files
+    dst_gguf = tmp_path / "llama.q4_0.gguf"
+    dst_ggjt = tmp_path / "llama.q4_0.bin"
+    quantize(ggjt, dst_gguf, "llama", GgmlType.Q4_0)
+    quantize(ggjt, dst_ggjt, "llama", GgmlType.Q4_0)
+    assert is_gguf(dst_gguf)
+
+    r = GgufReader(dst_gguf).load("llama")
+    assert r.metadata["general.file_type"] == int(
+        ELEMENT_TYPE_TO_FILE_TYPE[GgmlType.Q4_0]
+    )
+    assert r.tensors["layers.0.attention.wq.weight"].element_type == GgmlType.Q4_0
+
+    m1 = load(dst_ggjt, "llama", params=ModelParameters(context_size=64))
+    m2 = load(dst_gguf, "llama", params=ModelParameters(context_size=64))
+    ids = jnp.asarray([3, 17, 5], jnp.int32)
+    l1, _, _ = forward_step(
+        m1.spec, m1.params, ids, jnp.int32(0), init_cache(m1.spec, jnp.float32)
+    )
+    l2, _, _ = forward_step(
+        m2.spec, m2.params, ids, jnp.int32(0), init_cache(m2.spec, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_quantize_gguf_to_gguf_metadata_passthrough(files, tmp_path):
+    """GGUF -> GGUF quantize: every metadata key except general.file_type
+    passes through verbatim and tensors keep their original GGUF names
+    (llama.cpp quantize behavior)."""
+    from llm_tpu.ggml.types import ELEMENT_TYPE_TO_FILE_TYPE
+    from llm_tpu.quantize import quantize
+
+    _, gguf = files
+    dst = tmp_path / "llama.q5_1.gguf"
+    quantize(gguf, dst, "llama", GgmlType.Q5_1)
+
+    src = GgufReader(gguf).load("llama")
+    out = GgufReader(dst).load("llama")
+    md_src, md_out = dict(src.metadata), dict(out.metadata)
+    assert md_out.pop("general.file_type") == int(
+        ELEMENT_TYPE_TO_FILE_TYPE[GgmlType.Q5_1]
+    )
+    md_src.pop("general.file_type")
+    assert md_src == md_out
+    assert set(out.source_names.values()) == set(src.source_names.values())
+    assert "blk.0.attn_q.weight" in out.source_names.values()
+
+    model = load(dst, "llama", params=ModelParameters(context_size=64))
+    assert model.container_type.kind == "gguf"
+
+
+def test_quantize_gguf_to_classic(files, tmp_path):
+    """GGUF source -> classic GGJT destination."""
+    from llm_tpu.models.forward import forward_step, init_cache
+    from llm_tpu.quantize import quantize
+
+    ggjt, gguf = files
+    dst = tmp_path / "back.bin"
+    ref = tmp_path / "ref.bin"
+    quantize(gguf, dst, "llama", GgmlType.Q8_0)
+    quantize(ggjt, ref, "llama", GgmlType.Q8_0)
+    m1 = load(dst, "llama", params=ModelParameters(context_size=64))
+    m2 = load(ref, "llama", params=ModelParameters(context_size=64))
+    ids = jnp.asarray([3, 17, 5], jnp.int32)
+    l1, _, _ = forward_step(
+        m1.spec, m1.params, ids, jnp.int32(0), init_cache(m1.spec, jnp.float32)
+    )
+    l2, _, _ = forward_step(
+        m2.spec, m2.params, ids, jnp.int32(0), init_cache(m2.spec, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_cli_quantize_gguf_destination(tmp_path, capsys):
+    from llm_tpu.cli import main
+
+    src = tmp_path / "m.bin"
+    dst = tmp_path / "m.q4_0.gguf"
+    make_tiny_file("llama", src)
+    main(["quantize", str(src), str(dst), "q4_0", "-a", "llama"])
+    assert is_gguf(dst)
+    main(["info", "-m", str(dst), "-a", "llama"])
+    assert "q4_0" in capsys.readouterr().out.lower()
