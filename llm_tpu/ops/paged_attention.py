@@ -56,18 +56,20 @@ def kernel_ok(spec, T: int, page: int) -> bool:
     )
 
 
-def _make_kernel(nw: int, kq_scale: float, quantized: bool, has_alibi: bool):
+def _make_kernel(
+    nw: int, kq_scale: float, quantized: bool, has_alibi: bool, pps: int
+):
     def kernel(*refs):
         # scalar prefetch: tables [B, P], n_past [B], layer [1]
         tbl_ref, npast_ref, _layer_ref = refs[0], refs[1], refs[2]
         i = 3
         q_ref = refs[i]; i += 1          # [1, 1, rep, D]
-        k_ref = refs[i]; i += 1          # [1, 1, 1, page, D]
-        v_ref = refs[i]; i += 1
-        ks_ref = vs_ref = None
+        k_refs = refs[i : i + pps]; i += pps  # pps x [1, 1, 1, page, D]
+        v_refs = refs[i : i + pps]; i += pps
+        ks_refs = vs_refs = None
         if quantized:
-            ks_ref = refs[i]; i += 1     # [1, 1, Hkv, page]
-            vs_ref = refs[i]; i += 1
+            ks_refs = refs[i : i + pps]; i += pps  # pps x [1, 1, Hkv, page]
+            vs_refs = refs[i : i + pps]; i += pps
         slopes_ref = None
         if has_alibi:
             slopes_ref = refs[i]; i += 1  # [Hkv, rep]
@@ -88,24 +90,29 @@ def _make_kernel(nw: int, kq_scale: float, quantized: bool, has_alibi: bool):
             acc_s[hs] = jnp.zeros((1,) + acc_s.shape[1:], acc_s.dtype)
 
         npv = npast_ref[b]
-        page = k_ref.shape[3]
-        pos = j * page + lax.broadcasted_iota(jnp.int32, (1, page), 1)
-        valid = pos < npv  # [1, page]
+        page = k_refs[0].shape[3]
+        span = pps * page  # keys covered per grid step
+        pos = j * span + lax.broadcasted_iota(jnp.int32, (1, span), 1)
+        valid = pos < npv  # [1, span]; clamped duplicate pages mask out here
+
+        def cat(rs, pick, axis=0):
+            parts = [pick(r).astype(jnp.float32) for r in rs]
+            return parts[0] if pps == 1 else jnp.concatenate(parts, axis=axis)
 
         qh = q_ref[0, 0]  # [rep, D]
-        kh = k_ref[0, 0, 0].astype(jnp.float32)  # [page, D]
-        vh = v_ref[0, 0, 0].astype(jnp.float32)
+        kh = cat(k_refs, lambda r: r[0, 0, 0])  # [span, D]
+        vh = cat(v_refs, lambda r: r[0, 0, 0])
         s = (
             lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             * kq_scale
-        )  # [rep, page]
+        )  # [rep, span]
         if quantized:
             # dequant folded around the dots: k scale scales the SCORES
             # per key position; v scale scales the probabilities
-            ks_row = ks_ref[0, 0, hs, :]  # [1, page]
+            ks_row = cat(ks_refs, lambda r: r[0, 0, hs, :], axis=1)  # [1, span]
             s = s * ks_row
         if has_alibi:
             slope = jnp.transpose(slopes_ref[hs, :])  # [rep, 1]
@@ -119,7 +126,7 @@ def _make_kernel(nw: int, kq_scale: float, quantized: bool, has_alibi: bool):
         m_s[hs] = m_new[None]
         l_s[hs] = (l_s[hs][0] * corr + p.sum(axis=1, keepdims=True))[None]
         if quantized:
-            vs_row = vs_ref[0, 0, hs, :]  # [1, page]
+            vs_row = cat(vs_refs, lambda r: r[0, 0, hs, :], axis=1)  # [1, span]
             p = p * vs_row
         acc_s[hs] = (
             acc_s[hs][0] * corr
@@ -140,42 +147,62 @@ def _make_kernel(nw: int, kq_scale: float, quantized: bool, has_alibi: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("window_pages", "kq_scale", "interpret", "hkv", "rep", "d"),
+    static_argnames=(
+        "window_pages", "kq_scale", "interpret", "hkv", "rep", "d", "pps"
+    ),
 )
 def _paged_attention_call(
     pool_k, pool_v, ks, vs, tables, n_past, slopes, layer, q,
-    *, window_pages, kq_scale, interpret, hkv, rep, d,
+    *, window_pages, kq_scale, interpret, hkv, rep, d, pps=1,
 ):
     B = q.shape[0]
     page = pool_k.shape[3]
     quantized = ks is not None
     has_alibi = slopes is not None
+    nw = -(-window_pages // pps)  # page-GROUPS in the grid's middle dim
 
-    kernel = _make_kernel(window_pages, kq_scale, quantized, has_alibi)
+    kernel = _make_kernel(nw, kq_scale, quantized, has_alibi, pps)
+
+    P = tables.shape[1]
 
     def im_q(b, j, h, tbl, npst, lyr):
         return (b, h, 0, 0)
 
-    def im_pool(b, j, h, tbl, npst, lyr):
-        return (lyr[0], tbl[b, j], h, 0, 0)
+    def im_pool(off):
+        # off-th page of the group; indices past the window clamp to the
+        # last table column (its keys mask out via pos >= n_past)
+        def im(b, j, h, tbl, npst, lyr):
+            return (lyr[0], tbl[b, jnp.minimum(j * pps + off, P - 1)], h, 0, 0)
 
-    def im_scale(b, j, h, tbl, npst, lyr):
+        return im
+
+    def im_scale(off):
         # head-independent: consecutive h steps fetch the identical block,
         # which Mosaic's pipelining elides (one scale DMA per page)
-        return (lyr[0], tbl[b, j], 0, 0)
+        def im(b, j, h, tbl, npst, lyr):
+            return (lyr[0], tbl[b, jnp.minimum(j * pps + off, P - 1)], 0, 0)
 
-    in_specs = [
-        pl.BlockSpec((1, 1, rep, d), im_q),
-        pl.BlockSpec((1, 1, 1, page, d), im_pool),
-        pl.BlockSpec((1, 1, 1, page, d), im_pool),
+        return im
+
+    in_specs = [pl.BlockSpec((1, 1, rep, d), im_q)]
+    operands = [q]
+    in_specs += [
+        pl.BlockSpec((1, 1, 1, page, d), im_pool(i)) for i in range(pps)
     ]
-    operands = [q, pool_k, pool_v]
+    operands += [pool_k] * pps
+    in_specs += [
+        pl.BlockSpec((1, 1, 1, page, d), im_pool(i)) for i in range(pps)
+    ]
+    operands += [pool_v] * pps
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, hkv, page), im_scale),
-            pl.BlockSpec((1, 1, hkv, page), im_scale),
+            pl.BlockSpec((1, 1, hkv, page), im_scale(i)) for i in range(pps)
         ]
-        operands += [ks, vs]
+        operands += [ks] * pps
+        in_specs += [
+            pl.BlockSpec((1, 1, hkv, page), im_scale(i)) for i in range(pps)
+        ]
+        operands += [vs] * pps
     if has_alibi:
         in_specs.append(
             pl.BlockSpec((hkv, rep), lambda b, j, h, tbl, npst, lyr: (0, 0))
@@ -184,7 +211,7 @@ def _paged_attention_call(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, window_pages, hkv),
+        grid=(B, nw, hkv),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
@@ -245,6 +272,8 @@ def paged_attention_pass(
     """online_pass hook (models/forward._attention_batched): qf
     [B, 1, Hkv, rep, D] -> (m, l, acc) over the paged cached keys, computed
     by the Pallas kernel. Shapes match _paged_online_pass exactly."""
+    import os
+
     from llm_tpu.ops.qmatmul import _backend_mode
 
     B, T, Hkv, rep, D = qf.shape
@@ -256,5 +285,23 @@ def paged_attention_pass(
         kq_scale=float(spec.kq_scale),
         interpret=(_backend_mode() == "interpret"),
         hkv=Hkv, rep=rep, d=D,
+        pps=_pages_per_step(pool_k, pool_v, window_pages),
     )
     return m[:, None], l[:, None], acc[:, None]
+
+
+def _pages_per_step(pool_k, pool_v, window_pages: int) -> int:
+    """Pages batched into one grid step (one concat + one wider dot).
+
+    Deep windows at small batch are dominated by per-step grid overhead
+    (65k steps/decode at MPT-8K B=2 with one page per step); batching
+    pages amortizes it. Budget ~1 MiB of K+V per step (x2 double-buffered
+    in VMEM), capped at 8 operand replicas to bound BlockSpec count."""
+    import os
+
+    env = os.environ.get("LLM_TPU_PAGED_PPS")
+    if env:
+        return max(1, min(int(env), window_pages))
+    page, d = pool_k.shape[3], pool_k.shape[4]
+    per_page = page * d * (pool_k.dtype.itemsize + pool_v.dtype.itemsize)
+    return max(1, min(window_pages, (1 << 20) // per_page, 8))

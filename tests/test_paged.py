@@ -304,6 +304,31 @@ def test_paged_kernel_interpret_int8_alibi(tmp_path, monkeypatch):
     assert got == ref
 
 
+def test_paged_kernel_pages_per_step_remainder(tmp_path, monkeypatch):
+    """pages-per-step batching with a window that does NOT divide evenly:
+    the clamped duplicate page in the last group must mask out (pinned
+    LLM_TPU_PAGED_PPS=2 with a 3-page window)."""
+    path = tmp_path / "mpt128.bin"
+    make_tiny_file("mpt", path, n_embd=512)
+    model = load(path, "mpt", params=ModelParameters(context_size=64))
+
+    # 35 prompt tokens + decode, page 16 -> window grows to 3 pages
+    def run():
+        engine = PagedEngine(model, max_streams=1, page_size=16,
+                             kv_dtype="int8", n_batch=8)
+        return engine.generate_all(
+            [GenerationRequest(prompt=[2, 3, 4] * 12, max_tokens=8,
+                               sampler=DeterministicSampler())]
+        )[0]
+
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+    monkeypatch.setenv("LLM_TPU_PAGED_PPS", "2")
+    got = run()
+    assert got == ref
+
+
 def test_paged_admission_interleaves_with_decode(model):
     """Paged: chunked admission interleaves with decode and the B=1 prefill
     leaves the running stream's pages intact."""
