@@ -480,6 +480,40 @@ def _mh_paged_step(
     return fn(params, ids, n_past, tables, pool)
 
 
+@_partial(
+    jax.jit, static_argnums=(0, 6, 7, 8, 11, 12), donate_argnums=(5,)
+)
+def _mh_paged_loop(
+    spec, params, logits, n_past, tables, pool, n_steps, window_pages,
+    sampler_cfg, key, values, allow_kernel, mesh,
+):
+    from llm_tpu.paged import PagedKVCache, paged_decode_loop
+
+    pool_spec = PagedKVCache(
+        _P(None, "data"), _P(None, "data"), _P(None, "data"), _P(None, "data")
+    )
+    fn = _shard_map(
+        lambda p, lg, n, t, c, k, v: paged_decode_loop(
+            spec, p, lg, n, t, c, n_steps, window_pages,
+            sampler_cfg, k, v, allow_kernel,
+        ),
+        mesh=mesh,
+        axis_names={"data"},
+        in_specs=(
+            _P(), _P("data"), _P("data"), _P("data"), pool_spec, _P(),
+            _P("data"),
+        ),
+        out_specs=(
+            _P(None, "data"), _P("data"), _P("data"), pool_spec
+        ),
+        check_vma=False,
+    )
+    toks, last_logits, _, new_pool = fn(
+        params, logits, n_past, tables, pool, key, values
+    )
+    return toks, last_logits, new_pool
+
+
 class MultiHostPagedEngine(MultiHostEngine):
     """Cross-host continuous batching over host-local paged KV pools.
 
@@ -677,7 +711,109 @@ class MultiHostPagedEngine(MultiHostEngine):
         return events
 
     def step_multi(self, n_steps: int = 16) -> list:
-        """Paged multi-host on-device decode loop is not composed yet;
-        fall back to coordinated per-token steps (identical on all hosts,
-        so the lockstep contract holds)."""
-        return self.step()
+        """Globally-coordinated paged on-device multi-token decode: the
+        hosts agree on (sampler structure, max position, a page-feasible
+        block length), pre-allocate local pages to cover the whole block,
+        and dispatch ONE shard_map'd paged_decode_loop. Any host whose pool
+        can't cover even a 2-step block forces the global per-token path
+        (which retires kv_oom streams)."""
+        from jax.experimental import multihost_utils
+
+        from llm_tpu.ops.sampling import BatchedDeviceSampler, batched_sampler
+
+        self._admit()
+        events = self._drain_retired()
+        self._steps += 1
+        n_pref, _, gmax, _ = self._sync()
+        if n_pref:
+            self._global_prefill_chunk(gmax)
+            events += self._drain_retired()
+
+        active = self._decodable()
+        per_slot = [None] * self.max_streams
+        for i, s in active:
+            ds = s.request.device_sampler
+            assert ds is not None, "step_multi requires device_sampler"
+            assert not ds.bias, "multi-host step_multi: bias unsupported"
+            per_slot[i] = ds
+        _, values = batched_sampler(per_slot, self.max_streams)
+
+        local = np.array(
+            [
+                len(active),
+                int(any(d is not None and d.kind == "sample" for d in per_slot)),
+                max((d.top_k for d in per_slot
+                     if d is not None and d.kind == "sample"), default=0),
+                max((s.prefill_pos if s.prefilling else s.n_past
+                     for s in self.slots if s is not None), default=0),
+                self._multi_feasible(active, n_steps),
+            ],
+            np.int64,
+        )
+        if jax.process_count() == 1:
+            g = local[None]
+        else:
+            g = np.asarray(multihost_utils.process_allgather(local))
+        n_dec = int(g[:, 0].sum())
+        if n_dec == 0:
+            return events
+        gmax2 = int(g[:, 3].max())
+        n_steps = min(int(g[:, 4].min()), self.spec.n_ctx - 1 - gmax2)
+        if n_steps <= 1:
+            return events + self.step()
+        cfg = BatchedDeviceSampler(
+            sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
+            bias_tokens=(),
+        )
+        for i, s in active:  # feasibility-checked above; cannot raise
+            self._ensure_pages(
+                i, min(s.n_past + n_steps, self.spec.n_ctx) - 1
+            )
+
+        logits = np.zeros((self.max_streams, self.spec.n_vocab), np.float32)
+        n_past = self._frontiers()
+        for i, s in active:
+            logits[i] = s.last_logits
+
+        key = jax.random.PRNGKey(self._steps)  # same on every host
+        toks, last_logits, self.pool = _mh_paged_loop(
+            self.spec,
+            self.params,
+            self._to_global(logits, ("data",)),
+            self._to_global(n_past, ("data",)),
+            self._to_global(self.tables, ("data",)),
+            self.pool,
+            n_steps,
+            self._window_pages(gmax2, n_steps),
+            cfg,
+            key,
+            self._to_global(
+                {k: np.asarray(v) for k, v in values.items()}, ("data",)
+            ),
+            self._allow_kernel,
+            self.mesh,
+        )
+        toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
+        ll_l = self._local_rows(last_logits)
+        return events + self._postprocess_multi(active, toks_l, ll_l, n_steps)
+
+    def _multi_feasible(self, active, n_steps: int) -> int:
+        """Largest (halving) block length whose page demand fits the local
+        pool; hosts with no active streams never constrain the minimum."""
+        from llm_tpu.paged import PageAllocator
+
+        if not active:
+            return n_steps
+        while n_steps > 1:
+            need = 0
+            for slot, s in active:
+                last = min(s.n_past + n_steps, self.spec.n_ctx) - 1
+                have = sum(
+                    1 for j in range(last // self.page_size + 1)
+                    if self.tables[slot, j] != PageAllocator.TRASH
+                )
+                need += last // self.page_size + 1 - have
+            if need <= self.allocator.available:
+                return n_steps
+            n_steps //= 2
+        return 0

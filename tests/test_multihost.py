@@ -260,3 +260,68 @@ def test_multihost_paged_kv_oom_retires(model):
             break
         engine.step()
     assert engine.finished[rid].finish_reason == "kv_oom"
+
+
+def test_multihost_paged_step_multi(model):
+    """Paged on-device multi-token decode across the coordinated global
+    batch: greedy output equals the dense engine, page allocation covers
+    whole blocks, and a long prompt's chunked prefill interleaves."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+    from llm_tpu.samplers import GreedySampler
+
+    prompts = [[2, 3], [9, 4, 5], [5, 6] * 8]
+    ref_engine = Engine(model, max_streams=4, kv_dtype=jnp.bfloat16)
+    refs = ref_engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=9, sampler=GreedySampler())
+         for p in prompts]
+    )
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(
+        model, mesh, global_streams=4, kv_dtype=jnp.bfloat16, n_batch=4,
+        page_size=8,
+    )
+    ids = [
+        engine.submit(
+            GenerationRequest(prompt=p, max_tokens=9,
+                              device_sampler=DeviceSampler.greedy())
+        )
+        for p in prompts
+    ]
+    for _ in range(64):
+        if not engine.has_work_global():
+            break
+        engine.step_multi(4)
+    got = ["".join(engine.finished[r].text) for r in ids]
+    assert got == [refs[i] for i in sorted(refs)]
+
+
+def test_multihost_paged_step_multi_pool_pressure(model):
+    """A pool too small for a whole block falls back to per-token steps
+    (global agreement on the fallback) and still completes correctly."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+    from llm_tpu.samplers import GreedySampler
+
+    ref_engine = Engine(model, max_streams=1, kv_dtype=jnp.bfloat16)
+    refs = ref_engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=8,
+                           sampler=GreedySampler())]
+    )
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    # 3 local pages (2 real) of 8 positions: a 16-step block never fits
+    engine = MultiHostPagedEngine(
+        model, mesh, global_streams=2, kv_dtype=jnp.bfloat16, n_batch=4,
+        page_size=8, n_pages=3,
+    )
+    rid = engine.submit(
+        GenerationRequest(prompt=[2, 3], max_tokens=8,
+                          device_sampler=DeviceSampler.greedy())
+    )
+    for _ in range(64):
+        if not engine.has_work_global():
+            break
+        engine.step_multi(16)
+    assert "".join(engine.finished[rid].text) == refs[0]
