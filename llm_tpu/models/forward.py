@@ -793,7 +793,12 @@ def _attention_batched(
         use_online, block = _use_online(B * T, H, S)
     if use_online:
         if online_pass is not None:
-            m, l, acc = online_pass(qf)
+            if getattr(online_pass, "wants_kv", False):
+                # ring/sequence-parallel passes rotate the chunk's own
+                # K/V blocks between devices, so they need kf/vf too
+                m, l, acc = online_pass(qf, kf, vf)
+            else:
+                m, l, acc = online_pass(qf)
         else:
             m, l, acc = _online_cache_pass_batched(
                 spec, qf, k_cache, v_cache, n_past, slopes, block
