@@ -153,9 +153,10 @@ def probe_qstream_bw(params: ModelParams) -> float:
     real qmatmul scalar-prefetch kernel. This is the achievable
     speed-of-light for the decode loop's dominant traffic — the roofline
     denominator."""
-    gate, up, down = (
-        params.layers.w_gate, params.layers.w_up, params.layers.w_down
-    )
+    from llm_tpu.models.params import unfuse_layer_weights
+
+    split = unfuse_layer_weights(params.layers)  # probe on split planes
+    gate, up, down = (split.w_gate, split.w_up, split.w_down)
     L = gate.lo.shape[0]
     E = gate.k
     reps = 8  # cycle the stacks enough to amortize the ~28 ms dispatch RTT
@@ -202,8 +203,8 @@ def weight_stream_bytes(params: ModelParams) -> int:
     total = 0
     for qt in [
         params.layers.wq, params.layers.wk, params.layers.wv,
-        params.layers.wo, params.layers.w_gate, params.layers.w_up,
-        params.layers.w_down,
+        params.layers.w_qkv, params.layers.wo, params.layers.w_gate,
+        params.layers.w_up, params.layers.w_gate_up, params.layers.w_down,
         params.lm_head if params.lm_head is not None else params.wte,
     ]:
         if qt is None:
@@ -279,6 +280,10 @@ def synth_params(key, fmt: str, E, F, L, V, *, fused_b=False, norm_bias=False,
         w_up=stack(keys[5], E, F), b_up=None,
         w_down=stack(keys[6], F, E), b_down=None,
     )
+    from llm_tpu.models.params import fuse_layer_weights
+
+    if os.environ.get("LLM_TPU_FUSE", "1") != "0":
+        layers = fuse_layer_weights(layers)
     wte = rand_qt(keys[7], fmt, E, V)
     return ModelParams(
         wte=wte,

@@ -43,6 +43,7 @@ from llm_tpu.ops.layers import (
     rope,
     silu,
 )
+from llm_tpu.ops.packing import split_fused
 from llm_tpu.ops.qmatmul import BoundWeight, qmatmul, quant_rows_lookup
 
 NEG_INF = -1e30
@@ -100,7 +101,15 @@ def _norm(spec: ModelSpec, x, w, b):
     return layer_norm(x, w, b)
 
 
-_WEIGHT_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_WEIGHT_FIELDS = (
+    "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "w_qkv", "w_gate_up",
+)
+
+
+def _splits_of(w) -> tuple:
+    """Static fusion splits of a (possibly layer-bound) fused weight."""
+    qt = w.w if isinstance(w, BoundWeight) else w
+    return qt.splits
 _VECTOR_FIELDS = (
     "ln1_w", "ln1_b", "ln2_w", "ln2_b",
     "bq", "bk", "bv", "bo", "b_up", "b_down",
@@ -214,6 +223,25 @@ def _online_cache_pass(
     return m, l, acc
 
 
+def _qkv_proj(layer, x: jnp.ndarray):
+    """The three attention projections of `x` [N, E] (+ biases), through ONE
+    kernel launch when the load-time fused q|k|v tensor is present."""
+    wqkv = layer.w_qkv
+    if wqkv is not None:
+        q, k, v = split_fused(qmatmul(x, wqkv), _splits_of(wqkv))
+    else:
+        q = qmatmul(x, layer.wq)
+        k = qmatmul(x, layer.wk)
+        v = qmatmul(x, layer.wv)
+    if layer.bq is not None:
+        q = q + layer.bq
+    if layer.bk is not None:
+        k = k + layer.bk
+    if layer.bv is not None:
+        v = v + layer.bv
+    return q, k, v
+
+
 def _attention(
     spec: ModelSpec,
     layer: LayerParams,
@@ -228,15 +256,7 @@ def _attention(
     H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
     rep = H // Hkv
 
-    q = qmatmul(a, layer.wq)
-    if layer.bq is not None:
-        q = q + layer.bq
-    k = qmatmul(a, layer.wk)
-    if layer.bk is not None:
-        k = k + layer.bk
-    v = qmatmul(a, layer.wv)
-    if layer.bv is not None:
-        v = v + layer.bv
+    q, k, v = _qkv_proj(layer, a)
 
     q = q.reshape(T, H, D)
     k = k.reshape(T, Hkv, D)
@@ -350,9 +370,13 @@ def _attention(
 
 def _ffn(spec: ModelSpec, layer: LayerParams, x: jnp.ndarray) -> jnp.ndarray:
     if spec.ffn == "swiglu":
-        up = qmatmul(x, layer.w_up)
-        gate = silu(qmatmul(x, layer.w_gate))
-        h = gate * up
+        wgu = layer.w_gate_up
+        if wgu is not None:
+            gate, up = split_fused(qmatmul(x, wgu), _splits_of(wgu))
+        else:
+            up = qmatmul(x, layer.w_up)
+            gate = qmatmul(x, layer.w_gate)
+        h = silu(gate) * up
     else:
         h = qmatmul(x, layer.w_up)
         if layer.b_up is not None:
@@ -744,15 +768,7 @@ def _attention_batched(
         quantize_kv = k_cache[1] is not None
 
     flat = a.reshape(B * T, E)
-    q = qmatmul(flat, layer.wq)
-    if layer.bq is not None:
-        q = q + layer.bq
-    k = qmatmul(flat, layer.wk)
-    if layer.bk is not None:
-        k = k + layer.bk
-    v = qmatmul(flat, layer.wv)
-    if layer.bv is not None:
-        v = v + layer.bv
+    q, k, v = _qkv_proj(layer, flat)
 
     q = q.reshape(B, T, H, D)
     k = k.reshape(B, T, Hkv, D)

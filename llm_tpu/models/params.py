@@ -75,6 +75,12 @@ class LayerParams:
     b_up: Optional[jnp.ndarray]
     w_down: Weight
     b_down: Optional[jnp.ndarray]
+    # Launch-fused duplicates built by fuse_layer_weights (decode runs one
+    # kernel for q|k|v and one for gate|up). None when formats don't fuse,
+    # when fusion is disabled, or after shard_params (TP keeps split weights
+    # so head/ffn shardings stay contiguous per device).
+    w_qkv: Optional[Weight] = None
+    w_gate_up: Optional[Weight] = None
 
 
 @_register
@@ -89,6 +95,49 @@ class ModelParams:
     lm_head: Optional[Weight]  # None => tied to wte
     lm_head_b: Optional[jnp.ndarray]  # gptj
     layers: LayerParams  # stacked: every leaf has leading n_layer axis
+
+
+def fuse_layer_weights(layers: LayerParams) -> LayerParams:
+    """Replace q/k/v (and gate/up) with launch-fused tensors: one Pallas
+    call computes all three projections, which matters most on small models
+    where per-launch overhead — not HBM bandwidth — bounds decode. The
+    split tensors are DROPPED (not duplicated in HBM); shard_params
+    reconstructs them exactly via unfuse_quant when TP needs the per-head
+    layout. No reference analog: ggml pays per-op graph-node overhead
+    either way; this is a TPU kernel-launch economy."""
+    import dataclasses
+
+    from llm_tpu.ops.packing import fuse_quant
+
+    kw = {}
+    qkv = fuse_quant([layers.wq, layers.wk, layers.wv])
+    if qkv is not None:
+        kw.update(w_qkv=qkv, wq=None, wk=None, wv=None)
+    if layers.w_gate is not None:
+        gate_up = fuse_quant([layers.w_gate, layers.w_up])
+        if gate_up is not None:
+            kw.update(w_gate_up=gate_up, w_gate=None, w_up=None)
+    if not kw:
+        return layers
+    return dataclasses.replace(layers, **kw)
+
+
+def unfuse_layer_weights(layers: LayerParams) -> LayerParams:
+    """Undo fuse_layer_weights (exact plane slicing)."""
+    import dataclasses
+
+    from llm_tpu.ops.packing import unfuse_quant
+
+    kw = {}
+    if layers.w_qkv is not None:
+        wq, wk, wv = unfuse_quant(layers.w_qkv)
+        kw.update(wq=wq, wk=wk, wv=wv, w_qkv=None)
+    if layers.w_gate_up is not None:
+        w_gate, w_up = unfuse_quant(layers.w_gate_up)
+        kw.update(w_gate=w_gate, w_up=w_up, w_gate_up=None)
+    if not kw:
+        return layers
+    return dataclasses.replace(layers, **kw)
 
 
 def stack_layers(layers: list[LayerParams]) -> LayerParams:
@@ -469,4 +518,12 @@ _BUILDERS = {
 
 
 def build_params(ws: WeightSource, spec: ModelSpec) -> ModelParams:
-    return _BUILDERS[spec.arch](ws, spec)
+    import dataclasses
+    import os
+
+    params = _BUILDERS[spec.arch](ws, spec)
+    if os.environ.get("LLM_TPU_FUSE", "1") != "0":
+        params = dataclasses.replace(
+            params, layers=fuse_layer_weights(params.layers)
+        )
+    return params

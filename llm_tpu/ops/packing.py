@@ -91,6 +91,9 @@ class QuantTensor:
     hi: Optional[jnp.ndarray]
     scale: jnp.ndarray
     bias: Optional[jnp.ndarray]
+    # static; set by fuse_quant: ((r_i, r_padded_i), ...) per fused member —
+    # output columns of member i live at [sum of r_padded_<i>, +r_i)
+    splits: Optional[tuple] = None
 
     @property
     def fmt(self) -> QFormat:
@@ -109,23 +112,98 @@ class QuantTensor:
 
     @property
     def k_padded(self) -> int:
+        # shape[-2]/[-1] so layer-stacked planes ([L, K/g, R]) report the
+        # same padded dims as unstacked ones
         g = self.fmt.gsize
-        return self.scale.shape[0] * g * (2 if self.scale_packed else 1)
+        return self.scale.shape[-2] * g * (2 if self.scale_packed else 1)
 
     @property
     def r_padded(self) -> int:
-        return self.scale.shape[1]
+        return self.scale.shape[-1]
 
     def tree_flatten(self):
         children = (self.lo, self.hi, self.scale, self.bias)
-        aux = (self.fmt_name, self.k, self.r)
+        aux = (self.fmt_name, self.k, self.r, self.splits)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         lo, hi, scale, bias = children
-        fmt_name, k, r = aux
-        return cls(fmt_name, k, r, lo, hi, scale, bias)
+        fmt_name, k, r, splits = aux
+        return cls(fmt_name, k, r, lo, hi, scale, bias, splits)
+
+
+def fuse_quant(qts: "list[QuantTensor]") -> Optional[QuantTensor]:
+    """Concatenate same-format QuantTensors along the output (R) axis so a
+    single kernel launch computes all of them (e.g. one fused QKV matmul per
+    layer instead of three — the per-launch overhead dominates decode on
+    small models). Works on stacked ([L, ...]) and unstacked planes alike.
+
+    Returns None when the tensors cannot fuse (mixed formats, mismatched K,
+    different plane dtypes/presence) — callers fall back to split weights.
+    Member i's output columns sit at [sum(r_padded_<i>), +r_i); see
+    `split_fused`.
+    """
+    if not all(isinstance(q, QuantTensor) for q in qts) or len(qts) < 2:
+        return None
+    q0 = qts[0]
+    for q in qts[1:]:
+        if (
+            q.fmt_name != q0.fmt_name
+            or q.k != q0.k
+            or q.k_padded != q0.k_padded
+            or q.scale.dtype != q0.scale.dtype
+            or (q.hi is None) != (q0.hi is None)
+            or (q.bias is None) != (q0.bias is None)
+            or q.lo.shape[:-1] != q0.lo.shape[:-1]
+        ):
+            return None
+
+    def cat(name):
+        planes = [getattr(q, name) for q in qts]
+        if planes[0] is None:
+            return None
+        return jnp.concatenate(planes, axis=-1)
+
+    splits = tuple((q.r, q.r_padded) for q in qts)
+    r = sum(rp for _, rp in splits[:-1]) + splits[-1][0]
+    return QuantTensor(
+        q0.fmt_name, q0.k, r, cat("lo"), cat("hi"), cat("scale"),
+        cat("bias"), splits,
+    )
+
+
+def split_fused(y: jnp.ndarray, splits: tuple) -> "list[jnp.ndarray]":
+    """Slice a fused qmatmul output [..., r_fused] back into the member
+    outputs ([..., r_i] each), skipping intra-fusion R padding."""
+    outs, off = [], 0
+    for r, rp in splits:
+        outs.append(y[..., off : off + r])
+        off += rp
+    return outs
+
+
+def unfuse_quant(qt: QuantTensor) -> "Optional[list[QuantTensor]]":
+    """Invert fuse_quant by slicing the planes at the padded column offsets
+    (exact — blocks only span K). Used by shard_params, which needs the
+    split weights so per-device head/ffn shards stay contiguous."""
+    if qt.splits is None:
+        return None
+    outs, off = [], 0
+
+    def sl(p, off, rp):
+        return None if p is None else p[..., off : off + rp]
+
+    for r, rp in qt.splits:
+        outs.append(
+            QuantTensor(
+                qt.fmt_name, qt.k, r,
+                sl(qt.lo, off, rp), sl(qt.hi, off, rp),
+                sl(qt.scale, off, rp), sl(qt.bias, off, rp),
+            )
+        )
+        off += rp
+    return outs
 
 
 def _pack_f16x2_np(a: np.ndarray) -> np.ndarray:

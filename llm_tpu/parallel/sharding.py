@@ -35,7 +35,11 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from llm_tpu.models.forward import KVCache, forward_batched
-from llm_tpu.models.params import LayerParams, ModelParams
+from llm_tpu.models.params import (
+    LayerParams,
+    ModelParams,
+    unfuse_layer_weights,
+)
 from llm_tpu.ops.packing import QuantTensor
 
 
@@ -129,7 +133,10 @@ def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
     """Apply TP shardings to a loaded parameter pytree (weights move to the
     mesh; XLA SPMD later partitions the compute to match)."""
     ax = "model"
-    L = params.layers
+    # TP shards heads / ffn lanes contiguously per device, so the launch-
+    # fused q|k|v / gate|up tensors (whose R axis interleaves projections)
+    # are split back first (exact plane slicing, fused copies dropped).
+    L = unfuse_layer_weights(params.layers)
 
     layers = LayerParams(
         ln1_w=_put_vec(L.ln1_w, mesh, None, True),

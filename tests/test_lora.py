@@ -97,8 +97,8 @@ def test_lora_patch_quantized_requantizes(tmp_path):
         path, "llama",
         params=ModelParameters(context_size=64, lora_adapters=[str(ggla)]),
     )
-    w0 = np.asarray(dequant_jnp(jax_slice(base.params.layers.wq, 0)))
-    w1 = np.asarray(dequant_jnp(jax_slice(patched.params.layers.wq, 0)))
+    w0 = np.asarray(dequant_jnp(jax_slice(_wq(base), 0)))
+    w1 = np.asarray(dequant_jnp(jax_slice(_wq(patched), 0)))
     ba = (b.T @ a)  # [R=E, K=E]
     # requantized: close to w0 + ba^T within Q4_0 quantization error
     err = np.abs(w1 - (w0 + ba.T))
@@ -114,6 +114,14 @@ def jax_slice(qt, i):
         qt.lo[i], qt.hi[i] if qt.hi is not None else None,
         qt.scale[i], qt.bias[i] if qt.bias is not None else None,
     )
+
+
+def _wq(model):
+    """wq of a loaded model, recovering it from the launch-fused q|k|v
+    tensor when load-time fusion replaced the split weights."""
+    from llm_tpu.models.params import unfuse_layer_weights
+
+    return unfuse_layer_weights(model.params.layers).wq
 
 
 def test_lora_patch_q4_k_requantizes(tmp_path):
@@ -136,14 +144,14 @@ def test_lora_patch_q4_k_requantizes(tmp_path):
         path, "llama",
         params=ModelParameters(context_size=64, lora_adapters=[str(ggla)]),
     )
-    w0 = np.asarray(dequant_jnp(jax_slice(base.params.layers.wq, 0)))
-    w1 = np.asarray(dequant_jnp(jax_slice(patched.params.layers.wq, 0)))
+    w0 = np.asarray(dequant_jnp(jax_slice(_wq(base), 0)))
+    w1 = np.asarray(dequant_jnp(jax_slice(_wq(patched), 0)))
     ba = b.T @ a  # [R, K]
     err = np.abs(w1 - (w0 + ba.T))
     amax = np.abs(w0 + ba.T).max()
     assert err.max() < amax / 8  # within Q4_K quantization error
     # untouched layer identical
     np.testing.assert_array_equal(
-        np.asarray(dequant_jnp(jax_slice(base.params.layers.wq, 1))),
-        np.asarray(dequant_jnp(jax_slice(patched.params.layers.wq, 1))),
+        np.asarray(dequant_jnp(jax_slice(_wq(base), 1))),
+        np.asarray(dequant_jnp(jax_slice(_wq(patched), 1))),
     )
