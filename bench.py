@@ -65,7 +65,8 @@ from llm_tpu.ops.packing import QuantTensor
 CKPT = "/tmp/llm_tpu_bench/llama7b_q4_0.bin"
 CTX = 2048
 N_PAST = 1024
-STEPS = 16
+STEPS = 16  # paged-pool sections: block must stay within the mapped pages
+DECODE_STEPS = 64  # bulk-decode blocks: amortizes the ~28 ms dispatch RTT
 
 _MATRIX: list[dict] = []
 
@@ -282,7 +283,7 @@ def synth_params(key, fmt: str, E, F, L, V, *, fused_b=False, norm_bias=False,
     )
     from llm_tpu.models.params import fuse_layer_weights
 
-    if os.environ.get("LLM_TPU_FUSE", "1") != "0":
+    if os.environ.get("LLM_TPU_FUSE", "0") == "1":
         layers = fuse_layer_weights(layers)
     wte = rand_qt(keys[7], fmt, E, V)
     return ModelParams(
@@ -301,7 +302,7 @@ def synth_params(key, fmt: str, E, F, L, V, *, fused_b=False, norm_bias=False,
     )
 
 
-def time_decode_loop(spec, params, cache, n_past, window, steps=STEPS):
+def time_decode_loop(spec, params, cache, n_past, window, steps=DECODE_STEPS):
     """Median time/token of the on-device multi-token decode loop."""
     ids = jnp.asarray([17], jnp.int32)
     logits, _, cache = forward_step(
@@ -390,7 +391,7 @@ def decode_bench(model, roofline_bw):
     spec = model.spec
     params = model.params
     cache = init_cache(spec, jnp.bfloat16)
-    window = window_bucket(N_PAST + 3 * STEPS, CTX)
+    window = window_bucket(N_PAST + 3 * DECODE_STEPS, CTX)
     dt, cache = time_decode_loop(spec, params, cache, N_PAST, window)
     tok_s = 1.0 / dt
     # Roofline: the packed weight stream is the serial bottleneck; the
@@ -496,7 +497,7 @@ def ttft_bench(model):
 @_section("serve")
 def serve_bench(model, decode_rec):
     spec, params = model.spec, model.params
-    Bs, N = 8, 16
+    Bs, N = 8, 64
     cache = init_cache_batched(spec, Bs, "int8")
     ids = jnp.full((Bs, 1), 17, jnp.int32)
     n_past = jnp.full((Bs,), 512, jnp.int32)
@@ -644,7 +645,7 @@ def stablelm_bench(roofline_bw):
         tied_head=False,
     )
     cache = init_cache(spec, jnp.bfloat16)
-    window = window_bucket(N_PAST + 3 * STEPS, CTX)
+    window = window_bucket(N_PAST + 3 * DECODE_STEPS, CTX)
     dt, cache = time_decode_loop(spec, params, cache, N_PAST, window)
     step_bytes = weight_stream_bytes(params)  # cache reads overlap
     roofline = roofline_bw / step_bytes

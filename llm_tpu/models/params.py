@@ -522,7 +522,10 @@ def build_params(ws: WeightSource, spec: ModelSpec) -> ModelParams:
     import os
 
     params = _BUILDERS[spec.arch](ws, spec)
-    if os.environ.get("LLM_TPU_FUSE", "1") != "0":
+    # Launch fusion is opt-in: on the bench chip it wins ~7% on small-model
+    # SHORT-block decode (per-token interactive sessions) but costs ~1% on
+    # 64-token bulk decode blocks, where DMA streams already pipeline.
+    if os.environ.get("LLM_TPU_FUSE", "0") == "1":
         params = dataclasses.replace(
             params, layers=fuse_layer_weights(params.layers)
         )

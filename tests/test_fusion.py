@@ -78,8 +78,9 @@ def test_fused_model_matches_unfused(tmp_path, monkeypatch, arch):
     def _load():
         return load(path, arch, params=ModelParameters(context_size=64))
 
+    monkeypatch.setenv("LLM_TPU_FUSE", "1")
     fused_model = _load()
-    monkeypatch.setenv("LLM_TPU_FUSE", "0")
+    monkeypatch.delenv("LLM_TPU_FUSE")
     split_model = _load()
 
     assert fused_model.params.layers.w_qkv is not None
