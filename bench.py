@@ -149,31 +149,38 @@ def probe_dense_bw() -> float:
 
 
 def probe_qstream_bw(params: ModelParams) -> float:
-    """The kernel's own packed-plane streaming rate: a chained scan over
-    every layer of the largest stacked weight (w_gate, E->F) through the
-    real qmatmul scalar-prefetch kernel. This is the achievable
-    speed-of-light for the decode loop's dominant traffic — the roofline
-    denominator."""
+    """Achievable packed-plane streaming rate for the decode loop — the
+    roofline denominator. The probe replays a decode layer's EXACT weight
+    traffic and dependency graph (q,k,v independent; o on their sum; gate,up
+    independent; down dependent) through the real scalar-prefetch kernel, so
+    it captures the same cross-stream DMA overlap XLA schedules in the real
+    layer scan. A dependency-chained single-stream probe understates this by
+    ~15-40% (every such probe converges to ~90-145 GB/s on this chip while
+    decode demonstrably streams more) and yields impossible >1 ratios."""
     from llm_tpu.models.params import unfuse_layer_weights
 
     split = unfuse_layer_weights(params.layers)  # probe on split planes
-    gate, up, down = (split.w_gate, split.w_up, split.w_down)
-    L = gate.lo.shape[0]
-    E = gate.k
-    reps = 8  # cycle the stacks enough to amortize the ~28 ms dispatch RTT
+    ws = [split.wq, split.wk, split.wv, split.wo,
+          split.w_gate, split.w_up, split.w_down]
+    ws = [w for w in ws if w is not None]
+    L = ws[0].lo.shape[0]
+    E = ws[0].k
+    reps = 4  # cycle the stacks enough to amortize the ~28 ms dispatch RTT
 
     @jax.jit
-    def chain(x, gate, up, down):
+    def chain(x, wq, wk, wv, wo, gate, up, down):
         from llm_tpu.ops.qmatmul import qmatmul
 
         def body(h, i):
             l = i % L
-            # two independent streams (overlappable DMA, like the real
-            # layer's q/k/v and gate/up) + one dependent (down)
-            y1 = qmatmul(h, gate, layer=l)
-            y2 = qmatmul(h, up, layer=l)
-            y3 = qmatmul(y1 + y2, down, layer=l)  # kernel pads K itself
-            h = h + y3[:, :E] * 1e-6  # inter-iteration dependency
+            q = qmatmul(h, wq, layer=l)
+            k = qmatmul(h, wk, layer=l)
+            v = qmatmul(h, wv, layer=l)
+            a = qmatmul(q + k + v, wo, layer=l)
+            g = qmatmul(h, gate, layer=l)
+            u = qmatmul(h, up, layer=l)
+            y = qmatmul(g + u, down, layer=l)
+            h = h + (a + y[:, :E]) * 1e-6  # inter-iteration dependency
             h = h / (jnp.max(jnp.abs(h)) + 1.0)
             return h, None
 
@@ -188,13 +195,15 @@ def probe_qstream_bw(params: ModelParams) -> float:
         )
 
     x = jnp.ones((8, E), jnp.float32)
-    float(chain(x, gate, up, down)[0, 0])
+    args = (split.wq, split.wk, split.wv, split.wo,
+            split.w_gate, split.w_up, split.w_down)
+    float(chain(x, *args)[0, 0])
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(x, gate, up, down)[0, 0])
+        float(chain(x, *args)[0, 0])
         times.append(time.perf_counter() - t0)
-    nbytes = plane_bytes(gate) + plane_bytes(up) + plane_bytes(down)
+    nbytes = sum(plane_bytes(w) for w in ws)
     return reps * nbytes / min(times)
 
 

@@ -563,7 +563,8 @@ def cmd_gguf_convert(args) -> None:
     from llm_tpu.ggml.gguf import convert_ggml_to_gguf
 
     convert_ggml_to_gguf(
-        args.source, args.destination, args.model_architecture
+        args.source, args.destination, args.model_architecture,
+        tokenizer_json=args.tokenizer_json,
     )
     print(f"wrote {args.destination}", file=sys.stderr)
 
@@ -680,6 +681,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("source")
     p.add_argument("destination")
     p.add_argument("-a", "--model-architecture", required=True)
+    p.add_argument(
+        "--tokenizer-json", default=None,
+        help="HF tokenizer.json to source BPE merges from "
+        "(emits tokenizer.ggml.merges / model=gpt2)",
+    )
     p.set_defaults(fn=cmd_gguf_convert)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")

@@ -380,6 +380,19 @@ class GgufReader:
             or get("attention.alibi_bias_max", 0.0)
         )
         h.n_mult = int(get("feed_forward_multiple", 256) or 256)
+        # rope settings baked into the checkpoint (CodeLlama-style long-rope
+        # files, linearly-scaled fine-tunes); CLI --rope-freq-* still wins
+        fb = get("rope.freq_base", None)
+        if fb:
+            h.rope_freq_base = float(fb)
+        # both spellings: pre-scaling-type key and the newer structured one;
+        # a linear factor f stretches positions by f => frequency scale 1/f
+        factor = get("rope.scale_linear", None) or get(
+            "rope.scaling.factor", None
+        )
+        st = get("rope.scaling.type", "linear")
+        if factor and float(factor) > 0 and st in ("linear", "", None):
+            h.rope_freq_scale = 1.0 / float(factor)
         ft = md.get("general.file_type")
         if ft is not None:
             # GGUF file_type is the bare ftype enum (no QNT_VERSION_FACTOR);
@@ -522,7 +535,9 @@ def gguf_name_fn(architecture: str, metadata: Optional[dict] = None):
     return to_gguf_name
 
 
-def arch_metadata(architecture: str, h, vocabulary) -> dict:
+def arch_metadata(
+    architecture: str, h, vocabulary, n_ff: Optional[int] = None
+) -> dict:
     """GGUF metadata block from classic hyperparameters + scored vocab."""
     md = {
         "general.architecture": architecture,
@@ -536,6 +551,10 @@ def arch_metadata(architecture: str, h, vocabulary) -> dict:
             h.use_parallel_residual
         ),
         "general.file_type": int(h.file_type.format),
+        # "llama" = scored sentencepiece-style vocab (what classic GGML
+        # embeds); BPE-family checkpoints keep merges via the GGUF->GGUF
+        # passthrough or an external tokenizer (tokenizer_json)
+        "tokenizer.ggml.model": "llama",
         "tokenizer.ggml.tokens": list(vocabulary.tokens),
         "tokenizer.ggml.scores": [float(s) for s in vocabulary.scores],
     }
@@ -545,11 +564,53 @@ def arch_metadata(architecture: str, h, vocabulary) -> dict:
         )
     if h.n_mult:
         md[f"{architecture}.feed_forward_multiple"] = int(h.n_mult)
+    if n_ff:
+        md[f"{architecture}.feed_forward_length"] = int(n_ff)
+    if h.rope_freq_base:
+        md[f"{architecture}.rope.freq_base"] = float(h.rope_freq_base)
+    if h.rope_freq_scale and h.rope_freq_scale != 1.0:
+        md[f"{architecture}.rope.scale_linear"] = 1.0 / float(
+            h.rope_freq_scale
+        )
+    # bot/eot ids when the tokens exist in the vocab (KnownModel::
+    # {bot,eot}_token_id analog; llama's </s> convention falls back to 2)
+    from llm_tpu.models.spec import get_arch
+
+    try:
+        info = get_arch(architecture)
+    except Exception:  # noqa: BLE001
+        info = None
+    if info is not None:
+        index = {t: i for i, t in enumerate(vocabulary.tokens)}
+        if info.bot_token:
+            bid = index.get(info.bot_token.encode())
+            if bid is not None:
+                md["tokenizer.ggml.bos_token_id"] = int(bid)
+        eid = index.get(info.eot_token.encode())
+        if eid is None:
+            eid = info.eot_fallback_id
+        if eid is not None:
+            md["tokenizer.ggml.eos_token_id"] = int(eid)
     return md
 
 
+def _merges_from_tokenizer_json(path: str | Path) -> list[str]:
+    """BPE merge list from an HF tokenizer.json ("a b" strings; newer files
+    store pairs) — emitted as tokenizer.ggml.merges so BPE-family
+    conversions stay loadable by GGUF consumers that need merges."""
+    import json
+
+    with open(path, "rb") as f:
+        tj = json.load(f)
+    merges = (tj.get("model") or {}).get("merges") or []
+    return [m if isinstance(m, str) else " ".join(m) for m in merges]
+
+
 def convert_ggml_to_gguf(
-    src: str | Path, dst: str | Path, architecture: str = "llama"
+    src: str | Path,
+    dst: str | Path,
+    architecture: str = "llama",
+    tokenizer_json: "Optional[str | Path]" = None,
 ) -> None:
     """Convert a classic GGML/GGJT checkpoint into GGUF v3 (all 7 archs)."""
     from llm_tpu.ggml.reader import GgmlReader
@@ -564,9 +625,26 @@ def convert_ggml_to_gguf(
         architecture, {"falcon.attention.head_count_kv": h.n_head_kv}
     )
 
+    # feed_forward_length from the layer-0 up-projection's output dim (the
+    # classic container never stores it; real checkpoints need it recorded
+    # since e.g. llama-70B's n_ff is not derivable from n_mult rounding)
+    table = _name_table(architecture, {})
+    n_ff = None
+    up_pat = table.get("blk.{}.ffn_up.weight")
+    if up_pat:
+        info0 = reader.tensors.get(up_pat.format(0))
+        if info0 is not None and len(info0.dims) == 2:
+            n_ff = int(info0.dims[1])
+
     with open(dst, "wb") as f:
         w = GgufWriter(f)
-        for k, v in arch_metadata(architecture, h, reader.vocabulary).items():
+        md = arch_metadata(architecture, h, reader.vocabulary, n_ff=n_ff)
+        if tokenizer_json:
+            merges = _merges_from_tokenizer_json(tokenizer_json)
+            if merges:
+                md["tokenizer.ggml.model"] = "gpt2"
+                md["tokenizer.ggml.merges"] = merges
+        for k, v in md.items():
             w.add_metadata(k, v)
         for name, info in reader.tensors.items():
             w.add_tensor(

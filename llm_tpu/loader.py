@@ -222,10 +222,12 @@ def load(
         rope_freq_base=(
             float(params.rope_overrides.frequency_base)
             if params.rope_overrides
-            else None
+            else hp.rope_freq_base  # GGUF metadata (None for classic GGML)
         ),
         rope_freq_scale=(
-            params.rope_overrides.frequency_scale if params.rope_overrides else None
+            params.rope_overrides.frequency_scale
+            if params.rope_overrides
+            else hp.rope_freq_scale
         ),
     )
     if params.n_gqa is not None and spec.arch == "llama":

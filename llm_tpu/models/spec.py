@@ -97,6 +97,11 @@ class Hyperparameters:
     alibi_bias_max: float = 0.0  # mpt
     clip_kqv: float = 0.0  # mpt (read but unused in the graph, mpt/src/lib.rs)
     file_type: FileType = field(default_factory=lambda: FileType.from_i32(0))
+    # GGUF-only: rope settings baked into the checkpoint metadata
+    # ({arch}.rope.freq_base / rope.scale_linear / rope.scaling.factor) —
+    # classic GGML has no analog; CLI --rope-freq-* overrides still win
+    rope_freq_base: Optional[float] = None
+    rope_freq_scale: Optional[float] = None
 
     def write_ggml(self, f: BinaryIO) -> None:
         _ARCHS[self.arch].write_hparams(self, f)

@@ -289,3 +289,80 @@ def test_cli_quantize_gguf_destination(tmp_path, capsys):
     assert is_gguf(dst)
     main(["info", "-m", str(dst), "-a", "llama"])
     assert "q4_0" in capsys.readouterr().out.lower()
+
+
+def test_gguf_conversion_standard_metadata(files):
+    """Conversion records the standard GGUF keys real consumers need:
+    tokenizer model, eos id, feed_forward_length (not derivable from n_mult
+    for every geometry)."""
+    _, gguf = files
+    md = GgufReader(gguf).load("llama").metadata
+    assert md["tokenizer.ggml.model"] == b"llama"
+    assert md["llama.feed_forward_length"] > 0
+    # the tiny vocab's token 0 is </s> (llm_tpu.testing), so eos id == 0
+    assert md["tokenizer.ggml.eos_token_id"] == 0
+
+
+def test_gguf_rope_metadata_applies_to_spec(tmp_path):
+    """rope.freq_base / rope.scale_linear in the checkpoint metadata reach
+    the model spec (CodeLlama-style long-rope files); CLI overrides win."""
+    from llm_tpu.ggml.gguf import GgufReader, GgufWriter
+    import shutil
+
+    d = tmp_path
+    ggjt = d / "llama.bin"
+    gguf = d / "llama.gguf"
+    make_tiny_file("llama", ggjt)
+    convert_ggml_to_gguf(ggjt, gguf, "llama")
+
+    # rewrite with rope keys injected
+    r = GgufReader(gguf).load("llama")
+    out = d / "rope.gguf"
+    with open(out, "wb") as f:
+        w = GgufWriter(f)
+        for k, v in r.metadata.items():
+            if k != "general.alignment":
+                w.add_metadata(k, v)
+        w.add_metadata("llama.rope.freq_base", 1e6)
+        w.add_metadata("llama.rope.scale_linear", 4.0)
+        for name, info in r.tensors.items():
+            from llm_tpu.ggml.gguf import gguf_name_fn
+
+            to_gguf = gguf_name_fn("llama")
+            w.add_tensor(
+                to_gguf(name), info.element_type, info.dims,
+                bytes(r.fetch(name)),
+            )
+        w.finish()
+
+    m = load(out, "llama", params=ModelParameters(context_size=64))
+    assert m.spec.rope_freq_base == 1e6
+    assert m.spec.rope_freq_scale == 0.25  # 1 / scale_linear
+
+    from llm_tpu.loader import RoPEOverrides
+
+    m2 = load(
+        out, "llama",
+        params=ModelParameters(
+            context_size=64,
+            rope_overrides=RoPEOverrides(frequency_base=5e5,
+                                         frequency_scale=0.5),
+        ),
+    )
+    assert m2.spec.rope_freq_base == 5e5 and m2.spec.rope_freq_scale == 0.5
+
+
+def test_gguf_convert_merges_from_tokenizer_json(tmp_path):
+    import json
+
+    ggjt = tmp_path / "gpt2.bin"
+    gguf = tmp_path / "gpt2.gguf"
+    make_tiny_file("gpt2", ggjt)
+    tj = tmp_path / "tokenizer.json"
+    tj.write_text(json.dumps(
+        {"model": {"type": "BPE", "merges": ["a b", ["ab", "c"]]}}
+    ))
+    convert_ggml_to_gguf(ggjt, gguf, "gpt2", tokenizer_json=tj)
+    md = GgufReader(gguf).load("gpt2").metadata
+    assert md["tokenizer.ggml.model"] == b"gpt2"
+    assert md["tokenizer.ggml.merges"] == [b"a b", b"ab c"]
