@@ -201,14 +201,32 @@ def load(
     if external_tokenizer is not None:
         tokenizer = external_tokenizer
     else:
-        from llm_tpu.tokenizer.embedded import EmbeddedTokenizer
+        md = getattr(reader, "metadata", {}) or {}
+        tok_model = md.get("tokenizer.ggml.model")
+        merges = md.get("tokenizer.ggml.merges")
+        if tok_model in (b"gpt2", "gpt2") and merges:
+            # GGUF BPE vocab (mapped-form tokens + ranked merges): the
+            # scores are meaningless, so score-greedy would mis-tokenize
+            from llm_tpu.tokenizer.bpe import BpeTokenizer
 
-        emb = EmbeddedTokenizer()
-        for i, (tok, score) in enumerate(
-            zip(reader.vocabulary.tokens, reader.vocabulary.scores)
-        ):
-            emb.push_token(i, tok, score)
-        tokenizer = Tokenizer(emb)
+            bos = md.get("tokenizer.ggml.bos_token_id")
+            tokenizer = Tokenizer(
+                BpeTokenizer(
+                    reader.vocabulary.tokens,
+                    merges,
+                    token_types=md.get("tokenizer.ggml.token_type"),
+                    bos_id=int(bos) if bos is not None else None,
+                )
+            )
+        else:
+            from llm_tpu.tokenizer.embedded import EmbeddedTokenizer
+
+            emb = EmbeddedTokenizer()
+            for i, (tok, score) in enumerate(
+                zip(reader.vocabulary.tokens, reader.vocabulary.scores)
+            ):
+                emb.push_token(i, tok, score)
+            tokenizer = Tokenizer(emb)
 
     lora_adapters = [LoraAdapter(p) for p in (params.lora_adapters or [])]
 
