@@ -2,12 +2,15 @@
 
 Headline (printed LAST as the driver-parsed JSON line): LLaMA-7B Q4_0
 single-stream decode tokens/s/chip, scored against a MEASURED roofline —
-the denominator is the best packed-plane streaming rate the fused
-dequant-matmul kernel itself achieves standalone at bench shapes (plus a
-dense bf16 chain probe as a floor), so `vs_baseline` = achieved/roofline
-lands in (0, 1] by construction. Round 1 used a dense-only probe that
-understated the chip's streaming rate and reported 138% of "speed of
-light"; this calibration fixes that.
+the denominator is the packed-plane streaming rate the fused dequant-
+matmul kernel itself achieves standalone at bench shapes (the round-1
+VERDICT's prescription), measured with the ~28 ms dispatch RTT properly
+amortized (>=0.5 s per timed dispatch: short dispatches understate every
+rate — the chip's dense streaming is ~360 GB/s, not the ~130 GB/s that
+RTT-polluted probes report). The dense bf16 chain rate is printed for
+transparency: kernel_rate/dense_rate is the dequant kernel's own
+efficiency, decode/kernel-roofline (`vs_baseline`) is how well the model
+pipeline keeps the kernel fed.
 
 The LLaMA-7B weights come from a REAL full-geometry checkpoint file
 (~3.8 GB Q4_0 GGJT, synthesized once into /tmp) through the production
@@ -120,12 +123,13 @@ def _section(name):
 
 
 def probe_dense_bw() -> float:
-    """Dense bf16 mat-vec chain (floor probe). Chained data dependencies +
-    one host sync — the only timing pattern the axon runtime reports
-    honestly."""
+    """Dense bf16 mat-vec chain: the chip's raw streaming rate. Chained
+    data dependencies + one host sync per measurement, and enough reps
+    that the ~28 ms dispatch RTT is <5% of the dispatch (reps=8 measured
+    "130 GB/s" on a 360 GB/s chip)."""
     n = 16384
     w = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
-    reps = 8
+    reps = 48
 
     @jax.jit
     def chain(x, w):
@@ -149,38 +153,33 @@ def probe_dense_bw() -> float:
 
 
 def probe_qstream_bw(params: ModelParams) -> float:
-    """Achievable packed-plane streaming rate for the decode loop — the
-    roofline denominator. The probe replays a decode layer's EXACT weight
-    traffic and dependency graph (q,k,v independent; o on their sum; gate,up
-    independent; down dependent) through the real scalar-prefetch kernel, so
-    it captures the same cross-stream DMA overlap XLA schedules in the real
-    layer scan. A dependency-chained single-stream probe understates this by
-    ~15-40% (every such probe converges to ~90-145 GB/s on this chip while
-    decode demonstrably streams more) and yields impossible >1 ratios."""
+    """The fused kernel's standalone packed-plane streaming rate — the
+    roofline denominator (round-1 VERDICT prescription). A chained scan of
+    the three FFN projections (gate/up independent, down dependent — the
+    same overlap structure as the real layer) over every layer's stacked
+    planes, with the dispatch long enough (~0.5 s) that the ~28 ms RTT is
+    noise. A 7-kernel full-layer replay was tried and is WORSE (113 GB/s):
+    per-call overhead dominates it, and its compile took 14 minutes."""
     from llm_tpu.models.params import unfuse_layer_weights
 
     split = unfuse_layer_weights(params.layers)  # probe on split planes
-    ws = [split.wq, split.wk, split.wv, split.wo,
-          split.w_gate, split.w_up, split.w_down]
-    ws = [w for w in ws if w is not None]
-    L = ws[0].lo.shape[0]
-    E = ws[0].k
-    reps = 4  # cycle the stacks enough to amortize the ~28 ms dispatch RTT
+    gate, up, down = (split.w_gate, split.w_up, split.w_down)
+    L = gate.lo.shape[0]
+    E = gate.k
+    reps = 24  # >=0.5 s per dispatch so the ~28 ms RTT is noise
 
     @jax.jit
-    def chain(x, wq, wk, wv, wo, gate, up, down):
+    def chain(x, gate, up, down):
         from llm_tpu.ops.qmatmul import qmatmul
 
         def body(h, i):
             l = i % L
-            q = qmatmul(h, wq, layer=l)
-            k = qmatmul(h, wk, layer=l)
-            v = qmatmul(h, wv, layer=l)
-            a = qmatmul(q + k + v, wo, layer=l)
-            g = qmatmul(h, gate, layer=l)
-            u = qmatmul(h, up, layer=l)
-            y = qmatmul(g + u, down, layer=l)
-            h = h + (a + y[:, :E]) * 1e-6  # inter-iteration dependency
+            # two independent streams (overlappable DMA, like the real
+            # layer's q/k/v and gate/up) + one dependent (down)
+            y1 = qmatmul(h, gate, layer=l)
+            y2 = qmatmul(h, up, layer=l)
+            y3 = qmatmul(y1 + y2, down, layer=l)  # kernel pads K itself
+            h = h + y3[:, :E] * 1e-6  # inter-iteration dependency
             h = h / (jnp.max(jnp.abs(h)) + 1.0)
             return h, None
 
@@ -195,15 +194,13 @@ def probe_qstream_bw(params: ModelParams) -> float:
         )
 
     x = jnp.ones((8, E), jnp.float32)
-    args = (split.wq, split.wk, split.wv, split.wo,
-            split.w_gate, split.w_up, split.w_down)
-    float(chain(x, *args)[0, 0])
+    float(chain(x, gate, up, down)[0, 0])
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(x, *args)[0, 0])
+        float(chain(x, gate, up, down)[0, 0])
         times.append(time.perf_counter() - t0)
-    nbytes = sum(plane_bytes(w) for w in ws)
+    nbytes = plane_bytes(gate) + plane_bytes(up) + plane_bytes(down)
     return reps * nbytes / min(times)
 
 
@@ -701,11 +698,13 @@ def main() -> None:
     dense_bw = probe_dense_bw()
     qbw = probe_qstream_bw(model.params)
     slope_bw = probe_hbm_slope(model) or 0.0
-    # the slope is an OVERLAP measurement, not a serial rate — see
-    # probe_hbm_slope; the roofline uses the best serial streaming probe
-    roofline_bw = max(dense_bw, qbw)
+    # roofline = the kernel's own standalone streaming rate (VERDICT r1
+    # prescription); the dense rate shows the chip's raw ceiling and the
+    # slope shows cache-read overlap — reported for transparency
+    roofline_bw = qbw
     note(
         f"probe: dense={dense_bw/1e9:.0f}GB/s qstream={qbw/1e9:.0f}GB/s "
+        f"(kernel efficiency {qbw/dense_bw:.2f}) "
         f"cache-overlap slope={slope_bw/1e9:.0f}GB/s"
     )
 
