@@ -740,6 +740,7 @@ def _run_with_retry(fn, attempts: int = 3) -> None:
                 raise
             print(f"# bench attempt {i + 1} failed ({e}); retrying",
                   file=sys.stderr)
+            gc.collect()  # drop the failed attempt's device arrays first
             time.sleep(20)
 
 

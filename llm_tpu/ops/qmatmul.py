@@ -169,16 +169,19 @@ def _make_kernel(
             x = W(ref)
             return expand_f16x2(x) if scale_packed else x.astype(jnp.float32)
 
+        # Dequant stays in f32 lanes: a bf16-lane variant (int->bf16
+        # convert + bf16 mul, per-group scale cast) was measured SLOWER on
+        # chip (206 vs 235 GB/s; Mosaic does not 2x-pack bf16 VPU ops), on
+        # top of rounding the f16 scales.
         w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
             S(scale_ref), fmt.gsize
         )
         if bias_ref is not None:
             w = w + _expand_groups(S(bias_ref), fmt.gsize)
+        w = w.astype(jnp.bfloat16)
 
         x = x_ref[:].astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot(
-            x, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-        )
+        acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
         @pl.when(k == n_k - 1)
         def _():
