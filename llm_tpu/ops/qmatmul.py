@@ -77,10 +77,16 @@ def _tile_prefs(Mp: int, tile_r: Optional[int], tile_k: Optional[int]):
     are MXU-bound anyway). Env LLM_TPU_TILE_K / LLM_TPU_TILE_R override."""
     ek = os.environ.get("LLM_TPU_TILE_K")
     er = os.environ.get("LLM_TPU_TILE_R")
+    if Mp <= 64:  # decode blocks: 141 -> 235 GB/s
+        dk, dr = 2048, 512
+    elif Mp <= 512:  # prefill chunks: +7% measured; x tile 4 MB fits
+        dk, dr = 2048, 256
+    else:  # large-M calls: keep the x tile and intermediates small
+        dk, dr = 512, 256
     if tile_k is None:
-        tile_k = int(ek) if ek else (2048 if Mp <= 64 else 512)
+        tile_k = int(ek) if ek else dk
     if tile_r is None:
-        tile_r = int(er) if er else (512 if Mp <= 64 else 256)
+        tile_r = int(er) if er else dr
     return tile_r, tile_k
 
 
@@ -169,10 +175,14 @@ def _make_kernel(
             x = W(ref)
             return expand_f16x2(x) if scale_packed else x.astype(jnp.float32)
 
-        # Dequant stays in f32 lanes: a bf16-lane variant (int->bf16
-        # convert + bf16 mul, per-group scale cast) was measured SLOWER on
-        # chip (206 vs 235 GB/s; Mosaic does not 2x-pack bf16 VPU ops), on
-        # top of rounding the f16 scales.
+        # Dequant stays in f32 lanes; two measured NEGATIVE results on chip
+        # keep it this way (do not re-try without new Mosaic evidence):
+        # - bf16-lane dequant (int->bf16 cvt + bf16 mul): 206 vs 235 GB/s —
+        #   Mosaic does not 2x-pack bf16 VPU ops, and it rounds f16 scales.
+        # - group-blocked dot (scale mul hoisted out of the hot loop into a
+        #   [G,M,R] contraction, batched K=32 MXU dots): 230 GB/s / 58.9
+        #   tok/s vs 234 / 62.8 — the batched small-K dots cost more than
+        #   the saved per-element multiply+cast.
         w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
             S(scale_ref), fmt.gsize
         )
