@@ -1,26 +1,30 @@
 """Pallas paged-attention decode kernel: page tables as scalar prefetch.
 
 The TPU-native replacement for gather-then-attend paged KV reads: the
-kernel's grid is (streams, logical pages, kv-heads) and the BlockSpec index
+kernel's grid is (streams, logical page groups) and the BlockSpec index
 map for the K/V pool operands looks the physical page id up in the
 scalar-prefetched page table, so pages stream DIRECTLY from HBM into VMEM
 in logical order — each page is read exactly once, with no windowed-KV
 gather copy in front of attention.
 
 Layout/grid rationale:
-- pool [L, NP, Hkv, page, D]: a (head, page) block is one contiguous
-  page*D run, and the block's minor dims (page, D) satisfy Mosaic's
-  sublane/lane tiling rules.
-- heads INNERMOST: the per-page scale block's index map ignores the head,
-  so consecutive grid steps fetch the identical block and Mosaic elides
-  the DMA — scales are read once per page, not once per head. (A
-  per-head scale block would either violate the minor-dim tiling rules
-  or pad lanes 128x and OOM at 7B scale.)
-- the online-softmax state lives in VMEM scratch for ALL heads
-  ([Hkv, rep(, D)]), indexed by the head program id; pages advance in the
-  middle grid dim, so the state threads correctly per (stream, head).
-- one dot pair per block — no per-head python unroll (at 64 streams the
-  unrolled variant spent ~2.5 ms/layer on instruction overhead).
+- pool [L, NP, Hkv, page, D]: an ALL-HEADS page block [1, 1, Hkv, page, D]
+  is one contiguous Hkv*page*D run, and the block's minor dims (page, D)
+  satisfy Mosaic's sublane/lane tiling rules.
+- heads are batched INSIDE one grid step, not spread over a grid dim. A
+  per-head grid ((streams, pages, heads), one 64 KB DMA + one 1-row MXU
+  dot per step) spends ~1 us of grid/DMA overhead per TINY step: at 64
+  streams x 32 heads that was 2048 steps/layer and the whole decode ran
+  at ~2 ms/layer of pure overhead. One [Hkv, page, D] block per step is
+  a single ~1 MB DMA (amortized) and 32x fewer steps.
+- the per-head dots are VPU broadcast-multiply-reduce, not MXU calls: at
+  decode (rep=1 for MHA) an MXU dot has one useful row out of 8+ sublane
+  rows, and 32 unrolled tiny dots per step measured ~2.5 ms/layer of
+  instruction overhead; the elementwise form is ~2 M VPU MACs per step
+  (~1-2 us), well under the DMA time.
+- the online-softmax state lives in VMEM scratch ([Hkv, rep(, D)], whole
+  blocks); pages advance in the minor grid dim, so the state threads
+  correctly per stream.
 
 Decode-shaped (T=1) only: prefill chunks use the jnp page-scan pass
 (llm_tpu/paged.py:_paged_online_pass), whose math this kernel reproduces
@@ -63,8 +67,8 @@ def _make_kernel(
         # scalar prefetch: tables [B, P], n_past [B], layer [1]
         tbl_ref, npast_ref, _layer_ref = refs[0], refs[1], refs[2]
         i = 3
-        q_ref = refs[i]; i += 1          # [1, 1, rep, D]
-        k_refs = refs[i : i + pps]; i += pps  # pps x [1, 1, 1, page, D]
+        q_ref = refs[i]; i += 1          # [1, Hkv, rep, D]
+        k_refs = refs[i : i + pps]; i += pps  # pps x [1, 1, Hkv, page, D]
         v_refs = refs[i : i + pps]; i += pps
         ks_refs = vs_refs = None
         if quantized:
@@ -78,69 +82,63 @@ def _make_kernel(
 
         b = pl.program_id(0)
         j = pl.program_id(1)
-        h = pl.program_id(2)
-
-        hs = pl.ds(h, 1)  # dynamic head slice into scratch/scale refs
 
         @pl.when(j == 0)
         def _():
-            # head h's state initializes on its first page visit
-            m_s[hs] = jnp.full((1,) + m_s.shape[1:], NEG_INF, m_s.dtype)
-            l_s[hs] = jnp.zeros((1,) + l_s.shape[1:], l_s.dtype)
-            acc_s[hs] = jnp.zeros((1,) + acc_s.shape[1:], acc_s.dtype)
+            m_s[...] = jnp.full(m_s.shape, NEG_INF, m_s.dtype)
+            l_s[...] = jnp.zeros(l_s.shape, l_s.dtype)
+            acc_s[...] = jnp.zeros(acc_s.shape, acc_s.dtype)
 
         npv = npast_ref[b]
         page = k_refs[0].shape[3]
-        span = pps * page  # keys covered per grid step
-        pos = j * span + lax.broadcasted_iota(jnp.int32, (1, span), 1)
-        valid = pos < npv  # [1, span]; clamped duplicate pages mask out here
+        qh = q_ref[0].astype(jnp.float32)  # [Hkv, rep, D]
 
-        def cat(rs, pick, axis=0):
-            parts = [pick(r).astype(jnp.float32) for r in rs]
-            return parts[0] if pps == 1 else jnp.concatenate(parts, axis=axis)
-
-        qh = q_ref[0, 0]  # [rep, D]
-        kh = cat(k_refs, lambda r: r[0, 0, 0])  # [span, D]
-        vh = cat(v_refs, lambda r: r[0, 0, 0])
-        s = (
-            lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        # scores per page of the group (kept per-page so the broadcast
+        # [Hkv, rep, page, D] intermediate stays ~4 MB regardless of pps)
+        s_parts, valid_parts = [], []
+        for o in range(pps):
+            ko = k_refs[o][0, 0].astype(jnp.float32)  # [Hkv, page, D]
+            so = (qh[:, :, None, :] * ko[:, None, :, :]).sum(-1) * kq_scale
+            if quantized:
+                # dequant folded around the dot: k scale scales the SCORES
+                # per key position; v scale scales the probabilities
+                so = so * ks_refs[o][0, 0][:, None, :]
+            pos = (j * pps + o) * page + lax.broadcasted_iota(
+                jnp.int32, (1, 1, page), 2
             )
-            * kq_scale
-        )  # [rep, span]
-        if quantized:
-            # dequant folded around the dots: k scale scales the SCORES
-            # per key position; v scale scales the probabilities
-            ks_row = cat(ks_refs, lambda r: r[0, 0, hs, :], axis=1)  # [1, span]
-            s = s * ks_row
-        if has_alibi:
-            slope = jnp.transpose(slopes_ref[hs, :])  # [rep, 1]
-            s = s + slope * pos.astype(jnp.float32)
-        s = jnp.where(valid, s, NEG_INF)
+            if has_alibi:
+                so = so + slopes_ref[...][:, :, None] * pos.astype(jnp.float32)
+            ok = pos < npv  # clamped duplicate pages mask out here
+            s_parts.append(jnp.where(ok, so, NEG_INF))
+            valid_parts.append(ok)
+        s = s_parts[0] if pps == 1 else jnp.concatenate(s_parts, axis=-1)
+        valid = (
+            valid_parts[0] if pps == 1
+            else jnp.concatenate(valid_parts, axis=-1)
+        )  # [1, 1, span]
 
-        m_prev = m_s[hs][0]  # [rep, 1]
-        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        m_prev = m_s[...]  # [Hkv, rep, 1]
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Hkv, rep, span]
         corr = jnp.exp(m_prev - m_new)
-        m_s[hs] = m_new[None]
-        l_s[hs] = (l_s[hs][0] * corr + p.sum(axis=1, keepdims=True))[None]
-        if quantized:
-            vs_row = cat(vs_refs, lambda r: r[0, 0, hs, :], axis=1)  # [1, span]
-            p = p * vs_row
-        acc_s[hs] = (
-            acc_s[hs][0] * corr
-            + lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )[None]
+        m_s[...] = m_new
+        l_s[...] = l_s[...] * corr + p.sum(axis=-1, keepdims=True)
+
+        pv = None
+        for o in range(pps):
+            vh = v_refs[o][0, 0].astype(jnp.float32)  # [Hkv, page, D]
+            po = p[:, :, o * page : (o + 1) * page]
+            if quantized:
+                po = po * vs_refs[o][0, 0][:, None, :]
+            part = (po[:, :, :, None] * vh[:, None, :, :]).sum(2)
+            pv = part if pv is None else pv + part
+        acc_s[...] = acc_s[...] * corr + pv
 
         @pl.when(j == nw - 1)
         def _():
-            m_out[0, 0] = m_s[hs][0]
-            l_out[0, 0] = l_s[hs][0]
-            acc_out[0, 0] = acc_s[hs][0]
+            m_out[0] = m_s[...]
+            l_out[0] = l_s[...]
+            acc_out[0] = acc_s[...]
 
     return kernel
 
@@ -159,39 +157,37 @@ def _paged_attention_call(
     page = pool_k.shape[3]
     quantized = ks is not None
     has_alibi = slopes is not None
-    nw = -(-window_pages // pps)  # page-GROUPS in the grid's middle dim
+    nw = -(-window_pages // pps)  # page-GROUPS in the grid's minor dim
 
     kernel = _make_kernel(nw, kq_scale, quantized, has_alibi, pps)
 
     P = tables.shape[1]
 
-    def im_q(b, j, h, tbl, npst, lyr):
-        return (b, h, 0, 0)
+    def im_q(b, j, tbl, npst, lyr):
+        return (b, 0, 0, 0)
 
     def im_pool(off):
         # off-th page of the group; indices past the window clamp to the
         # last table column (its keys mask out via pos >= n_past)
-        def im(b, j, h, tbl, npst, lyr):
-            return (lyr[0], tbl[b, jnp.minimum(j * pps + off, P - 1)], h, 0, 0)
+        def im(b, j, tbl, npst, lyr):
+            return (lyr[0], tbl[b, jnp.minimum(j * pps + off, P - 1)], 0, 0, 0)
 
         return im
 
     def im_scale(off):
-        # head-independent: consecutive h steps fetch the identical block,
-        # which Mosaic's pipelining elides (one scale DMA per page)
-        def im(b, j, h, tbl, npst, lyr):
+        def im(b, j, tbl, npst, lyr):
             return (lyr[0], tbl[b, jnp.minimum(j * pps + off, P - 1)], 0, 0)
 
         return im
 
-    in_specs = [pl.BlockSpec((1, 1, rep, d), im_q)]
+    in_specs = [pl.BlockSpec((1, hkv, rep, d), im_q)]
     operands = [q]
     in_specs += [
-        pl.BlockSpec((1, 1, 1, page, d), im_pool(i)) for i in range(pps)
+        pl.BlockSpec((1, 1, hkv, page, d), im_pool(i)) for i in range(pps)
     ]
     operands += [pool_k] * pps
     in_specs += [
-        pl.BlockSpec((1, 1, 1, page, d), im_pool(i)) for i in range(pps)
+        pl.BlockSpec((1, 1, hkv, page, d), im_pool(i)) for i in range(pps)
     ]
     operands += [pool_v] * pps
     if quantized:
@@ -205,23 +201,23 @@ def _paged_attention_call(
         operands += [vs] * pps
     if has_alibi:
         in_specs.append(
-            pl.BlockSpec((hkv, rep), lambda b, j, h, tbl, npst, lyr: (0, 0))
+            pl.BlockSpec((hkv, rep), lambda b, j, tbl, npst, lyr: (0, 0))
         )
         operands.append(slopes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, nw, hkv),
+        grid=(B, nw),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, 1, rep, 1), lambda b, j, h, tbl, npst, lyr: (b, h, 0, 0)
+                (1, hkv, rep, 1), lambda b, j, tbl, npst, lyr: (b, 0, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, rep, 1), lambda b, j, h, tbl, npst, lyr: (b, h, 0, 0)
+                (1, hkv, rep, 1), lambda b, j, tbl, npst, lyr: (b, 0, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, rep, d), lambda b, j, h, tbl, npst, lyr: (b, h, 0, 0)
+                (1, hkv, rep, d), lambda b, j, tbl, npst, lyr: (b, 0, 0, 0)
             ),
         ],
         scratch_shapes=[
@@ -252,8 +248,8 @@ def _paged_attention_call(
         ),
         compiler_params=pltpu.CompilerParams(
             # streams are independent; pages thread the online-softmax
-            # scratch; heads share the page's scale block
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # scratch
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(
@@ -291,17 +287,18 @@ def paged_attention_pass(
 
 
 def _pages_per_step(pool_k, pool_v, window_pages: int) -> int:
-    """Pages batched into one grid step (one concat + one wider dot).
+    """Pages batched into one grid step (one concat + wider online fold).
 
-    Deep windows at small batch are dominated by per-step grid overhead
-    (65k steps/decode at MPT-8K B=2 with one page per step); batching
-    pages amortizes it. Budget ~1 MiB of K+V per step (x2 double-buffered
-    in VMEM), capped at 8 operand replicas to bound BlockSpec count."""
+    A page group is an ALL-HEADS block, so one page of K+V is already
+    Hkv*page*D*2 bytes (~2 MB at 7B geometry) — one well-amortized DMA.
+    Batching more pages per step still helps deep windows (fewer grid
+    steps); budget ~4 MiB of K+V per step (x2 double-buffered in VMEM),
+    capped at 8 operand replicas to bound BlockSpec count."""
     import os
 
     env = os.environ.get("LLM_TPU_PAGED_PPS")
     if env:
         return max(1, min(int(env), window_pages))
-    page, d = pool_k.shape[3], pool_k.shape[4]
-    per_page = page * d * (pool_k.dtype.itemsize + pool_v.dtype.itemsize)
-    return max(1, min(window_pages, (1 << 20) // per_page, 8))
+    hkv, page, d = pool_k.shape[2], pool_k.shape[3], pool_k.shape[4]
+    per_page = hkv * page * d * (pool_k.dtype.itemsize + pool_v.dtype.itemsize)
+    return max(1, min(window_pages, (4 << 20) // per_page, 8))
