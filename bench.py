@@ -789,6 +789,34 @@ def main() -> None:
         print(json.dumps(headline), flush=True)  # driver-parsed line, LAST
 
 
+def _wait_for_backend(attempts: int = 20, probe_timeout: int = 120) -> None:
+    """Pre-flight: the axon PJRT client creation sometimes HANGS (not
+    fails) when the tunnel is down — observed 2026-08-17, make_c_api_client
+    blocked >5 min. A hung init in the driver's bench run would silently
+    burn the round's wall clock, so probe device init in a SUBPROCESS with
+    a hard timeout and wait for the tunnel to come back before starting."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "x = jnp.ones((128,128)); print(float((x@x).sum()))"
+    )
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], timeout=probe_timeout,
+                check=True, capture_output=True,
+            )
+            return
+        except Exception as e:  # noqa: BLE001
+            note(
+                f"backend probe {i + 1}/{attempts} failed "
+                f"({type(e).__name__}); waiting 60s for the tunnel"
+            )
+            time.sleep(60)
+    raise SystemExit("device backend unreachable; aborting bench")
+
+
 def _run_with_retry(fn, attempts: int = 3) -> None:
     """The axon remote-compile service fails transiently (HTTP 500
     tpu_compile_helper); retry before giving up."""
@@ -806,4 +834,5 @@ def _run_with_retry(fn, attempts: int = 3) -> None:
 
 
 if __name__ == "__main__":
+    _wait_for_backend()
     _run_with_retry(main)
