@@ -25,6 +25,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -147,9 +148,9 @@ _KV_BLOCK = 512
 
 def _use_online(T: int, H: int, S: int) -> tuple[bool, int]:
     block = min(_KV_BLOCK, S)
-    ok = (
-        S % block == 0
-        and T * H * (S + T) * 4 > _ONLINE_MIN_SCORE_BYTES
+    ok = S % block == 0 and (
+        T * H * (S + T) * 4 > _ONLINE_MIN_SCORE_BYTES
+        or os.environ.get("LLM_TPU_ONLINE_DECODE") == "1"  # A/B knob
     )
     return ok, block
 

@@ -352,7 +352,7 @@ def test_paged_admission_interleaves_with_decode(model):
 
 def test_paged_kernel_interpret_mqa_falcon(tmp_path, monkeypatch):
     """Kernel path with multi-query attention (falcon-7B: Hkv=1, rep=H) —
-    exercises rep>1 blocks in the (streams, pages, heads) grid."""
+    exercises rep>1 all-heads blocks in the (streams, page-groups) grid."""
     path = tmp_path / "falcon128.bin"
     make_tiny_file("falcon", path, n_embd=512)
     model = load(path, "falcon", params=ModelParameters(context_size=64))
