@@ -373,6 +373,29 @@ def test_paged_kernel_interpret_mqa_falcon(tmp_path, monkeypatch):
     assert got == ref
 
 
+def test_paged_kernel_interpret_gqa(tmp_path, monkeypatch):
+    """Kernel path with grouped-query attention (falcon-40B style: Hkv=2,
+    rep=2) — both dims of the [Hkv, rep] online-softmax state exceed 1."""
+    path = tmp_path / "falcon_gqa128.bin"
+    make_tiny_file("falcon", path, n_embd=512, n_head_kv=2)
+    model = load(path, "falcon", params=ModelParameters(context_size=64))
+    assert model.spec.head_dim == 128 and model.spec.n_head_kv == 2
+
+    def run():
+        engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype="int8")
+        return engine.generate_all(
+            [GenerationRequest(prompt=[2, 3, 4], max_tokens=8,
+                               sampler=DeterministicSampler())]
+        )[0]
+
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+    got = run()
+    assert got == ref
+
+
 def test_paged_engine_tp_mesh_matches_single_device(model):
     """Paged serving over a TP mesh: pool sharded over kv heads, weights
     Megatron-sharded, jnp page-scan under GSPMD — equals the meshless
