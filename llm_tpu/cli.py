@@ -569,6 +569,29 @@ def cmd_gguf_convert(args) -> None:
     print(f"wrote {args.destination}", file=sys.stderr)
 
 
+def cmd_serve(args) -> None:
+    """HTTP serving over the continuous-batching engine (TPU extension;
+    the reference is a library/CLI only — llm-cli/src/main.rs:27-35)."""
+    from llm_tpu.server import serve_forever
+
+    model = load_model(args)
+    try:
+        serve_forever(
+            model,
+            host=args.host,
+            port=args.port,
+            max_streams=args.max_streams,
+            kv_dtype="int8" if args.kv_int8 else None,
+            n_batch=args.batch_size,
+            paged=args.paged,
+            page_size=args.page_size,
+            n_pages=args.n_pages,
+            multi_step=args.multi_step,
+        )
+    except KeyboardInterrupt:
+        pass
+
+
 def cmd_quantize(args) -> None:
     from llm_tpu.ggml.types import ContainerType, GgmlType
     from llm_tpu.quantize import QuantizeError, quantize
@@ -687,6 +710,32 @@ def build_parser() -> argparse.ArgumentParser:
         "(emits tokenizer.ggml.merges / model=gpt2)",
     )
     p.set_defaults(fn=cmd_gguf_convert)
+
+    p = sub.add_parser(
+        "serve",
+        help="HTTP server (OpenAI-style /v1/completions; SSE streaming) "
+        "over the continuous-batching engine",
+    )
+    add_model_args(p)
+    add_load_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-streams", type=int, default=8,
+                   help="continuous-batching slots")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (halves KV memory vs bf16)")
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="prefill chunk size per engine step")
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV pool instead of dense per-slot cache")
+    p.add_argument("--page-size", type=int, default=256)
+    p.add_argument("--n-pages", type=int, default=None,
+                   help="page-pool size (paged engines; default: engine's)")
+    p.add_argument("--multi-step", type=int, default=0,
+                   help="decode N tokens per device dispatch when every "
+                   "active request's sampling is device-expressible "
+                   "(greedy / temperature / top-k)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")
     p.add_argument("-a", "--model-architecture", default=None,

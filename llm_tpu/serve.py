@@ -172,6 +172,21 @@ class Engine:
         self.pending.append(stream)
         return rid
 
+    def cancel(self, request_id: int) -> bool:
+        """Abort a stream (client disconnect / server-side stop sequence):
+        pending requests drop; slotted streams retire with reason
+        "cancelled" and free their slot (and pages, for paged engines)."""
+        for i, s in enumerate(self.pending):
+            if s.request_id == request_id:
+                self.pending.pop(i)
+                self._retire(s, "cancelled")
+                return True
+        for slot, s in enumerate(self.slots):
+            if s is not None and s.request_id == request_id:
+                self._retire(s, "cancelled", slot=slot)
+                return True
+        return False
+
     @property
     def active(self) -> int:
         return sum(s is not None for s in self.slots)

@@ -1,0 +1,437 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+A production-serving surface with no reference analog (rustformers/llm is
+a library + CLI only; its closest surface is the `llm` CLI,
+binaries/llm-cli/src/main.rs:27-35): an OpenAI-style REST API on the
+stdlib `http.server`, so it adds no dependencies.
+
+  POST /v1/completions   {"prompt", "max_tokens", "temperature", "top_k",
+                          "top_p", "seed", "stop", "stream", ...}
+                         non-stream -> one JSON body; "stream": true ->
+                         server-sent events, one data: line per UTF-8
+                         fragment, closing with data: [DONE]
+  GET  /v1/models        model listing (id = checkpoint path stem)
+  GET  /health           liveness + engine occupancy
+
+Threading model: ONE background thread owns the Engine — submissions,
+cancellations and `step()` all happen there (the Engine itself is
+single-threaded by contract, like InferenceSession). HTTP handler threads
+(ThreadingHTTPServer) talk to it through queues: a submission carries its
+own reply queue, and every engine event for that request id is forwarded
+to it. Client disconnects cancel the stream so its slot (and pages, for a
+paged engine) free immediately instead of decoding into a dead socket.
+
+Stop sequences are scanned server-side with a holdback buffer: text that
+could still be a prefix of a stop string is withheld until disambiguated,
+so a stop string split across token fragments never leaks to the client.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from llm_tpu.samplers import (
+    SamplerConfigurationError,
+    build_sampler_chain,
+    default_samplers,
+)
+from llm_tpu.serve import Engine, GenerationRequest
+
+__all__ = ["LlmServer", "sampler_from_params", "serve_forever"]
+
+
+def sampler_from_params(params: dict, n_vocab: int = 0):
+    """Map OpenAI-style sampling params onto the sampler-chain DSL.
+
+    temperature=0 means greedy (top-k 1). Unknown keys are ignored (the
+    API surface is a superset across clients); explicit `sampler` strings
+    pass straight through to the reference DSL (samplers.rs:238-285)."""
+    if params.get("sampler"):
+        raw = params["sampler"]
+        args = raw if isinstance(raw, list) else [raw]
+        return build_sampler_chain(args, n_vocab=n_vocab)
+    args = []
+    temp = params.get("temperature")
+    if temp is not None and float(temp) <= 0.0:
+        return build_sampler_chain(["topk:k=1", "temperature:1.0"],
+                                   n_vocab=n_vocab)
+    if params.get("repeat_penalty") is not None:
+        args.append(f"repetition:penalty={float(params['repeat_penalty'])}")
+    if params.get("frequency_penalty") is not None or \
+            params.get("presence_penalty") is not None:
+        fp = float(params.get("frequency_penalty") or 0.0)
+        pp = float(params.get("presence_penalty") or 0.0)
+        args.append(f"freqpresence:frequency={fp}:presence={pp}")
+    if params.get("top_k") is not None:
+        args.append(f"topk:k={int(params['top_k'])}")
+    if params.get("top_p") is not None:
+        args.append(f"topp:p={float(params['top_p'])}")
+    if temp is not None:
+        args.append(f"temperature:{float(temp)}")
+    if not args:
+        return default_samplers()
+    return build_sampler_chain(args, n_vocab=n_vocab)
+
+
+def device_sampler_from_params(params: dict):
+    """A DeviceSampler for requests expressible on device (greedy, or
+    temperature with optional top-k) — lets a multi-step server decode
+    whole blocks per dispatch. None when the request needs the host chain
+    (top-p, penalties, explicit DSL, or the full default chain)."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    blockers = ("sampler", "top_p", "min_p", "repeat_penalty",
+                "frequency_penalty", "presence_penalty")
+    if any(params.get(k) is not None for k in blockers):
+        return None
+    temp = params.get("temperature")
+    if temp is None:
+        return None
+    if float(temp) <= 0.0:
+        return DeviceSampler.greedy()
+    return DeviceSampler(kind="sample", temperature=float(temp),
+                         top_k=int(params.get("top_k") or 0))
+
+
+class _StopScanner:
+    """Holdback scanner: emit only text that cannot still become a stop
+    string; report a match exactly once, with the match excised."""
+
+    def __init__(self, stops):
+        self.stops = [s for s in (stops or []) if s]
+        self.buf = ""
+        self.hit = False
+
+    def push(self, text: str) -> str:
+        if not self.stops:
+            return text
+        self.buf += text
+        for s in self.stops:
+            idx = self.buf.find(s)
+            if idx >= 0:
+                out, self.buf = self.buf[:idx], ""
+                self.hit = True
+                return out
+        # longest tail that is a proper prefix of some stop string
+        hold = 0
+        for s in self.stops:
+            for k in range(min(len(s) - 1, len(self.buf)), 0, -1):
+                if self.buf.endswith(s[:k]):
+                    hold = max(hold, k)
+                    break
+        out = self.buf[: len(self.buf) - hold]
+        self.buf = self.buf[len(self.buf) - hold :]
+        return out
+
+    def flush(self) -> str:
+        out, self.buf = self.buf, ""
+        return out
+
+
+@dataclass
+class _Ticket:
+    request: GenerationRequest
+    events: "queue.Queue" = field(default_factory=queue.Queue)
+    request_id: Optional[int] = None
+    ready: threading.Event = field(default_factory=threading.Event)
+
+
+class _EngineLoop(threading.Thread):
+    """The single thread that owns the Engine."""
+
+    def __init__(self, engine: Engine, multi_step: int = 0):
+        super().__init__(daemon=True, name="llm-tpu-engine")
+        self.engine = engine
+        self.multi_step = multi_step
+        self.inbox: "queue.Queue" = queue.Queue()
+        self.tickets: dict[int, _Ticket] = {}
+        self.stopping = False
+
+    def submit(self, ticket: _Ticket) -> int:
+        self.inbox.put(("submit", ticket))
+        ticket.ready.wait()
+        return ticket.request_id
+
+    def cancel(self, request_id: int) -> None:
+        self.inbox.put(("cancel", request_id))
+
+    def shutdown(self) -> None:
+        self.inbox.put(("stop", None))
+
+    def _drain_inbox(self, block: bool) -> None:
+        while True:
+            try:
+                kind, payload = self.inbox.get(block=block, timeout=0.2)
+            except queue.Empty:
+                return
+            block = False
+            if kind == "submit":
+                payload.request_id = self.engine.submit(payload.request)
+                self.tickets[payload.request_id] = payload
+                payload.ready.set()
+            elif kind == "cancel":
+                self.engine.cancel(payload)
+            elif kind == "stop":
+                self.stopping = True
+                return
+
+    def _dispatch(self, events) -> None:
+        for rid, text, done in events:
+            ticket = self.tickets.get(rid)
+            if ticket is None:
+                continue
+            reason = ""
+            if done:
+                fin = self.engine.finished.get(rid)
+                reason = fin.finish_reason if fin else "done"
+                del self.tickets[rid]
+            ticket.events.put((text, done, reason))
+
+    def run(self) -> None:
+        while not self.stopping:
+            self._drain_inbox(block=not self.engine.has_work())
+            # cancellations retire streams without a step(): flush their
+            # done-events now or a waiting handler deadlocks on an idle
+            # engine
+            self._dispatch(self.engine._drain_retired())
+            if self.stopping:
+                break
+            if not self.engine.has_work():
+                continue
+            if self.multi_step > 1 and not self.engine.pending and all(
+                s is None or (not s.prefilling
+                              and s.request.device_sampler is not None)
+                for s in self.engine.slots
+            ):
+                self._dispatch(self.engine.step_multi(self.multi_step))
+            else:
+                self._dispatch(self.engine.step())
+
+
+class LlmServer:
+    """Bind an Engine (dense or paged) to an HTTP address."""
+
+    def __init__(self, model, engine: Engine, host: str = "127.0.0.1",
+                 port: int = 8080, multi_step: int = 0,
+                 default_max_tokens: int = 256):
+        self.model = model
+        self.model_id = getattr(model, "name", None) or "llm-tpu"
+        self.loop = _EngineLoop(engine, multi_step=multi_step)
+        self.default_max_tokens = default_max_tokens
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def start(self) -> None:
+        self.loop.start()
+        threading.Thread(
+            target=self.httpd.serve_forever, daemon=True,
+            name="llm-tpu-http",
+        ).start()
+
+    def serve_forever(self) -> None:
+        self.loop.start()
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.loop.shutdown()
+
+    # -- request plumbing (called from handler threads) ----------------------
+
+    def completion(self, body: dict):
+        """Build + validate the request EAGERLY (sampler errors must reach
+        the caller as exceptions, not escape a half-started generator),
+        then return the (fragment, done, reason) iterator."""
+        prompt = body.get("prompt", "")
+        sampler = sampler_from_params(body, n_vocab=self.model.spec.n_vocab)
+        max_tokens = body.get("max_tokens", self.default_max_tokens)
+        req = GenerationRequest(
+            prompt=prompt,
+            max_tokens=None if max_tokens in (None, -1) else int(max_tokens),
+            sampler=sampler,
+            seed=body.get("seed"),
+            # multi-step servers decode whole blocks on device when every
+            # active request's sampling is device-expressible
+            device_sampler=(device_sampler_from_params(body)
+                            if self.loop.multi_step > 1 else None),
+        )
+        stops = body.get("stop")
+        if isinstance(stops, str):
+            stops = [stops]
+        return self._events(req, _StopScanner(stops))
+
+    def _events(self, req: GenerationRequest, scan: "_StopScanner"):
+        ticket = _Ticket(request=req)
+        rid = self.loop.submit(ticket)
+        try:
+            while True:
+                text, done, reason = ticket.events.get()
+                out = scan.push(text)
+                if scan.hit:
+                    if out:
+                        yield out, False, ""
+                    self.loop.cancel(rid)
+                    # drain the queue until the cancel's done-event arrives
+                    while not done:
+                        _, done, reason = ticket.events.get()
+                    yield "", True, "stop"
+                    return
+                if done:
+                    tail = out + scan.flush()  # the done event carries the
+                    if tail:                   # final token's text
+                        yield tail, False, ""
+                    yield "", True, reason
+                    return
+                if out:
+                    yield out, False, ""
+        except GeneratorExit:
+            # client went away mid-stream: free the slot
+            self.loop.cancel(rid)
+            raise
+
+
+def _finish_name(reason: str) -> str:
+    return {
+        "eot": "stop", "stop": "stop", "max_tokens": "length",
+        "context_full": "length", "cancelled": "cancelled",
+    }.get(reason, reason or "stop")
+
+
+def _make_handler(server: LlmServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                eng = server.loop.engine
+                self._json(200, {
+                    "status": "ok",
+                    "active_streams": eng.active,
+                    "pending": len(eng.pending),
+                })
+            elif self.path == "/v1/models":
+                self._json(200, {
+                    "object": "list",
+                    "data": [{"id": server.model_id, "object": "model",
+                              "owned_by": "llm-tpu"}],
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path not in ("/v1/completions", "/completions"):
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._json(400, {"error": "invalid JSON body"})
+                return
+            try:
+                gen = server.completion(body)
+            except SamplerConfigurationError as e:
+                self._json(400, {"error": str(e)})
+                return
+            cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+            if body.get("stream"):
+                self._stream(cid, gen)
+            else:
+                parts, reason = [], ""
+                for text, done, r in gen:
+                    if done:
+                        reason = r
+                    elif text:
+                        parts.append(text)
+                self._json(200, {
+                    "id": cid, "object": "text_completion",
+                    "model": server.model_id,
+                    "choices": [{
+                        "index": 0, "text": "".join(parts),
+                        "finish_reason": _finish_name(reason),
+                    }],
+                })
+
+        def _stream(self, cid: str, gen) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for text, done, reason in gen:
+                    if done:
+                        chunk = {
+                            "id": cid, "object": "text_completion",
+                            "model": server.model_id,
+                            "choices": [{"index": 0, "text": "",
+                                         "finish_reason":
+                                             _finish_name(reason)}],
+                        }
+                        self.wfile.write(
+                            b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                        )
+                        break
+                    if not text:
+                        continue
+                    chunk = {
+                        "id": cid, "object": "text_completion",
+                        "model": server.model_id,
+                        "choices": [{"index": 0, "text": text,
+                                     "finish_reason": None}],
+                    }
+                    self.wfile.write(
+                        b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                    )
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+            except (BrokenPipeError, ConnectionResetError):
+                gen.close()  # cancels the stream via GeneratorExit
+
+    return Handler
+
+
+def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
+                  kv_dtype=None, n_batch=64, paged=False, page_size=256,
+                  n_pages=None, multi_step=0) -> None:
+    """CLI entry: build the engine and serve until interrupted."""
+    import jax.numpy as jnp
+
+    kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
+    if paged:
+        from llm_tpu.paged import PagedEngine
+
+        kwargs = {} if n_pages is None else {"n_pages": n_pages}
+        engine = PagedEngine(model, max_streams=max_streams,
+                             kv_dtype=kv_dtype, page_size=page_size,
+                             n_batch=n_batch, **kwargs)
+    else:
+        engine = Engine(model, max_streams=max_streams, kv_dtype=kv_dtype,
+                        n_batch=n_batch)
+    srv = LlmServer(model, engine, host=host, port=port,
+                    multi_step=multi_step)
+    print(f"llm-tpu serving {srv.model_id} on http://{host}:{port} "
+          f"({'paged' if paged else 'dense'} KV, {max_streams} streams)")
+    srv.serve_forever()

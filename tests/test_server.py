@@ -1,0 +1,215 @@
+"""HTTP serving front-end: OpenAI-style completions over the
+continuous-batching engine (llm_tpu/server.py). Greedy requests must
+reproduce the single-stream session's output byte-for-byte through the
+whole HTTP round-trip, streamed or not."""
+
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import pytest
+
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.samplers import DeterministicSampler
+from llm_tpu.serve import Engine, GenerationRequest
+from llm_tpu.server import LlmServer, _StopScanner, sampler_from_params
+from llm_tpu.testing import make_tiny_file
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("httpsrv") / "llama.bin"
+    make_tiny_file("llama", path)
+    return load(path, "llama", params=ModelParameters(context_size=64))
+
+
+@pytest.fixture(scope="module")
+def server(model):
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0)
+    srv.start()
+    yield srv
+    srv.httpd.shutdown()
+
+
+def _url(server, path):
+    host, port = server.address
+    return f"http://{host}:{port}{path}"
+
+
+def _post(server, body, path="/v1/completions"):
+    req = urllib.request.Request(
+        _url(server, path), data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _engine_reference(model, prompt, max_tokens):
+    """Direct-engine run with the server's temperature=0 mapping (pure
+    argmax; NOT DeterministicSampler, whose llm-test semantics bias out
+    previously seen tokens)."""
+    engine = Engine(model, max_streams=1, kv_dtype=jnp.float32, n_batch=8)
+    rid = engine.submit(GenerationRequest(
+        prompt=prompt, max_tokens=max_tokens,
+        sampler=sampler_from_params({"temperature": 0},
+                                    n_vocab=model.spec.n_vocab),
+    ))
+    while engine.has_work():
+        engine.step()
+    return "".join(engine.finished[rid].text)
+
+
+def test_health_and_models(server):
+    with urllib.request.urlopen(_url(server, "/health"), timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(_url(server, "/v1/models"), timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["data"][0]["object"] == "model"
+
+
+def test_completion_greedy_matches_engine(server, model):
+    # temperature=0 -> topk:k=1, which equals DeterministicSampler's argmax
+    ref = _engine_reference(model, "<t5><t7>", 8)
+    status, body = _post(server, {
+        "prompt": "<t5><t7>", "max_tokens": 8, "temperature": 0,
+    })
+    assert status == 200
+    choice = body["choices"][0]
+    assert choice["text"] == ref
+    assert choice["finish_reason"] in ("length", "stop")
+
+
+def test_completion_streaming_sse(server, model):
+    ref = _engine_reference(model, "<t5><t7>", 8)
+    req = urllib.request.Request(
+        _url(server, "/v1/completions"),
+        data=json.dumps({"prompt": "<t5><t7>", "max_tokens": 8,
+                         "temperature": 0, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    parts, finish = [], None
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            chunk = json.loads(payload)
+            c = chunk["choices"][0]
+            parts.append(c["text"])
+            if c["finish_reason"]:
+                finish = c["finish_reason"]
+    assert "".join(parts) == ref
+    assert finish in ("length", "stop")
+
+
+def test_concurrent_requests_batch(server, model):
+    """Two concurrent requests share the 2-slot engine and both match."""
+    prompts = ["<t5><t7>", "<t9><t4><t5>"]
+    refs = [_engine_reference(model, p, 6) for p in prompts]
+    out = [None, None]
+
+    def go(i):
+        _, body = _post(server, {"prompt": prompts[i], "max_tokens": 6,
+                                 "temperature": 0})
+        out[i] = body["choices"][0]["text"]
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert out == refs
+
+
+def test_stop_sequence(server, model):
+    ref = _engine_reference(model, "<t5><t7>", 8)
+    stop = ref[2:6]  # a substring the greedy output certainly contains
+    status, body = _post(server, {
+        "prompt": "<t5><t7>", "max_tokens": 8, "temperature": 0,
+        "stop": [stop],
+    })
+    assert status == 200
+    choice = body["choices"][0]
+    assert choice["finish_reason"] == "stop"
+    assert choice["text"] == ref[:2]
+    assert stop not in choice["text"]
+
+
+def test_bad_json_and_unknown_sampler(server):
+    req = urllib.request.Request(
+        _url(server, "/v1/completions"), data=b"{nope",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"prompt": "<t5>", "sampler": "bogus:k=1"})
+    assert e.value.code == 400
+
+
+def test_stop_scanner_split_across_fragments():
+    s = _StopScanner(["STOP"])
+    assert s.push("abcST") == "abc"  # "ST" held back
+    assert s.push("OPxyz") == ""  # match -> excised
+    assert s.hit
+
+
+def test_stop_scanner_false_prefix_releases():
+    s = _StopScanner(["STOP"])
+    assert s.push("xST") == "x"
+    assert s.push("Qy") == "STQy"  # prefix disambiguated, released
+    assert not s.hit
+    assert s.flush() == ""
+
+
+def test_server_paged_engine(model):
+    """The HTTP layer is engine-agnostic: paged pool underneath."""
+    from llm_tpu.paged import PagedEngine
+
+    engine = PagedEngine(model, max_streams=2, page_size=16,
+                         kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        ref = _engine_reference(model, "<t5><t7>", 6)
+        _, body = _post(srv, {"prompt": "<t5><t7>", "max_tokens": 6,
+                              "temperature": 0})
+        assert body["choices"][0]["text"] == ref
+    finally:
+        srv.httpd.shutdown()
+
+
+def test_server_multi_step_device_sampling(model):
+    """multi_step servers decode blocks on device when requests map to
+    DeviceSamplers (greedy here) — output must equal the host path."""
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0, multi_step=4)
+    srv.start()
+    try:
+        ref = _engine_reference(model, "<t5><t7>", 6)
+        _, body = _post(srv, {"prompt": "<t5><t7>", "max_tokens": 6,
+                              "temperature": 0})
+        assert body["choices"][0]["text"] == ref
+    finally:
+        srv.httpd.shutdown()
+
+
+def test_sampler_from_params_paths(model):
+    n = model.spec.n_vocab
+    greedy = sampler_from_params({"temperature": 0}, n_vocab=n)
+    chain = sampler_from_params(
+        {"temperature": 0.7, "top_k": 12, "top_p": 0.9,
+         "repeat_penalty": 1.2}, n_vocab=n,
+    )
+    default = sampler_from_params({}, n_vocab=n)
+    dsl = sampler_from_params({"sampler": "topk:k=3"}, n_vocab=n)
+    for s in (greedy, chain, default, dsl):
+        assert s is not None
