@@ -275,6 +275,11 @@ class Engine:
             except ContextFull:
                 self._on_slot_released(slot)
                 self._retire(stream, "context_full")
+            except Exception as e:  # noqa: BLE001 — e.g. untokenizable
+                # prompt: a bad request must retire, not crash the engine
+                # (and with it every other stream's server thread)
+                self._on_slot_released(slot)
+                self._retire(stream, f"error: {e}")
 
     def _begin_prefill(self, stream: _Stream, slot: int) -> None:
         prompt_tokens = Prompt.of(stream.request.prompt).to_tokens(

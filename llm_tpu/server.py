@@ -99,6 +99,33 @@ def device_sampler_from_params(params: dict):
                          top_k=int(params.get("top_k") or 0))
 
 
+DEFAULT_CHAT_TEMPLATE = {
+    # the vicuna-chat convention (crates/llm/examples/vicuna-chat.rs via
+    # examples/vicuna_chat.py): role prefixes, user prefix doubles as the
+    # stop sequence
+    "system": "{content}\n\n",
+    "user": "### Human: {content}\n",
+    "assistant": "### Assistant: {content}\n",
+    "generation_prefix": "### Assistant: ",
+    "stop": "### Human:",
+}
+
+
+def render_chat(messages, template=None) -> tuple[str, str]:
+    """[{role, content}] -> (prompt, stop sequence). Unknown roles render
+    with the user prefix."""
+    t = dict(DEFAULT_CHAT_TEMPLATE)
+    if template:
+        t.update(template)
+    parts = []
+    for m in messages:
+        role = m.get("role", "user")
+        fmt = t.get(role) or t["user"]
+        parts.append(fmt.format(content=m.get("content", "")))
+    parts.append(t["generation_prefix"])
+    return "".join(parts), t["stop"]
+
+
 class _StopScanner:
     """Holdback scanner: emit only text that cannot still become a stop
     string; report a match exactly once, with the match excised."""
@@ -195,23 +222,34 @@ class _EngineLoop(threading.Thread):
 
     def run(self) -> None:
         while not self.stopping:
-            self._drain_inbox(block=not self.engine.has_work())
-            # cancellations retire streams without a step(): flush their
-            # done-events now or a waiting handler deadlocks on an idle
-            # engine
-            self._dispatch(self.engine._drain_retired())
-            if self.stopping:
-                break
-            if not self.engine.has_work():
-                continue
-            if self.multi_step > 1 and not self.engine.pending and all(
-                s is None or (not s.prefilling
-                              and s.request.device_sampler is not None)
-                for s in self.engine.slots
-            ):
-                self._dispatch(self.engine.step_multi(self.multi_step))
-            else:
-                self._dispatch(self.engine.step())
+            try:
+                self._tick()
+            except Exception:  # noqa: BLE001 — an engine failure must not
+                # strand waiting handlers on a dead thread: fail their
+                # requests and keep serving
+                import traceback
+
+                traceback.print_exc()
+                tickets, self.tickets = self.tickets, {}
+                for t in tickets.values():
+                    t.events.put(("", True, "error: engine step failed"))
+
+    def _tick(self) -> None:
+        self._drain_inbox(block=not self.engine.has_work())
+        # cancellations (and admission failures) retire streams without a
+        # step(): flush their done-events now or a waiting handler
+        # deadlocks on an idle engine
+        self._dispatch(self.engine._drain_retired())
+        if self.stopping or not self.engine.has_work():
+            return
+        if self.multi_step > 1 and not self.engine.pending and all(
+            s is None or (not s.prefilling
+                          and s.request.device_sampler is not None)
+            for s in self.engine.slots
+        ):
+            self._dispatch(self.engine.step_multi(self.multi_step))
+        else:
+            self._dispatch(self.engine.step())
 
 
 class LlmServer:
@@ -341,7 +379,9 @@ def _make_handler(server: LlmServer):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
-            if self.path not in ("/v1/completions", "/completions"):
+            chat = self.path in ("/v1/chat/completions", "/chat/completions")
+            if not chat and self.path not in ("/v1/completions",
+                                              "/completions"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -350,14 +390,23 @@ def _make_handler(server: LlmServer):
             except (ValueError, json.JSONDecodeError):
                 self._json(400, {"error": "invalid JSON body"})
                 return
+            if chat:
+                # render messages -> prompt; the user prefix joins the
+                # stop set (the CLI chat convention, interactive.rs:66-114)
+                prompt, stop = render_chat(body.get("messages", ()),
+                                           body.get("chat_template"))
+                stops = body.get("stop") or []
+                if isinstance(stops, str):
+                    stops = [stops]
+                body = dict(body, prompt=prompt, stop=[*stops, stop])
             try:
                 gen = server.completion(body)
             except SamplerConfigurationError as e:
                 self._json(400, {"error": str(e)})
                 return
-            cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+            cid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             if body.get("stream"):
-                self._stream(cid, gen)
+                self._stream(cid, gen, chat)
             else:
                 parts, reason = [], ""
                 for text, done, r in gen:
@@ -365,16 +414,42 @@ def _make_handler(server: LlmServer):
                         reason = r
                     elif text:
                         parts.append(text)
-                self._json(200, {
-                    "id": cid, "object": "text_completion",
-                    "model": server.model_id,
-                    "choices": [{
-                        "index": 0, "text": "".join(parts),
+                whole = "".join(parts)
+                if chat:
+                    choice = {
+                        "index": 0,
+                        "message": {"role": "assistant",
+                                    "content": whole.rstrip()},
                         "finish_reason": _finish_name(reason),
-                    }],
+                    }
+                else:
+                    choice = {"index": 0, "text": whole,
+                              "finish_reason": _finish_name(reason)}
+                self._json(200, {
+                    "id": cid,
+                    "object": ("chat.completion" if chat
+                               else "text_completion"),
+                    "model": server.model_id,
+                    "choices": [choice],
                 })
 
-        def _stream(self, cid: str, gen) -> None:
+        def _chunk(self, cid, chat, text, reason) -> bytes:
+            if chat:
+                choice = {
+                    "index": 0,
+                    "delta": ({"content": text} if reason is None else {}),
+                    "finish_reason": reason,
+                }
+                obj = "chat.completion.chunk"
+            else:
+                choice = {"index": 0, "text": text, "finish_reason": reason}
+                obj = "text_completion"
+            return b"data: " + json.dumps({
+                "id": cid, "object": obj, "model": server.model_id,
+                "choices": [choice],
+            }).encode() + b"\n\n"
+
+        def _stream(self, cid: str, gen, chat: bool = False) -> None:
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -383,28 +458,13 @@ def _make_handler(server: LlmServer):
             try:
                 for text, done, reason in gen:
                     if done:
-                        chunk = {
-                            "id": cid, "object": "text_completion",
-                            "model": server.model_id,
-                            "choices": [{"index": 0, "text": "",
-                                         "finish_reason":
-                                             _finish_name(reason)}],
-                        }
                         self.wfile.write(
-                            b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                            self._chunk(cid, chat, "", _finish_name(reason))
                         )
                         break
                     if not text:
                         continue
-                    chunk = {
-                        "id": cid, "object": "text_completion",
-                        "model": server.model_id,
-                        "choices": [{"index": 0, "text": text,
-                                     "finish_reason": None}],
-                    }
-                    self.wfile.write(
-                        b"data: " + json.dumps(chunk).encode() + b"\n\n"
-                    )
+                    self.wfile.write(self._chunk(cid, chat, text, None))
                     self.wfile.flush()
                 self.wfile.write(b"data: [DONE]\n\n")
             except (BrokenPipeError, ConnectionResetError):

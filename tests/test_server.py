@@ -202,6 +202,81 @@ def test_server_multi_step_device_sampling(model):
         srv.httpd.shutdown()
 
 
+# vicuna-style role prefixes rendered with the tiny synthetic vocab's
+# tokens (the default "### Human: " prefixes aren't tokenizable by it)
+TINY_TEMPLATE = {
+    "system": "{content}",
+    "user": "<t11>{content}",
+    "assistant": "<t12>{content}",
+    "generation_prefix": "<t12>",
+    "stop": "<t11>",
+}
+
+
+def test_chat_completions(server, model):
+    """Chat endpoint: messages render through the role template; the user
+    prefix is an implicit stop sequence."""
+    from llm_tpu.server import render_chat
+
+    messages = [{"role": "system", "content": "<t3>"},
+                {"role": "user", "content": "<t5><t7>"}]
+    prompt, stop = render_chat(messages, TINY_TEMPLATE)
+    assert prompt == "<t3><t11><t5><t7><t12>" and stop == "<t11>"
+    assert render_chat(messages)[1] == "### Human:"  # default template
+    ref = _engine_reference(model, prompt, 6)
+    status, body = _post(server, {
+        "messages": messages, "max_tokens": 6, "temperature": 0,
+        "chat_template": TINY_TEMPLATE,
+    }, path="/v1/chat/completions")
+    assert status == 200
+    choice = body["choices"][0]
+    assert body["object"] == "chat.completion"
+    assert choice["message"]["role"] == "assistant"
+    assert choice["message"]["content"] == ref.rstrip()
+
+
+def test_chat_completions_stream_delta(server):
+    req = urllib.request.Request(
+        _url(server, "/v1/chat/completions"),
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "<t5>"}],
+            "max_tokens": 4, "temperature": 0, "stream": True,
+            "chat_template": TINY_TEMPLATE,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    deltas, finish = [], None
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            chunk = json.loads(payload)
+            assert chunk["object"] == "chat.completion.chunk"
+            c = chunk["choices"][0]
+            deltas.append(c["delta"].get("content", ""))
+            if c["finish_reason"]:
+                finish = c["finish_reason"]
+    assert "".join(deltas)
+    assert finish in ("length", "stop")
+
+
+def test_untokenizable_prompt_fails_cleanly(server):
+    """A prompt the embedded tokenizer can't encode must retire with an
+    error reason — not kill the engine thread and hang every client."""
+    status, body = _post(server, {"prompt": "not in vocab!",
+                                  "max_tokens": 4, "temperature": 0})
+    assert status == 200
+    assert body["choices"][0]["finish_reason"].startswith("error")
+    # the engine thread survived: a normal request still works
+    _, body = _post(server, {"prompt": "<t5>", "max_tokens": 2,
+                             "temperature": 0})
+    assert body["choices"][0]["text"]
+
+
 def test_sampler_from_params_paths(model):
     n = model.spec.n_vocab
     greedy = sampler_from_params({"temperature": 0}, n_vocab=n)
