@@ -587,6 +587,7 @@ def cmd_serve(args) -> None:
             page_size=args.page_size,
             n_pages=args.n_pages,
             multi_step=args.multi_step,
+            warmup=not args.no_warmup,
         )
     except KeyboardInterrupt:
         pass
@@ -735,6 +736,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode N tokens per device dispatch when every "
                    "active request's sampling is device-expressible "
                    "(greedy / temperature / top-k)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup compile warm-up request")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import queue
 import threading
+import time
 import uuid
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -167,6 +168,8 @@ class _Ticket:
     events: "queue.Queue" = field(default_factory=queue.Queue)
     request_id: Optional[int] = None
     ready: threading.Event = field(default_factory=threading.Event)
+    t_submit: float = field(default_factory=time.monotonic)
+    t_first: Optional[float] = None  # first token event (TTFT)
 
 
 class _EngineLoop(threading.Thread):
@@ -179,6 +182,12 @@ class _EngineLoop(threading.Thread):
         self.inbox: "queue.Queue" = queue.Queue()
         self.tickets: dict[int, _Ticket] = {}
         self.stopping = False
+        self.stats = {
+            "requests_completed": 0,
+            "tokens_generated": 0,
+            "started_at": time.monotonic(),
+        }
+        self._ttft_ms: list[float] = []  # last 1024 samples
 
     def submit(self, ticket: _Ticket) -> int:
         self.inbox.put(("submit", ticket))
@@ -213,12 +222,32 @@ class _EngineLoop(threading.Thread):
             ticket = self.tickets.get(rid)
             if ticket is None:
                 continue
+            if text and ticket.t_first is None:
+                ticket.t_first = time.monotonic()
+                self._ttft_ms.append((ticket.t_first - ticket.t_submit) * 1e3)
+                del self._ttft_ms[:-1024]
             reason = ""
             if done:
                 fin = self.engine.finished.get(rid)
                 reason = fin.finish_reason if fin else "done"
+                self.stats["requests_completed"] += 1
+                self.stats["tokens_generated"] += fin.generated if fin else 0
                 del self.tickets[rid]
             ticket.events.put((text, done, reason))
+
+    def metrics(self) -> dict:
+        ttft = sorted(self._ttft_ms)
+        pick = (lambda q: round(ttft[min(len(ttft) - 1,
+                                         int(q * len(ttft)))], 2)) \
+            if ttft else (lambda q: None)
+        return {
+            **{k: v for k, v in self.stats.items() if k != "started_at"},
+            "uptime_s": round(time.monotonic() - self.stats["started_at"], 1),
+            "active_streams": self.engine.active,
+            "pending": len(self.engine.pending),
+            "ttft_ms_p50": pick(0.50),
+            "ttft_ms_p95": pick(0.95),
+        }
 
     def run(self) -> None:
         while not self.stopping:
@@ -284,6 +313,25 @@ class LlmServer:
     def shutdown(self) -> None:
         self.httpd.shutdown()
         self.loop.shutdown()
+
+    def warmup(self) -> None:
+        """Run one tiny request end-to-end so the prefill/decode compiles
+        (~20-40 s on a cold TPU) happen before the first client arrives.
+        Requires the engine loop to be running."""
+        gen = self._events(
+            GenerationRequest(prompt=[min(2, self.model.spec.n_vocab - 1)],
+                              max_tokens=2,
+                              sampler=sampler_from_params(
+                                  {"temperature": 0},
+                                  n_vocab=self.model.spec.n_vocab)),
+            _StopScanner(None),
+        )
+        for _ in gen:
+            pass
+        # warmup shouldn't pollute the serving metrics
+        self.loop.stats["requests_completed"] = 0
+        self.loop.stats["tokens_generated"] = 0
+        self.loop._ttft_ms.clear()
 
     # -- request plumbing (called from handler threads) ----------------------
 
@@ -369,6 +417,8 @@ def _make_handler(server: LlmServer):
                     "active_streams": eng.active,
                     "pending": len(eng.pending),
                 })
+            elif self.path == "/metrics":
+                self._json(200, server.loop.metrics())
             elif self.path == "/v1/models":
                 self._json(200, {
                     "object": "list",
@@ -475,7 +525,7 @@ def _make_handler(server: LlmServer):
 
 def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                   kv_dtype=None, n_batch=64, paged=False, page_size=256,
-                  n_pages=None, multi_step=0) -> None:
+                  n_pages=None, multi_step=0, warmup=True) -> None:
     """CLI entry: build the engine and serve until interrupted."""
     import jax.numpy as jnp
 
@@ -492,6 +542,12 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                         n_batch=n_batch)
     srv = LlmServer(model, engine, host=host, port=port,
                     multi_step=multi_step)
+    srv.loop.start()
+    if warmup:
+        print("warming up (compiling prefill/decode)...", flush=True)
+        t0 = time.monotonic()
+        srv.warmup()
+        print(f"warmup done in {time.monotonic() - t0:.1f}s", flush=True)
     print(f"llm-tpu serving {srv.model_id} on http://{host}:{port} "
           f"({'paged' if paged else 'dense'} KV, {max_streams} streams)")
-    srv.serve_forever()
+    srv.httpd.serve_forever()

@@ -277,6 +277,26 @@ def test_untokenizable_prompt_fails_cleanly(server):
     assert body["choices"][0]["text"]
 
 
+def test_metrics_endpoint(model):
+    """Fresh server: warmup compiles but doesn't count; one request does."""
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        srv.warmup()
+        with urllib.request.urlopen(_url(srv, "/metrics"), timeout=30) as r:
+            m0 = json.loads(r.read())
+        assert m0["requests_completed"] == 0
+        _post(srv, {"prompt": "<t5>", "max_tokens": 3, "temperature": 0})
+        with urllib.request.urlopen(_url(srv, "/metrics"), timeout=30) as r:
+            m1 = json.loads(r.read())
+        assert m1["requests_completed"] == 1
+        assert m1["tokens_generated"] >= 3
+        assert m1["ttft_ms_p50"] is not None
+    finally:
+        srv.httpd.shutdown()
+
+
 def test_sampler_from_params_paths(model):
     n = model.spec.n_vocab
     greedy = sampler_from_params({"temperature": 0}, n_vocab=n)
