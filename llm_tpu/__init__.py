@@ -32,6 +32,10 @@ __all__ = [
     "TokenizerSource",
     "Prompt",
     "SUPPORTED_ARCHITECTURES",
+    "Engine",
+    "GenerationRequest",
+    "PagedEngine",
+    "LlmServer",
 ]
 
 
@@ -76,4 +80,16 @@ def __getattr__(name):
         from llm_tpu.quantize import quantize
 
         return quantize
+    if name in ("Engine", "GenerationRequest"):
+        import llm_tpu.serve as m
+
+        return getattr(m, name)
+    if name == "PagedEngine":
+        from llm_tpu.paged import PagedEngine
+
+        return PagedEngine
+    if name == "LlmServer":
+        from llm_tpu.server import LlmServer
+
+        return LlmServer
     raise AttributeError(f"module 'llm_tpu' has no attribute {name!r}")
