@@ -249,8 +249,11 @@ class _EngineLoop(threading.Thread):
             "ttft_ms_p95": pick(0.95),
         }
 
+    def _should_exit(self) -> bool:
+        return self.stopping
+
     def run(self) -> None:
-        while not self.stopping:
+        while not self._should_exit():
             try:
                 self._tick()
             except Exception:  # noqa: BLE001 — an engine failure must not
@@ -281,15 +284,65 @@ class _EngineLoop(threading.Thread):
             self._dispatch(self.engine.step())
 
 
+class _MultiHostEngineLoop(_EngineLoop):
+    """Per-host loop over a MultiHostEngine: serving across host
+    processes, each with its own HTTP endpoint and local streams.
+
+    Every engine operation on a MultiHostEngine is COLLECTIVE (step,
+    has_work_global), so all hosts must make the same calls in the same
+    order. This loop achieves that with one allgather per iteration —
+    [has_local_work, stop_requested] — whose blocking nature also
+    rate-matches the hosts' loops. All hosts then see identical
+    (work, all_stop) and take the same branch: everyone steps, everyone
+    idles, or everyone exits. A host whose own streams finished keeps
+    stepping until the GLOBAL queue drains, and shutdown only completes
+    when every host has requested it, so no host ever abandons a peer
+    mid-collective.
+
+    multi_step is ignored here: per-host step/step_multi choices could
+    diverge, which would misalign the collectives.
+    """
+
+    def _should_exit(self) -> bool:
+        return getattr(self, "_exit_agreed", False)
+
+    def _tick(self) -> None:
+        import jax
+        import numpy as np
+
+        self._drain_inbox(block=False)
+        self._dispatch(self.engine._drain_retired())
+        local = np.array([1 if self.engine.has_work() else 0,
+                          1 if self.stopping else 0], np.int64)
+        if jax.process_count() == 1:
+            g = local[None]
+        else:
+            from jax.experimental import multihost_utils
+
+            g = np.asarray(multihost_utils.process_allgather(local))
+        work = int(g[:, 0].sum()) > 0
+        if bool(g[:, 1].all()) and not work:
+            self._exit_agreed = True
+            return
+        if not work:
+            time.sleep(0.05)
+            return
+        self._dispatch(self.engine.step())
+
+
 class LlmServer:
-    """Bind an Engine (dense or paged) to an HTTP address."""
+    """Bind an Engine (dense, paged, or multi-host) to an HTTP address.
+    Multi-host engines get the collective per-host loop (one LlmServer —
+    one port — per host process)."""
 
     def __init__(self, model, engine: Engine, host: str = "127.0.0.1",
                  port: int = 8080, multi_step: int = 0,
                  default_max_tokens: int = 256):
         self.model = model
         self.model_id = getattr(model, "name", None) or "llm-tpu"
-        self.loop = _EngineLoop(engine, multi_step=multi_step)
+        loop_cls = (_MultiHostEngineLoop if hasattr(engine, "has_work_global")
+                    else _EngineLoop)
+        self.loop = loop_cls(engine, multi_step=multi_step)
         self.default_max_tokens = default_max_tokens
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)

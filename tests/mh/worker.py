@@ -97,6 +97,40 @@ texts3 = engine3.generate_all(
 )
 paged = {str(i): t for i, t in enumerate(texts3.values())}
 
+# phase 4: HTTP front-end per host over the cross-host engine — each host
+# binds its own port and serves its own clients, while the collective
+# per-host loop (server._MultiHostEngineLoop) keeps every host stepping
+# until the GLOBAL queue drains and all hosts have requested shutdown.
+import urllib.request
+
+from llm_tpu.server import LlmServer
+
+engine4 = MultiHostEngine(
+    model, mesh, global_streams=2 * nproc, kv_dtype=jnp.float32, n_batch=4
+)
+srv = LlmServer(model, engine4, host="127.0.0.1", port=0)
+srv.start()
+hhost, hport = srv.address
+
+
+def post(prompt):
+    req = urllib.request.Request(
+        f"http://{hhost}:{hport}/v1/completions",
+        data=json.dumps({"prompt": prompt, "max_tokens": 8,
+                         "temperature": 0}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=240) as r:
+        return json.loads(r.read())["choices"][0]["text"]
+
+
+http_out = {str(i): post(p) for i, p in enumerate(prompts)}
+srv.loop.shutdown()
+srv.loop.join(timeout=120)
+assert not srv.loop.is_alive(), "multihost loop failed to reach consensus"
+srv.httpd.shutdown()
+
 with open(out_path, "w") as f:
-    json.dump({"pid": pid, "texts": out, "multi": multi, "paged": paged}, f)
+    json.dump({"pid": pid, "texts": out, "multi": multi, "paged": paged,
+               "http": http_out}, f)
 print(f"[{pid}] done", flush=True)

@@ -277,6 +277,31 @@ def test_untokenizable_prompt_fails_cleanly(server):
     assert body["choices"][0]["text"]
 
 
+def test_server_multihost_engine_single_process(model):
+    """LlmServer auto-selects the collective per-host loop for a
+    MultiHostEngine (single process, 2x4 virtual mesh) and reaches the
+    consensus-stop exit."""
+    from llm_tpu.parallel.multihost import MultiHostEngine
+    from llm_tpu.parallel.sharding import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=2,
+                             kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0)
+    assert type(srv.loop).__name__ == "_MultiHostEngineLoop"
+    srv.start()
+    try:
+        ref = _engine_reference(model, "<t5><t7>", 6)
+        _, body = _post(srv, {"prompt": "<t5><t7>", "max_tokens": 6,
+                              "temperature": 0})
+        assert body["choices"][0]["text"] == ref
+    finally:
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
+        assert not srv.loop.is_alive()
+        srv.httpd.shutdown()
+
+
 def test_metrics_endpoint(model):
     """Fresh server: warmup compiles but doesn't count; one request does."""
     engine = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
