@@ -213,9 +213,45 @@ class _EngineLoop(threading.Thread):
                 payload.ready.set()
             elif kind == "cancel":
                 self.engine.cancel(payload)
+            elif kind == "embed":
+                inputs, out_q = payload
+                try:
+                    out_q.put(("ok", self._embed(inputs)))
+                except Exception as e:  # noqa: BLE001
+                    out_q.put(("error", str(e)))
             elif kind == "stop":
                 self.stopping = True
                 return
+
+    def _embed(self, inputs):
+        """Final-token hidden-state embeddings (the embeddings.rs analog),
+        computed on the engine thread through a dedicated session so the
+        device never sees interleaved dispatches from two threads."""
+        from llm_tpu.session import (
+            InferenceSession, InferenceSessionConfig, OutputRequest,
+        )
+
+        model = self.engine.model
+        out = []
+        for text in inputs:
+            session = InferenceSession(model, InferenceSessionConfig())
+            req = OutputRequest(embeddings=[])
+            session.feed_prompt(text, output_request=req)
+            import numpy as np
+
+            emb = np.asarray(req.embeddings, np.float32).reshape(
+                -1, model.spec.n_embd
+            )
+            out.append([float(x) for x in emb[-1]])
+        return out
+
+    def embed(self, inputs, timeout: float = 600.0):
+        out_q: "queue.Queue" = queue.Queue()
+        self.inbox.put(("embed", (inputs, out_q)))
+        status, result = out_q.get(timeout=timeout)
+        if status == "error":
+            raise RuntimeError(result)
+        return result
 
     def _dispatch(self, events) -> None:
         for rid, text, done in events:
@@ -483,8 +519,9 @@ def _make_handler(server: LlmServer):
 
         def do_POST(self):  # noqa: N802
             chat = self.path in ("/v1/chat/completions", "/chat/completions")
-            if not chat and self.path not in ("/v1/completions",
-                                              "/completions"):
+            embed = self.path in ("/v1/embeddings", "/embeddings")
+            if not (chat or embed) and self.path not in ("/v1/completions",
+                                                         "/completions"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -492,6 +529,21 @@ def _make_handler(server: LlmServer):
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._json(400, {"error": "invalid JSON body"})
+                return
+            if embed:
+                inputs = body.get("input", [])
+                if isinstance(inputs, str):
+                    inputs = [inputs]
+                try:
+                    vecs = server.loop.embed(inputs)
+                except RuntimeError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "object": "list", "model": server.model_id,
+                    "data": [{"object": "embedding", "index": i,
+                              "embedding": v} for i, v in enumerate(vecs)],
+                })
                 return
             if chat:
                 # render messages -> prompt; the user prefix joins the

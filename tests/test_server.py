@@ -322,6 +322,36 @@ def test_metrics_endpoint(model):
         srv.httpd.shutdown()
 
 
+def test_embeddings_endpoint(server, model):
+    """/v1/embeddings: final-token hidden state, equal to the library
+    extraction path (examples/embeddings.py)."""
+    import numpy as np
+
+    from llm_tpu.session import (
+        InferenceSession, InferenceSessionConfig, OutputRequest,
+    )
+
+    status, body = _post(server, {"input": ["<t5><t7>", "<t9>"]},
+                         path="/v1/embeddings")
+    assert status == 200
+    assert len(body["data"]) == 2
+    vec = np.asarray(body["data"][0]["embedding"], np.float32)
+    assert vec.shape == (model.spec.n_embd,)
+
+    session = InferenceSession(model, InferenceSessionConfig())
+    req = OutputRequest(embeddings=[])
+    session.feed_prompt("<t5><t7>", output_request=req)
+    ref = np.asarray(req.embeddings, np.float32).reshape(
+        -1, model.spec.n_embd
+    )[-1]
+    np.testing.assert_allclose(vec, ref, rtol=2e-5, atol=2e-5)
+
+    # untokenizable input -> 400, engine unaffected
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"input": "zzz"}, path="/v1/embeddings")
+    assert e.value.code == 400
+
+
 def test_sampler_from_params_paths(model):
     n = model.spec.n_vocab
     greedy = sampler_from_params({"temperature": 0}, n_vocab=n)
