@@ -750,7 +750,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--container-type",
                    choices=["ggml", "ggjt-v3", "gguf"], default="ggjt-v3")
     p.add_argument("target",
-                   choices=["q4_0", "q4_1", "q5_0", "q5_1", "q8_0"])
+                   choices=["q4_0", "q4_1", "q5_0", "q5_1", "q8_0",
+                            # TPU extension (reference restricts to the
+                            # scalar formats, quantize.rs:224-244)
+                            "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
     p.set_defaults(fn=cmd_quantize)
 
     return parser

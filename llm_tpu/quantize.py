@@ -38,7 +38,19 @@ VALID_TARGETS = (
     GgmlType.Q5_0,
     GgmlType.Q5_1,
     GgmlType.Q8_0,
+    # TPU extension beyond quantize.rs:224-244: K-quant targets via the
+    # ggml_quantize_q2_K..q6_K-equivalent encoders (ggml/quant.py). A
+    # tensor whose row length is not a multiple of QK_K=256 falls back to
+    # Q8_0, mirroring llama.cpp's incompatible-tensor fallback.
+    GgmlType.Q2_K,
+    GgmlType.Q3_K,
+    GgmlType.Q4_K,
+    GgmlType.Q5_K,
+    GgmlType.Q6_K,
 )
+
+_K_QUANTS = (GgmlType.Q2_K, GgmlType.Q3_K, GgmlType.Q4_K,
+             GgmlType.Q5_K, GgmlType.Q6_K)
 
 
 class QuantizeError(ValueError):
@@ -147,7 +159,11 @@ def quantize(
                     )
                 else:
                     data = np.frombuffer(raw, dtype=np.float32, count=info.n_elements)
-                qbytes, hist = quantize_with_hist(target, data)
+                ttype = target
+                if target in _K_QUANTS and info.dims[0] % 256 != 0:
+                    ttype = GgmlType.Q8_0  # K-quant superblocks must not
+                    #                        straddle rows (QK_K=256)
+                qbytes, hist = quantize_with_hist(ttype, data)
                 total_hist += hist
                 total_orig += len(raw)
                 total_new += len(qbytes)
@@ -155,12 +171,13 @@ def quantize(
                     QuantizeProgress(
                         "tensor_quantized",
                         name=name,
+                        element_type=ttype,
                         original_size=len(raw),
                         reduced_size=len(qbytes),
                         history=hist,
                     )
                 )
-                w.write_tensor(name, target, info.dims, qbytes)
+                w.write_tensor(name, ttype, info.dims, qbytes)
             else:
                 progress(QuantizeProgress("tensor_skipped", name=name))
                 total_orig += len(raw)

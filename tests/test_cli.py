@@ -69,6 +69,38 @@ def test_quantize_then_infer(model_path, tmp_path, capsys):
     assert "<t2>" in out
 
 
+def test_quantize_kquant_target_then_infer(tmp_path, capsys):
+    """K-quant CLI targets (TPU extension beyond quantize.rs:224-244):
+    rows divisible by QK_K quantize to the target; others fall back to
+    Q8_0; the result loads and generates."""
+    from llm_tpu.ggml.reader import GgmlReader
+    from llm_tpu.models.spec import get_arch
+    from llm_tpu.testing import make_tiny_file
+
+    src = tmp_path / "f16.bin"
+    make_tiny_file("llama", src, GgmlType.F16, n_embd=256)
+    qpath = tmp_path / "q4k.bin"
+    main(["quantize", "-a", "llama", str(src), str(qpath), "q4_k"])
+    capsys.readouterr()
+
+    arch = get_arch("llama")
+    r = GgmlReader(qpath).load(
+        lambda f: (lambda h: (h, h.n_vocab))(arch.read_hparams(f))
+    )
+    assert r.tensors["layers.0.attention.wq.weight"].element_type == GgmlType.Q4_K
+    assert r.tensors["norm.weight"].element_type == GgmlType.F32
+    ffn = r.tensors["layers.0.feed_forward.w2.weight"]
+    expect = GgmlType.Q4_K if ffn.dims[0] % 256 == 0 else GgmlType.Q8_0
+    assert ffn.element_type == expect
+
+    main([
+        "infer", "-m", str(qpath), "-a", "llama", "-p", "<t2><t3>",
+        "-n", "3", "--seed", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "<t2>" in out
+
+
 def test_session_persistence(model_path, tmp_path, capsys):
     sess = tmp_path / "sess.llm"
     main([
