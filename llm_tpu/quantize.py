@@ -1,7 +1,8 @@
 """Model quantizer: f32/f16 checkpoint -> block-quantized checkpoint.
 
 Mirrors /root/reference/crates/llm-base/src/quantize.rs:
-- valid targets are Q4_0/Q4_1/Q5_0/Q5_1/Q8_0 only (quantize.rs:224-244)
+- the reference's targets Q4_0/Q4_1/Q5_0/Q5_1/Q8_0 (quantize.rs:224-244),
+  plus the K-quants Q2_K..Q6_K as a TPU extension (see VALID_TARGETS)
 - a tensor is quantized iff it is 2-D, matches the architecture's
   quantize_tensors() regexes, is not in skip_quantize_tensors(), and is
   stored F32/F16 (quantize.rs:332-361); everything else passes through
