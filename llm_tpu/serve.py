@@ -58,6 +58,10 @@ class GenerationRequest:
     # ops.sampling.DeviceSampler: enables the multi-token on-device decode
     # path (Engine.step_multi) when every active stream carries one
     device_sampler: Optional[object] = None
+    # record per-generated-token logprobs (+ top-N alternatives when > 0);
+    # host-sampling path only (the logits row never leaves the device in
+    # step_multi blocks)
+    logprobs: Optional[int] = None
 
 
 @dataclass
@@ -73,6 +77,7 @@ class _Stream:
     utf8: TokenUtf8Buffer = field(default_factory=TokenUtf8Buffer)
     decoded_len: int = 0
     text: list = field(default_factory=list)
+    logprob_data: list = field(default_factory=list)
     done: bool = False
     finish_reason: str = ""
     # chunked-prefill state: admission assigns a slot immediately and the
@@ -225,9 +230,33 @@ class Engine:
         ev, self._retired_events = self._retired_events, []
         return ev
 
+    def _record_logprob(self, stream: _Stream, tok: int) -> None:
+        """Model logprob of the sampled token (from the PRE-update logits
+        row it was sampled from) + optional top-N alternatives."""
+        row = np.asarray(stream.last_logits, np.float32)
+        m = float(row.max())
+        logz = row - (m + np.log(np.exp(row - m).sum()))
+
+        def tstr(t: int) -> str:
+            return self.model.tokenizer.token(t).decode("utf-8",
+                                                        errors="replace")
+
+        entry = {"token": tstr(tok), "logprob": float(logz[tok])}
+        n = stream.request.logprobs
+        if n:
+            top = np.argpartition(logz, -n)[-n:]
+            top = top[np.argsort(logz[top])[::-1]]
+            entry["top_logprobs"] = {
+                tstr(int(t)): float(logz[int(t)]) for t in top
+            }
+        stream.logprob_data.append(entry)
+
     def _finish_token(self, slot: int, stream: _Stream, tok: int, logits_row):
         """Shared per-token postprocess: bookkeeping, EoT / max_tokens /
         context-full retirement. Returns the (request_id, text, done) event."""
+        if stream.request.logprobs is not None and \
+                stream.last_logits is not None:
+            self._record_logprob(stream, tok)
         stream.tokens.append(tok)
         stream.n_past += 1
         stream.generated += 1

@@ -88,7 +88,7 @@ def device_sampler_from_params(params: dict):
     from llm_tpu.ops.sampling import DeviceSampler
 
     blockers = ("sampler", "top_p", "min_p", "repeat_penalty",
-                "frequency_penalty", "presence_penalty")
+                "frequency_penalty", "presence_penalty", "logprobs")
     if any(params.get(k) is not None for k in blockers):
         return None
     temp = params.get("temperature")
@@ -262,14 +262,16 @@ class _EngineLoop(threading.Thread):
                 ticket.t_first = time.monotonic()
                 self._ttft_ms.append((ticket.t_first - ticket.t_submit) * 1e3)
                 del self._ttft_ms[:-1024]
-            reason = ""
+            reason, info = "", None
             if done:
                 fin = self.engine.finished.get(rid)
                 reason = fin.finish_reason if fin else "done"
+                if fin is not None and fin.logprob_data:
+                    info = {"logprobs": fin.logprob_data}
                 self.stats["requests_completed"] += 1
                 self.stats["tokens_generated"] += fin.generated if fin else 0
                 del self.tickets[rid]
-            ticket.events.put((text, done, reason))
+            ticket.events.put((text, done, reason, info))
 
     def metrics(self) -> dict:
         ttft = sorted(self._ttft_ms)
@@ -300,7 +302,7 @@ class _EngineLoop(threading.Thread):
                 traceback.print_exc()
                 tickets, self.tickets = self.tickets, {}
                 for t in tickets.values():
-                    t.events.put(("", True, "error: engine step failed"))
+                    t.events.put(("", True, "error: engine step failed", None))
 
     def _tick(self) -> None:
         self._drain_inbox(block=not self.engine.has_work())
@@ -440,6 +442,8 @@ class LlmServer:
             # active request's sampling is device-expressible
             device_sampler=(device_sampler_from_params(body)
                             if self.loop.multi_step > 1 else None),
+            logprobs=(int(body["logprobs"])
+                      if body.get("logprobs") is not None else None),
         )
         stops = body.get("stop")
         if isinstance(stops, str):
@@ -451,25 +455,25 @@ class LlmServer:
         rid = self.loop.submit(ticket)
         try:
             while True:
-                text, done, reason = ticket.events.get()
+                text, done, reason, info = ticket.events.get()
                 out = scan.push(text)
                 if scan.hit:
                     if out:
-                        yield out, False, ""
+                        yield out, False, "", None
                     self.loop.cancel(rid)
                     # drain the queue until the cancel's done-event arrives
                     while not done:
-                        _, done, reason = ticket.events.get()
-                    yield "", True, "stop"
+                        _, done, reason, info = ticket.events.get()
+                    yield "", True, "stop", info
                     return
                 if done:
                     tail = out + scan.flush()  # the done event carries the
                     if tail:                   # final token's text
-                        yield tail, False, ""
-                    yield "", True, reason
+                        yield tail, False, "", None
+                    yield "", True, reason, info
                     return
                 if out:
-                    yield out, False, ""
+                    yield out, False, "", None
         except GeneratorExit:
             # client went away mid-stream: free the slot
             self.loop.cancel(rid)
@@ -563,10 +567,10 @@ def _make_handler(server: LlmServer):
             if body.get("stream"):
                 self._stream(cid, gen, chat)
             else:
-                parts, reason = [], ""
-                for text, done, r in gen:
+                parts, reason, info = [], "", None
+                for text, done, r, inf in gen:
                     if done:
-                        reason = r
+                        reason, info = r, inf
                     elif text:
                         parts.append(text)
                 whole = "".join(parts)
@@ -580,6 +584,13 @@ def _make_handler(server: LlmServer):
                 else:
                     choice = {"index": 0, "text": whole,
                               "finish_reason": _finish_name(reason)}
+                if info and info.get("logprobs"):
+                    lp = info["logprobs"]
+                    choice["logprobs"] = {
+                        "tokens": [e["token"] for e in lp],
+                        "token_logprobs": [e["logprob"] for e in lp],
+                        "top_logprobs": [e.get("top_logprobs") for e in lp],
+                    }
                 self._json(200, {
                     "id": cid,
                     "object": ("chat.completion" if chat
@@ -611,7 +622,7 @@ def _make_handler(server: LlmServer):
             self.send_header("Connection", "close")
             self.end_headers()
             try:
-                for text, done, reason in gen:
+                for text, done, reason, _info in gen:
                     if done:
                         self.wfile.write(
                             self._chunk(cid, chat, "", _finish_name(reason))

@@ -302,6 +302,28 @@ def test_server_multihost_engine_single_process(model):
         srv.httpd.shutdown()
 
 
+def test_completion_logprobs(server, model):
+    """logprobs=N: model logprob of each sampled token + top-N; greedy
+    sampling means the chosen token is the top-1 alternative."""
+    import math
+
+    status, body = _post(server, {
+        "prompt": "<t5><t7>", "max_tokens": 4, "temperature": 0,
+        "logprobs": 3,
+    })
+    assert status == 200
+    choice = body["choices"][0]
+    lp = choice["logprobs"]
+    assert len(lp["tokens"]) == 4 and len(lp["token_logprobs"]) == 4
+    for tok, logprob, top in zip(lp["tokens"], lp["token_logprobs"],
+                                 lp["top_logprobs"]):
+        assert logprob <= 0.0 and math.isfinite(logprob)
+        assert len(top) == 3
+        # greedy: the sampled token is the argmax -> the best alternative
+        assert max(top, key=top.get) == tok
+        assert abs(top[tok] - logprob) < 1e-5
+
+
 def test_metrics_endpoint(model):
     """Fresh server: warmup compiles but doesn't count; one request does."""
     engine = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
