@@ -374,6 +374,44 @@ def test_embeddings_endpoint(server, model):
     assert e.value.code == 400
 
 
+def test_client_disconnect_cancels_stream(model):
+    """Closing the socket mid-stream frees the slot (Engine.cancel via
+    GeneratorExit) instead of decoding into a dead connection."""
+    import socket
+    import time as _time
+
+    engine = Engine(model, max_streams=1, kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        host, port = srv.address
+        body = json.dumps({"prompt": "<t5>", "max_tokens": 10_000,
+                           "temperature": 0, "stream": True}).encode()
+        s = socket.create_connection((host, port), timeout=30)
+        s.sendall(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        s.recv(1024)  # first bytes arrived -> stream is live
+        s.close()  # client disconnects
+
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            if engine.finished and any(
+                st.finish_reason == "cancelled"
+                for st in engine.finished.values()
+            ):
+                break
+            _time.sleep(0.2)
+        else:
+            raise AssertionError("stream was not cancelled on disconnect")
+        assert engine.active == 0
+    finally:
+        srv.httpd.shutdown()
+
+
 def test_sampler_from_params_paths(model):
     n = model.spec.n_vocab
     greedy = sampler_from_params({"temperature": 0}, n_vocab=n)
