@@ -575,6 +575,16 @@ def cmd_serve(args) -> None:
     from llm_tpu.server import serve_forever
 
     model = load_model(args)
+    draft = None
+    if args.draft_model:
+        from llm_tpu.loader import ModelParameters, load as _load
+
+        draft = _load(
+            args.draft_model,
+            args.model_architecture,
+            tokenizer_source=tokenizer_source(args),
+            params=ModelParameters(context_size=args.num_ctx_tokens),
+        )
     try:
         serve_forever(
             model,
@@ -588,6 +598,8 @@ def cmd_serve(args) -> None:
             n_pages=args.n_pages,
             multi_step=args.multi_step,
             warmup=not args.no_warmup,
+            draft=draft,
+            draft_k=args.draft_k,
         )
     except KeyboardInterrupt:
         pass
@@ -738,6 +750,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "(greedy / temperature / top-k)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile warm-up request")
+    p.add_argument("--draft-model", default=None,
+                   help="speculative decoding: small same-vocab draft "
+                   "checkpoint (greedy requests only, dense KV)")
+    p.add_argument("--draft-k", type=int, default=4,
+                   help="draft proposals per speculative round")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")

@@ -208,8 +208,14 @@ class _EngineLoop(threading.Thread):
                 return
             block = False
             if kind == "submit":
-                payload.request_id = self.engine.submit(payload.request)
-                self.tickets[payload.request_id] = payload
+                try:
+                    payload.request_id = self.engine.submit(payload.request)
+                    self.tickets[payload.request_id] = payload
+                except Exception as e:  # noqa: BLE001 — e.g. an engine
+                    # that restricts sampling (SpeculativeEngine): fail
+                    # THIS request, not the loop
+                    payload.request_id = -1
+                    payload.events.put(("", True, f"error: {e}", None))
                 payload.ready.set()
             elif kind == "cancel":
                 self.engine.cancel(payload)
@@ -409,12 +415,11 @@ class LlmServer:
         """Run one tiny request end-to-end so the prefill/decode compiles
         (~20-40 s on a cold TPU) happen before the first client arrives.
         Requires the engine loop to be running."""
+        # sampler=None: every engine accepts its own default (the plain
+        # Engine uses the default chain; SpeculativeEngine forces greedy)
         gen = self._events(
             GenerationRequest(prompt=[min(2, self.model.spec.n_vocab - 1)],
-                              max_tokens=2,
-                              sampler=sampler_from_params(
-                                  {"temperature": 0},
-                                  n_vocab=self.model.spec.n_vocab)),
+                              max_tokens=2),
             _StopScanner(None),
         )
         for _ in gen:
@@ -431,7 +436,17 @@ class LlmServer:
         the caller as exceptions, not escape a half-started generator),
         then return the (fragment, done, reason) iterator."""
         prompt = body.get("prompt", "")
-        sampler = sampler_from_params(body, n_vocab=self.model.spec.n_vocab)
+        temp = body.get("temperature")
+        if getattr(self.loop.engine, "greedy_only", False) and \
+                temp is not None and float(temp) <= 0.0 and \
+                not body.get("sampler"):
+            # greedy-only engines (SpeculativeEngine) force their own
+            # greedy sampler; an equivalent topk:k=1 chain would be
+            # rejected by their submit() guard
+            sampler = None
+        else:
+            sampler = sampler_from_params(body,
+                                          n_vocab=self.model.spec.n_vocab)
         max_tokens = body.get("max_tokens", self.default_max_tokens)
         req = GenerationRequest(
             prompt=prompt,
@@ -641,12 +656,21 @@ def _make_handler(server: LlmServer):
 
 def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                   kv_dtype=None, n_batch=64, paged=False, page_size=256,
-                  n_pages=None, multi_step=0, warmup=True) -> None:
+                  n_pages=None, multi_step=0, warmup=True,
+                  draft=None, draft_k=4) -> None:
     """CLI entry: build the engine and serve until interrupted."""
     import jax.numpy as jnp
 
     kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
-    if paged:
+    if draft is not None:
+        from llm_tpu.speculative import SpeculativeEngine
+
+        if paged:
+            raise ValueError("--draft-model is dense-KV only for now")
+        engine = SpeculativeEngine(model, draft, k=draft_k,
+                                   max_streams=max_streams,
+                                   kv_dtype=kv_dtype, n_batch=n_batch)
+    elif paged:
         from llm_tpu.paged import PagedEngine
 
         kwargs = {} if n_pages is None else {"n_pages": n_pages}

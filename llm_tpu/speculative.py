@@ -347,3 +347,171 @@ class SampledSpeculativeSession(SpeculativeSession):
                 self.last_logits = target_heads[n_acc]
                 self._draft_logits = d_head
         return out
+
+
+# ---------------------------------------------------------------------------
+# speculative decoding UNDER continuous batching
+
+import jax
+from functools import partial
+
+from llm_tpu.models.forward import (
+    decode_loop_batched,
+    forward_batched,
+    init_cache_batched,
+)
+from llm_tpu.samplers import GreedySampler
+from llm_tpu.serve import Engine, _prefill_slot
+
+
+@partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
+def _verify(spec, params, ids, n_past, cache, window, write_mask):
+    """Batched T=k target forward scoring every stream's proposals."""
+    logits, _, cache = forward_batched(
+        spec, params, ids, n_past, cache, window, write_mask
+    )
+    return logits, cache
+
+
+class SpeculativeEngine(Engine):
+    """Continuous batching with speculative decoding (greedy streams).
+
+    Each engine step runs ONE batched draft block that proposes k tokens
+    for every decode-ready stream (decode_loop_batched over the draft's
+    own [L, B] cache), then ONE batched T=k target forward that verifies
+    all streams' proposals together, then per-stream host acceptance of
+    the longest agreeing prefix. Guaranteed >= 1 token per stream per
+    round: proposal 0 is the argmax of the target's own head logits, so
+    it always matches. Neither cache ever rewinds — positions beyond a
+    stream's n_past are masked and overwritten by later writes (the same
+    property the reference's rewind relies on,
+    inference_session.rs:353-377, batched).
+
+    Greedy only: a request's sampler must be None (forced greedy) or a
+    GreedySampler; the output equals the plain Engine's greedy generation
+    (exactly on the f32 CPU path; argmax ties under bf16 reduction-order
+    differences can flip on TPU — module docstring)."""
+
+    greedy_only = True  # the server routes temperature=0 as sampler=None
+
+    def __init__(self, model, draft, k: int = 4, **kw):
+        assert model.spec.n_vocab == draft.spec.n_vocab, (
+            "draft and target must share a vocabulary"
+        )
+        assert model.spec.n_ctx == draft.spec.n_ctx, (
+            "batched speculative requires equal context windows"
+        )
+        assert kw.get("mesh") is None, "mesh not supported yet"
+        self.draft = draft
+        self.k = k
+        super().__init__(model, **kw)
+        self.d_cache = init_cache_batched(
+            draft.spec, self.max_streams, kw.get("kv_dtype", jnp.bfloat16)
+        )
+        self.accepted = 0
+        self.drafted = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.drafted if self.drafted else 0.0
+
+    def submit(self, request):
+        if request.sampler is None:
+            request.sampler = GreedySampler()
+        elif not isinstance(request.sampler, GreedySampler):
+            raise ValueError("SpeculativeEngine serves greedy streams only")
+        return super().submit(request)
+
+    def _prefill_chunk(self, stream, slot):
+        # the draft cache prefills in lockstep with the target's
+        spec_d = self.draft.spec
+        toks = stream.prefill_queue
+        pos = stream.prefill_pos
+        chunk = toks[pos : pos + self.n_batch]
+        bucket = (
+            self.n_batch if pos + self.n_batch <= spec_d.n_ctx else len(chunk)
+        )
+        ids = np.zeros(bucket, np.int32)
+        ids[: len(chunk)] = chunk
+        _, self.d_cache = _prefill_slot(
+            spec_d, self.draft.params, jnp.asarray(ids), jnp.int32(pos),
+            slot, self.d_cache, window_bucket(pos, spec_d.n_ctx),
+        )
+        super()._prefill_chunk(stream, slot)
+
+    def step_multi(self, n_steps: int = 16):
+        # a speculative round is already multi-token per dispatch; block
+        # mode would bypass verification
+        return self.step()
+
+    def step(self):
+        self._admit()
+        self._advance_prefills()
+        events = self._drain_retired()
+        decodable = self._decodable()
+        if not decodable:
+            return events
+
+        spec = self.spec
+        B = self.max_streams
+        ll = np.zeros((B, spec.n_vocab), np.float32)
+        n_past = np.zeros(B, np.int32)
+        mask = np.zeros(B, bool)
+        for slot, s in decodable:
+            ll[slot] = s.last_logits
+            n_past[slot] = s.n_past
+            mask[slot] = True
+        max_past = int(n_past.max())
+        k = min(self.k, spec.n_ctx - 1 - max_past)
+        if k <= 0:
+            # at the context boundary the plain path retires cleanly
+            return events + super().step()
+        window = window_bucket(max_past + k, spec.n_ctx)
+
+        # 1. draft proposes k tokens per stream (proposal 0 chains from
+        # the TARGET's head logits, so it is that stream's own argmax)
+        toks, _, _, self.d_cache = decode_loop_batched(
+            self.draft.spec, self.draft.params, jnp.asarray(ll),
+            jnp.asarray(n_past), self.d_cache, k, window,
+            write_mask=jnp.asarray(mask),
+        )
+        proposals = np.asarray(toks).T  # [B, k]
+
+        # 2. target verifies all proposals in one batched T=k forward
+        t_logits, self.cache = _verify(
+            spec, self.params, jnp.asarray(proposals),
+            jnp.asarray(n_past), self.cache, window, jnp.asarray(mask),
+        )
+        t_logits = np.asarray(t_logits)  # [B, k, V]
+
+        # 3. per-stream host acceptance of the longest agreeing prefix
+        eot = self._eot
+        accepted = {}
+        for slot, stream in decodable:
+            prev = np.asarray(stream.last_logits)
+            n_acc = 0
+            for i in range(k):
+                want = int(np.argmax(prev))
+                if int(proposals[slot, i]) != want:
+                    break
+                n_acc += 1
+                prev = t_logits[slot, i]
+                if want == eot:
+                    break
+            self.drafted += k
+            self.accepted += n_acc
+            accepted[slot] = n_acc
+        if min(accepted.values()) == 0:
+            # argmax-tie flip under bf16 reduction order (TPU-only
+            # possibility): make progress with one plain step instead
+            return events + super().step()
+
+        for slot, stream in decodable:
+            for i in range(accepted[slot]):
+                if stream.done:
+                    break
+                events.append(self._finish_token(
+                    slot, stream, int(proposals[slot, i]),
+                    t_logits[slot, i],
+                ))
+        return events

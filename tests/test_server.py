@@ -412,6 +412,39 @@ def test_client_disconnect_cancels_stream(model):
         srv.httpd.shutdown()
 
 
+def test_server_speculative_engine(model, tmp_path):
+    """HTTP over SpeculativeEngine: greedy requests match the plain
+    engine; a sampled request fails per-request (engine survives)."""
+    from llm_tpu.loader import ModelParameters, load
+    from llm_tpu.speculative import SpeculativeEngine
+    from llm_tpu.testing import make_tiny_file
+
+    dpath = tmp_path / "draft.bin"
+    make_tiny_file("llama", dpath, seed=9, n_layer=1)
+    draft = load(dpath, "llama", params=ModelParameters(context_size=64))
+
+    engine = SpeculativeEngine(model, draft, k=3, max_streams=2,
+                               kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        srv.warmup()
+        ref = _engine_reference(model, "<t5><t7>", 8)
+        _, body = _post(srv, {"prompt": "<t5><t7>", "max_tokens": 8,
+                              "temperature": 0})
+        assert body["choices"][0]["text"] == ref
+        assert engine.drafted > 0
+        # a sampled request is refused per-request, not loop-fatally
+        _, body = _post(srv, {"prompt": "<t5>", "max_tokens": 2,
+                              "temperature": 0.8, "top_p": 0.9})
+        assert body["choices"][0]["finish_reason"].startswith("error")
+        _, body = _post(srv, {"prompt": "<t5>", "max_tokens": 2,
+                              "temperature": 0})
+        assert body["choices"][0]["text"]
+    finally:
+        srv.httpd.shutdown()
+
+
 def test_sampler_from_params_paths(model):
     n = model.spec.n_vocab
     greedy = sampler_from_params({"temperature": 0}, n_vocab=n)

@@ -146,3 +146,85 @@ def test_sampled_speculative_selfdraft_high_acceptance(models):
     s.feed_prompt([2, 9])
     s.generate(12, seed=1)
     assert s.acceptance_rate > 0.95, s.acceptance_rate
+
+
+# ---------------------------------------------------------------------------
+# SpeculativeEngine: speculative decoding under continuous batching
+
+
+def _plain_engine_greedy(target, prompts, n):
+    from llm_tpu.samplers import GreedySampler
+    from llm_tpu.serve import Engine, GenerationRequest
+
+    engine = Engine(target, max_streams=len(prompts),
+                    kv_dtype=jnp.float32, n_batch=8)
+    out = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=n, sampler=GreedySampler())
+         for p in prompts]
+    )
+    return [out[i] for i in sorted(out)]
+
+
+def test_speculative_engine_matches_plain_engine(models):
+    """Batched speculative serving equals the plain engine's greedy output
+    for every stream (f32 CPU path: bit-identical argmax)."""
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SpeculativeEngine
+
+    target, draft = models
+    prompts = [[2, 3], [9, 4, 5], [7, 8, 2, 11]]
+    refs = _plain_engine_greedy(target, prompts, 12)
+
+    engine = SpeculativeEngine(target, draft, k=4, max_streams=3,
+                               kv_dtype=jnp.float32, n_batch=8)
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=12) for p in prompts]
+    )
+    assert [texts[i] for i in sorted(texts)] == refs
+    assert engine.drafted > 0  # the speculative path actually ran
+
+
+def test_speculative_engine_interleaved_admission(models):
+    """A stream admitted mid-flight (chunked prefill) joins the batched
+    speculative rounds and still matches the plain engine."""
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SpeculativeEngine
+
+    target, draft = models
+    engine = SpeculativeEngine(target, draft, k=3, max_streams=2,
+                               kv_dtype=jnp.float32, n_batch=4)
+    a = engine.submit(GenerationRequest(prompt=[2, 3], max_tokens=10))
+    engine.step()
+    engine.step()
+    b = engine.submit(GenerationRequest(prompt=[5, 6] * 6, max_tokens=6))
+    while engine.has_work():
+        engine.step()
+    refs = _plain_engine_greedy(target, [[2, 3], [5, 6] * 6], 10)
+    refs6 = _plain_engine_greedy(target, [[5, 6] * 6], 6)
+    assert "".join(engine.finished[a].text) == refs[0]
+    assert "".join(engine.finished[b].text) == refs6[0]
+
+
+def test_speculative_engine_self_draft_accepts_everything(models):
+    """With the target as its own draft every proposal is accepted."""
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SpeculativeEngine
+
+    target, _ = models
+    engine = SpeculativeEngine(target, target, k=4, max_streams=1,
+                               kv_dtype=jnp.float32, n_batch=8)
+    engine.generate_all([GenerationRequest(prompt=[2, 3], max_tokens=8)])
+    assert engine.acceptance_rate > 0.9
+
+
+def test_speculative_engine_rejects_nongreedy(models):
+    from llm_tpu.samplers import default_samplers
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SpeculativeEngine
+
+    target, draft = models
+    engine = SpeculativeEngine(target, draft, max_streams=1,
+                               kv_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        engine.submit(GenerationRequest(prompt=[2], max_tokens=2,
+                                        sampler=default_samplers()))
