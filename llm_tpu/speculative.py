@@ -515,3 +515,191 @@ class SpeculativeEngine(Engine):
                     t_logits[slot, i],
                 ))
         return events
+
+
+@partial(jax.jit, static_argnums=(0, 5, 7, 8), donate_argnums=(4,))
+def _draft_propose_batched(spec, params, last_logits, n_past, cache, k,
+                           key, window, sampler, sampler_values, write_mask):
+    """Batched draft loop that ALSO returns the per-step draft logits
+    ([k, B, V]) — the q distributions the acceptance test needs."""
+    from llm_tpu.models.forward import forward_batched
+    from llm_tpu.ops.sampling import device_sample
+
+    def step(carry, _):
+        logits, npast, c, ky = carry
+        ky, sub = jax.random.split(ky)
+        toks = device_sample(logits, sub, sampler, sampler_values)
+        new_logits, _, c = forward_batched(
+            spec, params, toks[:, None], npast, c, window, write_mask
+        )
+        return (new_logits[:, 0, :], npast + 1, c, ky), (toks, logits)
+
+    (_, _, cache, _), (toks, q_logits) = jax.lax.scan(
+        step,
+        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key),
+        None,
+        length=k,
+    )
+    return toks, q_logits, cache
+
+
+@partial(jax.jit, static_argnums=(0, 5), donate_argnums=(4,))
+def _tail_eval(spec, params, ids, n_past, cache, window, write_mask):
+    """Masked batched T=1 forward: evaluate correction/bonus tokens that
+    were emitted from host-side resampling without a forward pass."""
+    logits, _, cache = forward_batched(
+        spec, params, ids[:, None], n_past, cache, window, write_mask
+    )
+    return logits[:, 0, :], cache
+
+
+class SampledSpeculativeEngine(SpeculativeEngine):
+    """Rejection-sampling speculative decoding under continuous batching.
+
+    Each request carries a DeviceSampler(kind="sample", temperature,
+    top_k); the draft SAMPLES its proposals on device under each stream's
+    own parameters (BatchedDeviceSampler), the target verifies in one
+    batched T=k forward, and acceptance follows the exact identity:
+    accept x with min(1, p(x)/q(x)), resample rejections from
+    normalize(max(p - q, 0)) — so every stream's output distribution is
+    exactly the target's sampling distribution (Leviathan et al.;
+    SampledSpeculativeSession proves the math single-stream). Correction
+    and bonus tokens are emitted immediately and evaluated by ONE masked
+    batched T=1 forward pair before the next round.
+
+    Per-stream np rngs (request.seed) drive the host acceptance;
+    the device-side proposal sampling uses an engine-level key advanced
+    per round, so runs are deterministic per engine instance."""
+
+    greedy_only = False
+
+    def submit(self, request):
+        ds = request.device_sampler
+        if ds is None or getattr(ds, "kind", None) != "sample":
+            raise ValueError(
+                "SampledSpeculativeEngine requests need a "
+                'DeviceSampler(kind="sample", ...) as device_sampler'
+            )
+        # bypass SpeculativeEngine's greedy guard; Engine.submit defaults
+        # the (unused) host sampler chain
+        return Engine.submit(self, request)
+
+    def step(self):
+        from llm_tpu.ops.sampling import batched_sampler
+
+        self._admit()
+        self._advance_prefills()
+        events = self._drain_retired()
+        decodable = self._decodable()
+        if not decodable:
+            return events
+
+        spec = self.spec
+        B = self.max_streams
+        ll = np.zeros((B, spec.n_vocab), np.float32)
+        n_past = np.zeros(B, np.int32)
+        mask = np.zeros(B, bool)
+        for slot, s in decodable:
+            ll[slot] = s.last_logits
+            n_past[slot] = s.n_past
+            mask[slot] = True
+        max_past = int(n_past.max())
+        # +1 below the greedy clamp: a bonus token may extend past k
+        k = min(self.k, spec.n_ctx - 2 - max_past)
+        if k <= 0:
+            return events + Engine.step(self)
+        window = window_bucket(max_past + k + 1, spec.n_ctx)
+
+        per_slot = [None] * B
+        for slot, s in decodable:
+            per_slot[slot] = s.request.device_sampler
+        sampler, values = batched_sampler(per_slot, B)
+
+        self._key = jax.random.split(
+            getattr(self, "_key", jax.random.PRNGKey(0))
+        )[0]
+        toks, q_logits, self.d_cache = _draft_propose_batched(
+            self.draft.spec, self.draft.params, jnp.asarray(ll),
+            jnp.asarray(n_past), self.d_cache, k, self._key, window,
+            sampler, values, jnp.asarray(mask),
+        )
+        proposals = np.asarray(toks).T  # [B, k]
+        q_logits = np.asarray(q_logits)  # [k, B, V]
+
+        t_logits, self.cache = _verify(
+            spec, self.params, jnp.asarray(proposals),
+            jnp.asarray(n_past), self.cache, window, jnp.asarray(mask),
+        )
+        t_logits = np.asarray(t_logits)  # [B, k, V]
+
+        eot = self._eot
+        tail_ids = np.zeros(B, np.int32)
+        tail_mask = np.zeros(B, bool)
+        tail_streams = []
+        for slot, stream in decodable:
+            ds = stream.request.device_sampler
+            temp, top_k = ds.temperature, ds.top_k
+            rng = stream.rng
+            heads = [np.asarray(stream.last_logits)] + [
+                t_logits[slot, i] for i in range(k)
+            ]
+            n_acc = 0
+            tail = None  # correction/bonus token, unevaluated
+            for i in range(k):
+                p = _sampling_probs(heads[i], temp, top_k)
+                q = _sampling_probs(q_logits[i, slot], temp, top_k)
+                x = int(proposals[slot, i])
+                self.drafted += 1
+                if rng.random() < min(1.0, p[x] / max(q[x], 1e-30)):
+                    n_acc += 1
+                    self.accepted += 1
+                    if x == eot:
+                        break
+                else:
+                    resid = np.maximum(p - q, 0.0)
+                    tot = resid.sum()
+                    tail = (
+                        int(rng.choice(len(p), p=resid / tot))
+                        if tot > 0
+                        else int(rng.choice(len(p), p=p))
+                    )
+                    break
+            accepted_eot = n_acc and int(proposals[slot, n_acc - 1]) == eot
+            if tail is None and not accepted_eot:
+                # bonus token from the target head at the frontier
+                p = _sampling_probs(heads[n_acc], temp, top_k)
+                tail = int(rng.choice(len(p), p=p))
+
+            for i in range(n_acc):
+                if stream.done:
+                    break
+                events.append(self._finish_token(
+                    slot, stream, int(proposals[slot, i]), t_logits[slot, i]
+                ))
+            if tail is not None and not stream.done:
+                # emit now; its post-logits come from the tail eval below
+                events.append(self._finish_token(
+                    slot, stream, tail, heads[n_acc]
+                ))
+                if not stream.done:
+                    tail_ids[slot] = tail
+                    tail_mask[slot] = True
+                    tail_streams.append((slot, stream))
+
+        if tail_mask.any():
+            pos = np.zeros(B, np.int32)
+            for slot, stream in tail_streams:
+                pos[slot] = stream.n_past - 1  # the tail token's position
+            tl, self.cache = _tail_eval(
+                spec, self.params, jnp.asarray(tail_ids), jnp.asarray(pos),
+                self.cache, window, jnp.asarray(tail_mask),
+            )
+            _, self.d_cache = _tail_eval(
+                self.draft.spec, self.draft.params, jnp.asarray(tail_ids),
+                jnp.asarray(pos), self.d_cache, window,
+                jnp.asarray(tail_mask),
+            )
+            tl = np.asarray(tl)
+            for slot, stream in tail_streams:
+                stream.last_logits = tl[slot]
+        return events

@@ -228,3 +228,54 @@ def test_speculative_engine_rejects_nongreedy(models):
     with pytest.raises(ValueError):
         engine.submit(GenerationRequest(prompt=[2], max_tokens=2,
                                         sampler=default_samplers()))
+
+
+def test_sampled_speculative_engine(models):
+    """Batched rejection-sampling serving: deterministic per seed,
+    self-draft accepts ~everything, different request seeds diverge."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SampledSpeculativeEngine
+
+    target, draft = models
+
+    def run(seed, d=None):
+        engine = SampledSpeculativeEngine(
+            target, d or draft, k=3, max_streams=2,
+            kv_dtype=jnp.float32, n_batch=8,
+        )
+        out = engine.generate_all([
+            GenerationRequest(
+                prompt=[2, 9, 4], max_tokens=10, seed=seed,
+                device_sampler=DeviceSampler(kind="sample",
+                                             temperature=0.9, top_k=20),
+            ),
+            GenerationRequest(
+                prompt=[7, 8], max_tokens=10, seed=seed + 1,
+                device_sampler=DeviceSampler(kind="sample",
+                                             temperature=0.7, top_k=8),
+            ),
+        ])
+        return [out[i] for i in sorted(out)], engine.acceptance_rate
+
+    o1, acc = run(3)
+    o2, _ = run(3)
+    o3, _ = run(11)
+    assert o1 == o2  # deterministic per seed
+    assert 0.0 <= acc <= 1.0
+    assert all(len(t) > 0 for t in o1)
+    assert o1 != o3  # different seeds diverge (overwhelmingly)
+
+    _, acc_self = run(5, d=models[0])  # draft == target: p == q
+    assert acc_self > 0.9, acc_self
+
+
+def test_sampled_speculative_engine_rejects_host_sampler(models):
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SampledSpeculativeEngine
+
+    target, draft = models
+    engine = SampledSpeculativeEngine(target, draft, max_streams=1,
+                                      kv_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        engine.submit(GenerationRequest(prompt=[2], max_tokens=2))
