@@ -8,6 +8,7 @@ infer, perplexity, info, prompt-tokens, repl, chat, quantize.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 from typing import Optional
@@ -572,6 +573,12 @@ def cmd_gguf_convert(args) -> None:
 def cmd_serve(args) -> None:
     """HTTP serving over the continuous-batching engine (TPU extension;
     the reference is a library/CLI only — llm-cli/src/main.rs:27-35)."""
+    if args.multihost:
+        # must join the coordination service BEFORE any other JAX call
+        from llm_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+
     from llm_tpu.server import serve_forever
 
     model = load_model(args)
@@ -600,6 +607,8 @@ def cmd_serve(args) -> None:
             warmup=not args.no_warmup,
             draft=draft,
             draft_k=args.draft_k,
+            multihost=args.multihost,
+            model_parallel=args.model_parallel,
         )
     except KeyboardInterrupt:
         pass
@@ -755,6 +764,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "checkpoint (greedy requests only, dense KV)")
     p.add_argument("--draft-k", type=int, default=4,
                    help="draft proposals per speculative round")
+    p.add_argument("--multihost", action="store_true",
+                   help="serve across host processes over a global mesh "
+                   "(run one `serve` per host; --max-streams counts GLOBAL "
+                   "slots)")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=None,
+                   help="TP width (default: local device count, so TP "
+                   "collectives stay on ICI)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")
@@ -777,6 +797,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list[str]] = None) -> None:
+    plat = os.environ.get("LLM_TPU_PLATFORM")
+    if plat:  # e.g. cpu — the axon plugin ignores JAX_PLATFORMS, this
+        #       config knob it cannot (tests, CPU-only hosts)
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     parser = build_parser()
     args = parser.parse_args(argv)
     args.fn(args)

@@ -657,12 +657,29 @@ def _make_handler(server: LlmServer):
 def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                   kv_dtype=None, n_batch=64, paged=False, page_size=256,
                   n_pages=None, multi_step=0, warmup=True,
-                  draft=None, draft_k=4) -> None:
+                  draft=None, draft_k=4, multihost=False,
+                  model_parallel=None) -> None:
     """CLI entry: build the engine and serve until interrupted."""
     import jax.numpy as jnp
 
     kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
-    if draft is not None:
+    if multihost:
+        # one server (and port) per host process over the global mesh;
+        # max_streams counts GLOBAL slots (split evenly across hosts)
+        from llm_tpu.parallel.multihost import (
+            MultiHostEngine, MultiHostPagedEngine, multihost_mesh,
+        )
+
+        if draft is not None:
+            raise ValueError("--draft-model with --multihost: not yet")
+        mesh = multihost_mesh(model_parallel)
+        cls = MultiHostPagedEngine if paged else MultiHostEngine
+        kwargs = {"page_size": page_size} if paged else {}
+        if paged and n_pages is not None:
+            kwargs["n_pages"] = n_pages
+        engine = cls(model, mesh, global_streams=max_streams,
+                     kv_dtype=kv_dtype, n_batch=n_batch, **kwargs)
+    elif draft is not None:
         from llm_tpu.speculative import SpeculativeEngine
 
         if paged:

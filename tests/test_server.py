@@ -445,6 +445,69 @@ def test_server_speculative_engine(model, tmp_path):
         srv.httpd.shutdown()
 
 
+def test_cli_serve_multihost_single_process(tmp_path):
+    """`cli serve --multihost` wiring: a single-process 'cluster' (its own
+    coordinator) builds the global mesh, warms up, serves one request."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time as _time
+
+    from llm_tpu.testing import make_tiny_file
+
+    mpath = tmp_path / "llama.bin"
+    make_tiny_file("llama", mpath)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coord = s.getsockname()[1]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        http_port = s.getsockname()[1]
+
+    env = dict(os.environ, LLM_TPU_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH="/root/repo")
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "llm_tpu.cli", "serve",
+         "-m", str(mpath), "-a", "llama",
+         "--multihost", "--coordinator", f"127.0.0.1:{coord}",
+         "--num-processes", "1", "--process-id", "0",
+         "--port", str(http_port), "--max-streams", "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        body = None
+        while _time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    proc.stderr.read().decode()[-2000:]
+                )
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{http_port}/v1/completions",
+                    data=json.dumps({"prompt": "<t5>", "max_tokens": 3,
+                                     "temperature": 0}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    body = json.loads(r.read())
+                break
+            except (urllib.error.URLError, ConnectionError):
+                _time.sleep(1.0)
+        assert body is not None, "server never came up"
+        assert body["choices"][0]["text"]
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()  # distributed runtime can swallow SIGTERM
+            proc.wait(timeout=15)
+
+
 def test_sampler_from_params_paths(model):
     n = model.spec.n_vocab
     greedy = sampler_from_params({"temperature": 0}, n_vocab=n)
