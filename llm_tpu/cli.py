@@ -603,6 +603,7 @@ def cmd_serve(args) -> None:
             paged=args.paged,
             page_size=args.page_size,
             n_pages=args.n_pages,
+            prefix_cache=args.prefix_cache,
             multi_step=args.multi_step,
             warmup=not args.no_warmup,
             draft=draft,
@@ -753,6 +754,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--page-size", type=int, default=256)
     p.add_argument("--n-pages", type=int, default=None,
                    help="page-pool size (paged engines; default: engine's)")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="reuse full prompt-prefix KV pages across requests "
+                   "(exact-match, refcounted, LRU-evicted under pool "
+                   "pressure; requires --paged)")
     p.add_argument("--multi-step", type=int, default=0,
                    help="decode N tokens per device dispatch when every "
                    "active request's sampling is device-expressible "

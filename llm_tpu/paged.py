@@ -113,6 +113,104 @@ class PageAllocator:
         return len(self.free)
 
 
+class PrefixCache:
+    """Exact prompt-prefix KV reuse at page granularity.
+
+    The KV rows of position p depend only on tokens[0..p] (causal attention;
+    RoPE/ALiBi are functions of absolute position), so a FULL page whose
+    covering token prefix matches a new request's prompt can be shared
+    verbatim — no copy, no recompute. Full prompt pages are registered here
+    (key = the exact token prefix bytes, so matches are exact, never
+    hash-collision-probabilistic); admission borrows the longest registered
+    chain and starts prefill at the matched page boundary.
+
+    Pages are refcounted by the number of page-table rows pointing at them;
+    at refcount 0 they stay cached (LRU) and are evicted back to the free
+    list only under pool pressure. Shared pages are never written: a borrow
+    is always a whole-page-aligned prefix strictly shorter than the prompt,
+    so every write position of the borrowing stream lands in pages past the
+    borrowed chain (and decode overshoot in step_multi only writes at
+    positions >= n_past, past every full page).
+
+    No reference analog (the reference is single-stream); this is the
+    standard production-serving optimization for repeated system prompts.
+    """
+
+    def __init__(self):
+        self.by_key: dict[bytes, int] = {}  # token-prefix bytes -> page id
+        self.key_of: dict[int, bytes] = {}
+        self.refs: dict[int, int] = {}  # page id -> #table rows using it
+        self.lru: dict[int, None] = {}  # refcount-0 pages, insertion-ordered
+
+    @staticmethod
+    def key(tokens, n: int) -> bytes:
+        return np.asarray(tokens[:n], np.int32).tobytes()
+
+    def register(self, tokens, j: int, page_size: int, pid: int) -> None:
+        """Register physical page `pid` as holding the KV of logical page j
+        under prefix tokens[: (j+1)*page_size]. The registering stream holds
+        the first reference. First registration wins (a racing duplicate
+        stays an ordinary owned page and is freed on release)."""
+        k = self.key(tokens, (j + 1) * page_size)
+        if k in self.by_key or pid in self.refs:
+            return
+        self.by_key[k] = pid
+        self.key_of[pid] = k
+        self.refs[pid] = 1
+
+    def match(self, tokens, page_size: int) -> list[int]:
+        """Longest registered chain of full pages covering a strict prefix
+        of `tokens` (at least one token is always left to prefill, so the
+        borrower never writes into a shared page). Takes references."""
+        limit = (len(tokens) - 1) // page_size
+        best: list[int] = []
+        for m in range(limit, 0, -1):
+            pid = self.by_key.get(self.key(tokens, m * page_size))
+            if pid is None:
+                continue
+            chain = [pid]
+            ok = True
+            for j in range(m - 1, 0, -1):
+                p = self.by_key.get(self.key(tokens, j * page_size))
+                if p is None:
+                    ok = False
+                    break
+                chain.append(p)
+            if ok:
+                best = chain[::-1]
+                break
+        for pid in best:
+            self.acquire(pid)
+        return best
+
+    def acquire(self, pid: int) -> None:
+        self.refs[pid] += 1
+        self.lru.pop(pid, None)
+
+    def dec(self, pid: int) -> None:
+        """Drop one reference; at zero the page becomes evictable but stays
+        cached until the allocator needs it."""
+        self.refs[pid] -= 1
+        if self.refs[pid] == 0:
+            self.lru[pid] = None
+
+    def evict(self, n: int) -> list[int]:
+        """Drop up to n least-recently-released refcount-0 pages from the
+        cache, returning them for the free list."""
+        out = []
+        while self.lru and len(out) < n:
+            pid = next(iter(self.lru))
+            del self.lru[pid]
+            del self.by_key[self.key_of.pop(pid)]
+            del self.refs[pid]
+            out.append(pid)
+        return out
+
+    @property
+    def evictable(self) -> int:
+        return len(self.lru)
+
+
 def _paged_online_pass(
     spec: ModelSpec,
     qf: jnp.ndarray,  # [B, T, Hkv, rep, D] f32
@@ -388,9 +486,11 @@ class PagedEngine(Engine):
         kv_dtype=jnp.bfloat16,
         n_batch: int = 64,
         mesh=None,
+        prefix_cache: bool = False,
     ):
         self.page_size = page_size
         self._n_pages_requested = n_pages
+        self.prefix_cache = PrefixCache() if prefix_cache else None
         super().__init__(model, max_streams, kv_dtype, n_batch, mesh=mesh)
 
     def _init_device_state(self, kv_dtype, mesh) -> None:
@@ -433,19 +533,68 @@ class PagedEngine(Engine):
 
     # -- paging -------------------------------------------------------------
 
+    def _alloc(self, n: int = 1) -> list[int]:
+        """Allocate from the free list, evicting refcount-0 prefix-cache
+        pages under pressure."""
+        if self.prefix_cache is not None:
+            short = n - self.allocator.available
+            if short > 0:
+                self.allocator.release(self.prefix_cache.evict(short))
+        return self.allocator.alloc(n)
+
     def _ensure_pages(self, slot: int, upto_logical: int) -> None:
         """Allocate pages so logical positions [0, upto_logical] are backed."""
         need = upto_logical // self.page_size
         for j in range(need + 1):
             if self.tables[slot, j] == PageAllocator.TRASH:
-                (p,) = self.allocator.alloc(1)
+                (p,) = self._alloc(1)
                 self.tables[slot, j] = p
                 self.stream_pages[slot].append(p)
 
     def _on_slot_released(self, slot: int) -> None:
-        self.allocator.release(self.stream_pages[slot])
+        cache = self.prefix_cache
+        if cache is None:
+            self.allocator.release(self.stream_pages[slot])
+        else:
+            # registered pages (owned-and-published or borrowed) drop one
+            # reference and stay cached; unregistered owned pages free
+            for pid in {int(p) for p in self.tables[slot]}:
+                if pid == PageAllocator.TRASH:
+                    continue
+                if pid in cache.refs:
+                    cache.dec(pid)
+                else:
+                    self.allocator.release([pid])
         self.stream_pages[slot] = []
         self.tables[slot, :] = PageAllocator.TRASH
+
+    def _begin_prefill(self, stream, slot: int) -> None:
+        super()._begin_prefill(stream, slot)
+        cache = self.prefix_cache
+        if cache is None:
+            return
+        chain = cache.match(stream.prefill_queue, self.page_size)
+        if not chain:
+            return
+        for j, pid in enumerate(chain):
+            self.tables[slot, j] = pid
+        # prefill resumes at the matched boundary; >=1 token remains (match
+        # covers a strict prefix), so last_logits still comes from a real
+        # forward over this stream's tail
+        stream.prefill_pos = len(chain) * self.page_size
+        stream.n_past = stream.prefill_pos
+
+    def _register_prompt_pages(self, stream, slot: int) -> None:
+        """Publish this stream's freshly-filled FULL prompt pages (their
+        covering token prefix is final once written)."""
+        cache = self.prefix_cache
+        if cache is None:
+            return
+        toks = stream.prefill_queue
+        for j in range(stream.prefill_pos // self.page_size):
+            pid = int(self.tables[slot, j])
+            if pid != PageAllocator.TRASH:
+                cache.register(toks, j, self.page_size, pid)
 
     def _window_pages(self, extra: int = 1) -> int:
         max_past = max(
@@ -480,6 +629,7 @@ class PagedEngine(Engine):
         stream.prefill_pos = pos + len(chunk)
         stream.n_past = stream.prefill_pos
         stream.last_logits = np.asarray(logits)[0, len(chunk) - 1]
+        self._register_prompt_pages(stream, slot)
         if stream.prefill_pos >= len(toks):
             stream.prefilling = False
 
@@ -548,7 +698,10 @@ class PagedEngine(Engine):
                     if self.tables[slot, j] != PageAllocator.TRASH
                 )
                 need += last // self.page_size + 1 - have
-            if need <= self.allocator.available:
+            avail = self.allocator.available + (
+                self.prefix_cache.evictable if self.prefix_cache else 0
+            )
+            if need <= avail:
                 break
             n_steps //= 2
         else:

@@ -658,11 +658,13 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                   kv_dtype=None, n_batch=64, paged=False, page_size=256,
                   n_pages=None, multi_step=0, warmup=True,
                   draft=None, draft_k=4, multihost=False,
-                  model_parallel=None) -> None:
+                  model_parallel=None, prefix_cache=False) -> None:
     """CLI entry: build the engine and serve until interrupted."""
     import jax.numpy as jnp
 
     kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
+    if prefix_cache and (multihost or not paged):
+        raise ValueError("--prefix-cache requires --paged (single-host)")
     if multihost:
         # one server (and port) per host process over the global mesh;
         # max_streams counts GLOBAL slots (split evenly across hosts)
@@ -693,7 +695,8 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
         kwargs = {} if n_pages is None else {"n_pages": n_pages}
         engine = PagedEngine(model, max_streams=max_streams,
                              kv_dtype=kv_dtype, page_size=page_size,
-                             n_batch=n_batch, **kwargs)
+                             n_batch=n_batch, prefix_cache=prefix_cache,
+                             **kwargs)
     else:
         engine = Engine(model, max_streams=max_streams, kv_dtype=kv_dtype,
                         n_batch=n_batch)

@@ -1,0 +1,203 @@
+"""Prompt-prefix KV reuse at page granularity (PagedEngine prefix_cache).
+
+Correctness oracle: outputs must equal the non-cached engine exactly (the
+borrowed pages hold bit-identical KV — position-dependent terms are
+functions of absolute position, which matches by construction)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.paged import PageAllocator, PagedEngine, PrefixCache
+from llm_tpu.samplers import DeterministicSampler
+from llm_tpu.serve import GenerationRequest
+from llm_tpu.testing import make_tiny_file
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("pc") / "llama.bin"
+    make_tiny_file("llama", path)
+    return load(path, "llama", params=ModelParameters(context_size=64))
+
+
+PROMPT = "".join(f"<t{i}>" for i in range(2, 21))  # 19 toks + BOS = 20
+
+
+def _run(engine, prompts, n=6):
+    texts = engine.generate_all(
+        [
+            GenerationRequest(
+                prompt=p, max_tokens=n, sampler=DeterministicSampler()
+            )
+            for p in prompts
+        ]
+    )
+    return [texts[i] for i in sorted(texts)]
+
+
+def _count_prefill_chunks(engine):
+    calls = []
+    orig = engine._prefill_chunk
+
+    def counting(stream, slot):
+        calls.append(stream.prefill_pos)
+        return orig(stream, slot)
+
+    engine._prefill_chunk = counting
+    return calls
+
+
+def test_prefix_reuse_exact_and_skips_prefill(model):
+    ref = _run(
+        PagedEngine(model, max_streams=1, page_size=8, kv_dtype=jnp.float32),
+        [PROMPT],
+    )[0]
+
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype=jnp.float32,
+        n_batch=8, prefix_cache=True,
+    )
+    calls = _count_prefill_chunks(engine)
+    first = _run(engine, [PROMPT])[0]
+    assert first == ref
+    cold_chunks = len(calls)
+    assert cold_chunks >= 3  # 20 tokens / n_batch 8
+
+    # 20-token prompt, page 8: pages 0 and 1 are full and now cached
+    assert engine.prefix_cache.evictable == 2
+
+    calls.clear()
+    second = _run(engine, [PROMPT])[0]
+    assert second == ref
+    # warm start: prefill resumed at the 2-page boundary (position 16)
+    assert len(calls) < cold_chunks
+    assert calls[0] == 16
+
+
+def test_prefix_reuse_concurrent_with_other_streams(model):
+    prompts = [PROMPT, "<t9><t4><t5>", PROMPT]
+    base = PagedEngine(
+        model, max_streams=3, page_size=8, kv_dtype=jnp.float32
+    )
+    refs = _run(base, prompts)
+
+    engine = PagedEngine(
+        model, max_streams=3, page_size=8, kv_dtype=jnp.float32,
+        prefix_cache=True,
+    )
+    # warm the cache, then run the mixed batch
+    _run(engine, [PROMPT])
+    assert _run(engine, prompts) == refs
+
+
+def test_prefix_cache_eviction_under_pressure(model):
+    """A pool too small to keep cached pages around must evict them for new
+    allocations instead of reporting OOM, and stay correct."""
+    prompts = [
+        "".join(f"<t{i}>" for i in range(start, start + 19))
+        for start in (2, 30, 60)
+    ]
+    refs = [
+        _run(
+            PagedEngine(model, max_streams=1, page_size=8,
+                        kv_dtype=jnp.float32),
+            [p],
+        )[0]
+        for p in prompts
+    ]
+    # 1 stream needs ceil(64/8)=8 pages worst case; give 9 (8 usable): the
+    # cache from one request must be evicted to serve the next
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, n_pages=9, kv_dtype=jnp.float32,
+        prefix_cache=True,
+    )
+    for p, r in zip(prompts, refs):
+        assert _run(engine, [p])[0] == r
+
+
+def test_prefix_cache_int8_pool(model):
+    """int8 pools share the scale planes through the same page ids."""
+    engine_cold = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype="int8"
+    )
+    ref = _run(engine_cold, [PROMPT])[0]
+
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype="int8",
+        prefix_cache=True,
+    )
+    assert _run(engine, [PROMPT])[0] == ref
+    assert _run(engine, [PROMPT])[0] == ref
+
+
+def test_prefix_cache_refcounts_balance(model):
+    engine = PagedEngine(
+        model, max_streams=2, page_size=8, kv_dtype=jnp.float32,
+        prefix_cache=True,
+    )
+    _run(engine, [PROMPT, PROMPT])
+    cache = engine.prefix_cache
+    # every registered page is back to refcount 0 and evictable
+    assert all(v == 0 for v in cache.refs.values())
+    assert cache.evictable == len(cache.refs)
+    # and pool accounting is consistent: free + cached = all real pages
+    assert (
+        engine.allocator.available + cache.evictable
+        == engine.pool.n_pages - 1
+    )
+
+
+def test_prefix_cache_step_multi(model):
+    """Borrowed pages compose with the on-device multi-step decode path."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    def run(engine):
+        texts = engine.generate_all(
+            [
+                GenerationRequest(
+                    prompt=PROMPT, max_tokens=6,
+                    sampler=DeterministicSampler(),
+                    device_sampler=DeviceSampler.greedy(),
+                )
+            ],
+            n_steps=4,
+        )
+        return texts[min(texts)]
+
+    ref = run(
+        PagedEngine(model, max_streams=1, page_size=8, kv_dtype=jnp.float32)
+    )
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype=jnp.float32,
+        prefix_cache=True,
+    )
+    assert run(engine) == ref
+    assert run(engine) == ref
+
+
+def test_prefix_cache_unit():
+    c = PrefixCache()
+    toks = list(range(1, 40))
+    c.register(toks, 0, 8, 5)
+    c.register(toks, 1, 8, 6)
+    # strict-prefix cap: a 9-token prompt can only borrow page 0 (one token
+    # must remain to prefill); 17 tokens reach both pages
+    assert c.match(toks[:9], 8) == [5]
+    c.dec(5)
+    assert c.match(toks[:17], 8) == [5, 6]
+    c.dec(5)
+    c.dec(6)
+    # duplicate registration of a taken key is a no-op
+    c.register(toks, 0, 8, 9)
+    assert c.by_key[PrefixCache.key(toks, 8)] == 5
+    # divergent prompt: no match
+    other = [99] + toks[1:]
+    assert c.match(other, 8) == []
+    # eviction order is release order
+    assert c.refs == {5: 1, 6: 1}
+    c.dec(5)
+    c.dec(6)
+    assert c.evict(1) == [5]
+    assert c.match(toks, 8) == []  # chain broken at page 0
