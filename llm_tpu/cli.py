@@ -410,6 +410,29 @@ def cmd_perplexity(args) -> None:
     )
 
 
+def cmd_pack(args) -> None:
+    """Build the packed device planes once and cache them on disk; later
+    `load()`s of the same file skip the transcode (models/pack_cache.py)."""
+    import time as _time
+
+    from llm_tpu.models.pack_cache import (
+        cache_key, pack_path, save_packed_params,
+    )
+
+    t0 = _time.monotonic()
+    model = load_model(args)
+    pp = pack_path(args.model_path)
+    save_packed_params(
+        model.params, pp,
+        cache_key(args.model_path, n_gqa=getattr(args, "n_gqa", None)),
+    )
+    print(
+        f"packed {args.model_path} -> {pp} "
+        f"in {_time.monotonic() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+
 def cmd_info(args) -> None:
     from llm_tpu.ggml.reader import GgmlReader
     from llm_tpu.models.spec import get_arch
@@ -696,6 +719,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--tensors", action="store_true")
     p.add_argument("-k", "--tokenizer", action="store_true")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "pack",
+        help="write a pre-packed plane cache next to the checkpoint so "
+        "later loads skip the block transcode (TPU extension)",
+    )
+    add_model_args(p)
+    add_load_args(p)
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("prompt-tokens", help="print the token ids of a prompt")
     add_model_args(p)

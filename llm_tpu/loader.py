@@ -256,8 +256,26 @@ def load(
     def tensor_progress(name: str, current: int, total: int) -> None:
         progress(LoadProgress("tensor_loaded", current=current, total=total))
 
-    ws = WeightSource(reader, progress=tensor_progress, lora_adapters=lora_adapters)
-    device_params = build_params(ws, spec)
+    # pre-packed plane cache (cli `pack`): skip transcode when a valid
+    # cache sits next to the file; LoRA loads bypass it (patched planes)
+    device_params = None
+    if not lora_adapters:
+        from llm_tpu.models.pack_cache import (
+            cache_key,
+            load_packed_params,
+            pack_path,
+        )
+
+        pp = pack_path(path)
+        if pp.exists():
+            device_params = load_packed_params(
+                pp, cache_key(path, n_gqa=params.n_gqa)
+            )
+    if device_params is None:
+        ws = WeightSource(
+            reader, progress=tensor_progress, lora_adapters=lora_adapters
+        )
+        device_params = build_params(ws, spec)
 
     progress(LoadProgress("loaded", byte_size=total_bytes))
     del start

@@ -1,0 +1,143 @@
+"""Pre-packed checkpoint cache: skip transcode on repeat loads.
+
+`load()` spends most of its time decoding GGML blocks and re-packing them
+into the kernel's K-major device planes (native/codecs.cpp + ops/packing) —
+~40 s for a 7B checkpoint. The result is a pure function of (file, packing
+knobs), so it can be written to disk ONCE and subsequent loads become
+read + host->HBM transfer.
+
+On-disk layout (`<model>.tpupack/` next to the checkpoint):
+
+    manifest.json   version, validity key, recursive tree spec
+    a<NNN>.npy      one per array leaf (np.save; mmap-read on load, so
+                    bytes stream file -> page cache -> device without an
+                    intermediate full-host copy)
+
+The validity key ties the cache to the source file (size + mtime) and every
+knob that changes the packed layout (scale packing, launch fusion, GQA
+regrouping). A mismatched or corrupt cache is ignored, never trusted.
+LoRA-patched loads bypass the cache entirely (patched planes differ).
+
+No reference analog: ggml mmaps its own container directly
+(/root/reference/crates/llm-base/src/loader.rs:487) because its compute
+format IS the file format; the TPU planes are not, so the cache is the
+TPU-native way to get the same load-time economics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import fields
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from llm_tpu.models.params import LayerParams, ModelParams
+from llm_tpu.ops.packing import QuantTensor
+
+VERSION = 1
+_NODE_TYPES = {"ModelParams": ModelParams, "LayerParams": LayerParams}
+
+
+def pack_path(model_path) -> Path:
+    p = Path(model_path)
+    return p.with_name(p.name + ".tpupack")
+
+
+def cache_key(model_path, n_gqa=None) -> dict:
+    st = os.stat(model_path)
+    return {
+        "version": VERSION,
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "scale_pack": os.environ.get("LLM_TPU_SCALE_PACK", ""),
+        "fuse": os.environ.get("LLM_TPU_FUSE", "0"),
+        "n_gqa": n_gqa,
+    }
+
+
+def _save_node(obj, arrays: list, counter: list) -> dict:
+    if obj is None:
+        return {"t": "none"}
+    if isinstance(obj, QuantTensor):
+        return {
+            "t": "quant",
+            "fmt": obj.fmt_name,
+            "k": obj.k,
+            "r": obj.r,
+            "splits": obj.splits,
+            "planes": {
+                n: _save_node(getattr(obj, n), arrays, counter)
+                for n in ("lo", "hi", "scale", "bias")
+            },
+        }
+    if isinstance(obj, (ModelParams, LayerParams)):
+        return {
+            "t": type(obj).__name__,
+            "fields": {
+                f.name: _save_node(getattr(obj, f.name), arrays, counter)
+                for f in fields(obj)
+            },
+        }
+    # array leaf; bfloat16 has no numpy wire format, store its bits
+    a = np.asarray(obj)
+    spec = {"t": "array", "file": f"a{counter[0]:03d}.npy"}
+    counter[0] += 1
+    if a.dtype == jnp.bfloat16:
+        spec["view"] = "bfloat16"
+        a = a.view(np.uint16)
+    arrays.append((spec["file"], a))
+    return spec
+
+
+def _load_node(spec: dict, base: Path):
+    t = spec["t"]
+    if t == "none":
+        return None
+    if t == "array":
+        a = np.load(base / spec["file"], mmap_mode="r")
+        if spec.get("view") == "bfloat16":
+            a = a.view(jnp.bfloat16)
+        return jnp.asarray(a)
+    if t == "quant":
+        planes = {
+            n: _load_node(s, base) for n, s in spec["planes"].items()
+        }
+        splits = spec["splits"]
+        if splits is not None:
+            splits = tuple(tuple(s) for s in splits)
+        return QuantTensor(spec["fmt"], spec["k"], spec["r"],
+                           splits=splits, **planes)
+    cls = _NODE_TYPES[t]
+    return cls(**{n: _load_node(s, base) for n, s in spec["fields"].items()})
+
+
+def save_packed_params(params: ModelParams, path, key: dict) -> None:
+    """Write the packed parameter pytree to `path` (a .tpupack dir)."""
+    base = Path(path)
+    base.mkdir(parents=True, exist_ok=True)
+    arrays: list = []
+    tree = _save_node(params, arrays, [0])
+    for fname, a in arrays:
+        np.save(base / fname, a)
+    manifest = {"version": VERSION, "key": key, "tree": tree}
+    tmp = base / "manifest.json.tmp"
+    tmp.write_text(json.dumps(manifest))
+    tmp.replace(base / "manifest.json")  # atomic: readers see all-or-nothing
+
+
+def load_packed_params(path, expected_key: dict) -> Optional[ModelParams]:
+    """Load the cache if present AND its key matches; None otherwise."""
+    base = Path(path)
+    try:
+        manifest = json.loads((base / "manifest.json").read_text())
+        if manifest.get("version") != VERSION:
+            return None
+        if manifest.get("key") != expected_key:
+            return None
+        return _load_node(manifest["tree"], base)
+    except (OSError, ValueError, KeyError):
+        return None
