@@ -23,6 +23,8 @@ written to BENCH_MATRIX.json, and the headline line is re-printed last.
 
 Metrics:
   llama7b_q4_0_load          seconds, full loader path at 7B scale
+  llama7b_q4_0_load_packed   seconds, repeat load via the plane cache
+                             (cli pack; vs_baseline = fraction of cold)
   llama7b_q4_0_decode        tokens/s/chip vs measured roofline  [headline]
   llama7b_q4_0_prefill_512   prompt tokens/s at chunk 512
   llama7b_q4_0_prefill_8kctx_512   prefill at n_past 7168 of an 8K window
@@ -366,8 +368,10 @@ def ensure_checkpoint() -> str:
 def load_model():
     from llm_tpu.loader import ModelParameters, load
 
-    t0 = time.time()
+    os.environ["LLM_TPU_PACK_CACHE"] = "0"  # time the COLD path even if a
+    t0 = time.time()  # plane cache from a previous bench run sits in /tmp
     model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
+    os.environ.pop("LLM_TPU_PACK_CACHE", None)
     jax.block_until_ready(model.params.layers.wq.lo)
     load_s = time.time() - t0
     size_gb = os.path.getsize(CKPT) / 1e9
@@ -591,6 +595,45 @@ def paged_serve_bench(model, decode_rec):
     )
 
 
+@_section("load-packed")
+def load_packed_bench(load_rec):
+    """Repeat-load economics via the plane cache (cli pack): the packed
+    pytree mmap-streams from disk straight to HBM, skipping container
+    parse + native transcode. Runs with the first model freed so HBM holds
+    only one copy of the 3.9 GB planes."""
+    from llm_tpu.loader import ModelParameters, load
+    from llm_tpu.models.pack_cache import (
+        cache_key, pack_path, save_packed_params,
+    )
+
+    pp = pack_path(CKPT)
+    if not (pp / "manifest.json").exists():
+        note("writing plane cache (~3.9 GB)")
+        import shutil
+
+        free = shutil.disk_usage("/tmp").free
+        if free < 6e9:
+            note(f"skipping: only {free/1e9:.1f} GB free in /tmp")
+            return None
+        t0 = time.time()
+        model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
+        save_packed_params(model.params, pp, cache_key(CKPT))
+        note(f"pack written in {time.time() - t0:.0f}s")
+        del model
+        gc.collect()
+    t0 = time.time()
+    model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
+    jax.block_until_ready(model.params.layers.wq.lo)
+    packed_s = time.time() - t0
+    cold_s = load_rec["value"] if load_rec else 0.0
+    del model
+    gc.collect()
+    return emit(
+        "llama7b_q4_0_load_packed", packed_s, "seconds",
+        packed_s / cold_s if cold_s else 0.0,  # fraction of the cold load
+    )
+
+
 @_section("paged-mpt")
 def paged_mpt_bench(roofline_bw):
     """Staged config #4: MPT-7B geometry, Q4_K, ALiBi, 8K context, int8
@@ -777,6 +820,11 @@ def main() -> None:
 
     # free the llama weights before the 7B-scale MPT section
     del model
+    gc.collect()
+
+    load_packed_bench(next(
+        (r for r in _MATRIX if r["metric"] == "llama7b_q4_0_load"), None
+    ))
     gc.collect()
 
     paged_mpt_bench(roofline_bw)

@@ -257,9 +257,12 @@ def load(
         progress(LoadProgress("tensor_loaded", current=current, total=total))
 
     # pre-packed plane cache (cli `pack`): skip transcode when a valid
-    # cache sits next to the file; LoRA loads bypass it (patched planes)
+    # cache sits next to the file; LoRA loads bypass it (patched planes);
+    # LLM_TPU_PACK_CACHE=0 disables (e.g. to time the cold path)
+    import os as _os
+
     device_params = None
-    if not lora_adapters:
+    if not lora_adapters and _os.environ.get("LLM_TPU_PACK_CACHE") != "0":
         from llm_tpu.models.pack_cache import (
             cache_key,
             load_packed_params,
