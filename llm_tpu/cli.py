@@ -92,7 +92,7 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
                    help="accepted for parity; compute always runs on the TPU")
     g.add_argument("--device-sampling", action="store_true",
                    help="sample on the TPU, decoding N tokens per dispatch "
-                        "(greedy, or temperature/top-k from -s); 2x+ faster "
+                        "(greedy, or temperature/top-k/top-p from -s); 2x+ faster "
                         "decode, but mirostat/repetition samplers need the "
                         "host path")
     g.add_argument("--decode-steps", type=int, default=32,
@@ -324,7 +324,7 @@ def cmd_infer(args) -> None:
         from llm_tpu.tokenizer import TokenBias
 
         # map basic sampler DSL options onto the device sampler
-        temp, topk = None, 0
+        temp, topk, topp = None, 0, 1.0
         for opt in args.sampler_options:
             name, _, rest = opt.partition(":")
             key = name.strip().lower().replace("-", "").replace("_", "")
@@ -332,6 +332,8 @@ def cmd_infer(args) -> None:
                 temp = float(rest.split("=")[-1] or rest)
             elif key == "topk":
                 topk = int(rest.split("=")[-1] or rest)
+            elif key == "topp":
+                topp = float(rest.split("=")[-1] or rest)
         # --token-bias / --ignore-eos ride the DeviceSampler's flat bias,
         # same precedence as the host chain (inference_parameters above)
         if args.token_bias:
@@ -344,12 +346,12 @@ def cmd_infer(args) -> None:
         halt_on_eot = not any(
             t == eot and b == float("-inf") for t, b in dev_bias
         )
-        if temp is None and topk == 0:
+        if temp is None and topk == 0 and topp >= 1.0:
             sampler = DeviceSampler(kind="greedy", bias=dev_bias)
         else:
             sampler = DeviceSampler(
                 kind="sample", temperature=temp or 0.8, top_k=topk,
-                bias=dev_bias,
+                top_p=topp, bias=dev_bias,
             )
         try:
             stats = sess.infer_device(
@@ -793,7 +795,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi-step", type=int, default=0,
                    help="decode N tokens per device dispatch when every "
                    "active request's sampling is device-expressible "
-                   "(greedy / temperature / top-k)")
+                   "(greedy / temperature / top-k / top-p)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile warm-up request")
     p.add_argument("--draft-model", default=None,

@@ -6,9 +6,16 @@ device-side samplers let `decode_loop` (models/forward.py) generate N tokens
 per dispatch — the full host sampler chain remains available for anything
 the device path doesn't cover (mirostat, repetition windows, DSL chains).
 
-Covered on device: greedy, temperature, top-k, flat bias — via the Gumbel
-trick (argmax(logits/T + G) ~ softmax(logits/T) sampling), which avoids a
-full-vocab sort.
+Covered on device: greedy, temperature, top-k, top-p, flat bias — via the
+Gumbel trick (argmax(logits/T + G) ~ softmax(logits/T) sampling), which
+avoids a full-vocab sort. Top-p avoids the sort too: the nucleus cutoff
+(the smallest probability kept) is found by bisection on the probability
+value — `mass(c) = sum of probs >= c` is monotone in c, so ~24 masked-sum
+iterations pin the cutoff to f32 precision without ordering the vocab
+(a [B, V] sort per step is the expensive part of textbook top-p; masked
+sums are one VPU pass each). Truncation order matches the host chain
+(samplers.rs default chain): top-k, then top-p on the softmax of the
+top-k-truncated logits, then temperature.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ class DeviceSampler:
     kind: str = "greedy"  # "greedy" | "sample"
     temperature: float = 0.8
     top_k: int = 0  # 0 = no top-k truncation
+    top_p: float = 1.0  # 1.0 = no nucleus truncation
     bias: Tuple[Tuple[int, float], ...] = ()  # (token_id, additive bias)
 
     @classmethod
@@ -49,6 +57,7 @@ class BatchedDeviceSampler:
     sample: bool  # any stream non-greedy (temperature/top-k path traced in)
     top_k_max: int  # static k for lax.top_k; per-stream k <= this
     bias_tokens: Tuple[int, ...] = ()  # union of biased token ids
+    any_top_p: bool = False  # any stream with top_p < 1 (cutoff pass traced)
 
 
 def batched_sampler(samplers, n_slots: int):
@@ -64,8 +73,13 @@ def batched_sampler(samplers, n_slots: int):
     bias_tokens = tuple(
         sorted({t for s in samplers if s is not None for t, _ in s.bias})
     )
+    any_top_p = any(
+        s is not None and s.kind == "sample" and s.top_p < 1.0
+        for s in samplers
+    )
     temps = np.zeros(n_slots, np.float32)  # 0 = greedy
     ks = np.zeros(n_slots, np.int32)
+    ps = np.ones(n_slots, np.float32)  # 1 = no nucleus truncation
     bias = np.zeros((n_slots, len(bias_tokens)), np.float32)
     tix = {t: i for i, t in enumerate(bias_tokens)}
     for i, s in enumerate(samplers):
@@ -74,17 +88,44 @@ def batched_sampler(samplers, n_slots: int):
         if s.kind == "sample":
             temps[i] = s.temperature
             ks[i] = s.top_k
+            ps[i] = s.top_p
         for t, b in s.bias:
             bias[i, tix[t]] = b
     cfg = BatchedDeviceSampler(
-        sample=sample, top_k_max=top_k_max, bias_tokens=bias_tokens
+        sample=sample, top_k_max=top_k_max, bias_tokens=bias_tokens,
+        any_top_p=any_top_p,
     )
     values = {
         "temperature": jnp.asarray(temps),
         "top_k": jnp.asarray(ks),
+        "top_p": jnp.asarray(ps),
         "bias": jnp.asarray(bias),
     }
     return cfg, values
+
+
+def _top_p_truncate(x, p, iters: int = 24):
+    """Nucleus truncation without a vocab sort: bisect the probability
+    cutoff c — mass(c) = sum of probs >= c is monotone decreasing in c, so
+    the largest c with mass(c) >= p is pinned to f32 precision in `iters`
+    masked sums. Kept set = the smallest top-probability set with mass
+    >= p (ties at the boundary included, like sort-based top-p). `p` may
+    be a scalar or per-row [B]; rows with p >= 1 keep everything (the
+    bisection leaves their cutoff at 0)."""
+    probs = jax.nn.softmax(x, axis=-1)  # -inf lanes -> 0
+    p = jnp.broadcast_to(jnp.asarray(p, jnp.float32), x.shape[:-1])
+    lo = jnp.zeros(x.shape[:-1], jnp.float32)
+    hi = jnp.max(probs, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        mass = jnp.sum(jnp.where(probs >= mid[..., None], probs, 0.0), -1)
+        ok = mass >= p  # mid keeps enough mass -> cutoff can rise
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return jnp.where(probs >= lo[..., None], x, -jnp.inf)
 
 
 def device_sample(
@@ -102,10 +143,15 @@ def device_sample(
     if cfg.kind == "greedy":
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    x = logits / jnp.maximum(cfg.temperature, 1e-6)
+    # truncations on the raw (biased) logits, then temperature — the host
+    # chain's order (topk -> topp -> temperature, samplers.rs:75-188)
+    x = logits
     if cfg.top_k > 0 and cfg.top_k < logits.shape[-1]:
         kth = jax.lax.top_k(x, cfg.top_k)[0][..., -1:]
         x = jnp.where(x < kth, -jnp.inf, x)
+    if cfg.top_p < 1.0:
+        x = _top_p_truncate(x, cfg.top_p)
+    x = x / jnp.maximum(cfg.temperature, 1e-6)
     gumbel = -jnp.log(
         -jnp.log(jax.random.uniform(key, x.shape, minval=1e-20, maxval=1.0))
     )
@@ -123,7 +169,7 @@ def _device_sample_batched(logits, key, cfg: BatchedDeviceSampler, values):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     t = values["temperature"][:, None]  # [B, 1]
-    x = logits / jnp.maximum(t, 1e-6)
+    x = logits
     if cfg.top_k_max > 0 and cfg.top_k_max < V:
         k = values["top_k"]  # [B]
         vals = jax.lax.top_k(x, cfg.top_k_max)[0]  # [B, k_max] descending
@@ -131,6 +177,9 @@ def _device_sample_batched(logits, key, cfg: BatchedDeviceSampler, values):
         kth = jnp.take_along_axis(vals, idx[:, None], axis=1)  # [B, 1]
         kth = jnp.where(k[:, None] > 0, kth, -jnp.inf)
         x = jnp.where(x < kth, -jnp.inf, x)
+    if cfg.any_top_p:
+        x = _top_p_truncate(x, values["top_p"])
+    x = x / jnp.maximum(t, 1e-6)
     gumbel = -jnp.log(
         -jnp.log(jax.random.uniform(key, x.shape, minval=1e-20, maxval=1.0))
     )

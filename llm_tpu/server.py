@@ -82,12 +82,12 @@ def sampler_from_params(params: dict, n_vocab: int = 0):
 
 def device_sampler_from_params(params: dict):
     """A DeviceSampler for requests expressible on device (greedy, or
-    temperature with optional top-k) — lets a multi-step server decode
-    whole blocks per dispatch. None when the request needs the host chain
-    (top-p, penalties, explicit DSL, or the full default chain)."""
+    temperature with optional top-k / top-p) — lets a multi-step server
+    decode whole blocks per dispatch. None when the request needs the host
+    chain (penalties, explicit DSL, or the full default chain)."""
     from llm_tpu.ops.sampling import DeviceSampler
 
-    blockers = ("sampler", "top_p", "min_p", "repeat_penalty",
+    blockers = ("sampler", "min_p", "repeat_penalty",
                 "frequency_penalty", "presence_penalty", "logprobs")
     if any(params.get(k) is not None for k in blockers):
         return None
@@ -97,7 +97,8 @@ def device_sampler_from_params(params: dict):
     if float(temp) <= 0.0:
         return DeviceSampler.greedy()
     return DeviceSampler(kind="sample", temperature=float(temp),
-                         top_k=int(params.get("top_k") or 0))
+                         top_k=int(params.get("top_k") or 0),
+                         top_p=float(params.get("top_p") or 1.0))
 
 
 DEFAULT_CHAT_TEMPLATE = {

@@ -141,3 +141,108 @@ def test_engine_step_multi_heterogeneous_samplers(model):
     )
     assert texts[0] == ref
     assert len(texts[1]) > 0
+
+
+def _nucleus(row: np.ndarray, p: float) -> set:
+    """Sort-based top-p reference: smallest top set with mass >= p (ties at
+    the boundary value included, matching the bisection kernel)."""
+    probs = np.exp(row - row.max())
+    probs /= probs.sum()
+    order = np.argsort(probs)[::-1]
+    csum = np.cumsum(probs[order])
+    n = int(np.searchsorted(csum, p) + 1)
+    cutoff = probs[order[n - 1]]
+    return set(np.nonzero(probs >= cutoff)[0])
+
+
+def test_top_p_truncate_matches_sorted_reference():
+    """Bisection cutoff == sort-based nucleus across random rows/ps."""
+    from llm_tpu.ops.sampling import _top_p_truncate
+
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(16, 257)).astype(np.float32) * 3
+    for p in (0.1, 0.5, 0.9, 0.99):
+        out = np.asarray(_top_p_truncate(jnp.asarray(logits), p))
+        for b in range(16):
+            kept = set(np.nonzero(np.isfinite(out[b]))[0])
+            assert kept == _nucleus(logits[b], p), (b, p)
+
+
+def test_top_p_one_keeps_all():
+    from llm_tpu.ops.sampling import _top_p_truncate
+
+    logits = jnp.asarray(np.random.default_rng(2).normal(size=(3, 64)),
+                         jnp.float32)
+    out = np.asarray(_top_p_truncate(logits, 1.0))
+    assert np.isfinite(out).all()
+
+
+def test_device_sampler_top_p_stays_in_nucleus():
+    import jax
+
+    from llm_tpu.ops.sampling import device_sample
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(50,)), jnp.float32)
+    cfg = DeviceSampler(kind="sample", temperature=1.3, top_p=0.6)
+    allowed = _nucleus(np.asarray(logits), 0.6)
+    assert 1 < len(allowed) < 50  # the test is vacuous otherwise
+    seen = set()
+    for seed in range(40):
+        tok = int(device_sample(logits, jax.random.PRNGKey(seed), cfg))
+        assert tok in allowed
+        seen.add(tok)
+    assert len(seen) > 1  # actually sampling, not collapsed to argmax
+
+
+def test_batched_sampler_per_stream_top_p():
+    import jax
+
+    from llm_tpu.ops.sampling import batched_sampler, device_sample
+
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(size=(3, 80)) * 2, jnp.float32)
+    samplers = [
+        DeviceSampler.greedy(),
+        DeviceSampler(kind="sample", temperature=1.0, top_p=0.3),
+        DeviceSampler(kind="sample", temperature=1.0, top_k=7, top_p=0.95),
+    ]
+    cfg, values = batched_sampler(samplers, 3)
+    assert cfg.any_top_p
+    row1 = _nucleus(np.asarray(logits)[1], 0.3)
+    # top-k then top-p: nucleus computed within the top-7 set
+    r2 = np.asarray(logits)[2]
+    top7 = np.argsort(r2)[-7:]
+    masked = np.full_like(r2, -np.inf)
+    masked[top7] = r2[top7]
+    row2 = _nucleus(masked, 0.95)
+    for seed in range(30):
+        toks = np.asarray(
+            device_sample(logits, jax.random.PRNGKey(seed), cfg, values)
+        )
+        assert toks[0] == int(np.argmax(np.asarray(logits)[0]))
+        assert int(toks[1]) in row1
+        assert int(toks[2]) in row2
+
+
+def test_engine_step_multi_top_p(model):
+    """A top-p request rides the multi-step on-device path end-to-end."""
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    ref = _host_greedy(model, "<t2><t3>", 8)[0]
+    texts = engine.generate_all(
+        [
+            GenerationRequest(
+                prompt="<t2><t3>", max_tokens=8,
+                device_sampler=DeviceSampler.greedy(),
+            ),
+            GenerationRequest(
+                prompt="<t7>", max_tokens=8, seed=1,
+                device_sampler=DeviceSampler(
+                    kind="sample", temperature=0.9, top_p=0.8
+                ),
+            ),
+        ],
+        n_steps=4,
+    )
+    assert texts[0] == ref
+    assert len(texts[1]) > 0
