@@ -92,9 +92,10 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
                    help="accepted for parity; compute always runs on the TPU")
     g.add_argument("--device-sampling", action="store_true",
                    help="sample on the TPU, decoding N tokens per dispatch "
-                        "(greedy, or temperature/top-k/top-p from -s); 2x+ faster "
-                        "decode, but mirostat/repetition samplers need the "
-                        "host path")
+                        "(greedy, or temperature/top-k/top-p/min-p/repetition/"
+                        "freqpresence from -s); 2x+ faster "
+                        "decode, but mirostat/tailfree/typical samplers "
+                        "need the host path")
     g.add_argument("--decode-steps", type=int, default=32,
                    help="tokens generated per dispatch with --device-sampling")
     g.add_argument("--draft-model", default=None,
@@ -324,16 +325,29 @@ def cmd_infer(args) -> None:
         from llm_tpu.tokenizer import TokenBias
 
         # map basic sampler DSL options onto the device sampler
-        temp, topk, topp = None, 0, 1.0
+        temp, topk, topp, minp = None, 0, 1.0, 0.0
+        rep, last_n, freq, pres = 1.0, 64, 0.0, 0.0
         for opt in args.sampler_options:
             name, _, rest = opt.partition(":")
             key = name.strip().lower().replace("-", "").replace("_", "")
+            kv = dict(
+                kvp.split("=", 1) for kvp in rest.split(":") if "=" in kvp
+            )
             if key == "temperature":
                 temp = float(rest.split("=")[-1] or rest)
             elif key == "topk":
                 topk = int(rest.split("=")[-1] or rest)
             elif key == "topp":
                 topp = float(rest.split("=")[-1] or rest)
+            elif key == "minp":
+                minp = float(rest.split("=")[-1] or rest)
+            elif key == "repetition":
+                rep = float(kv.get("penalty", 1.3))
+                last_n = int(kv.get("last_n", last_n))
+            elif key == "freqpresence":
+                freq = float(kv.get("frequency", 0.0))
+                pres = float(kv.get("presence", 0.0))
+                last_n = int(kv.get("last_n", last_n))
         # --token-bias / --ignore-eos ride the DeviceSampler's flat bias,
         # same precedence as the host chain (inference_parameters above)
         if args.token_bias:
@@ -346,12 +360,17 @@ def cmd_infer(args) -> None:
         halt_on_eot = not any(
             t == eot and b == float("-inf") for t, b in dev_bias
         )
-        if temp is None and topk == 0 and topp >= 1.0:
-            sampler = DeviceSampler(kind="greedy", bias=dev_bias)
+        penalties = dict(
+            repeat_penalty=rep, frequency_penalty=freq,
+            presence_penalty=pres, penalty_last_n=last_n,
+        )
+        if temp is None and topk == 0 and topp >= 1.0 and minp <= 0.0:
+            sampler = DeviceSampler(kind="greedy", bias=dev_bias,
+                                    **penalties)
         else:
             sampler = DeviceSampler(
                 kind="sample", temperature=temp or 0.8, top_k=topk,
-                top_p=topp, bias=dev_bias,
+                top_p=topp, min_p=minp, bias=dev_bias, **penalties,
             )
         try:
             stats = sess.infer_device(
@@ -795,7 +814,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi-step", type=int, default=0,
                    help="decode N tokens per device dispatch when every "
                    "active request's sampling is device-expressible "
-                   "(greedy / temperature / top-k / top-p)")
+                   "(greedy / temperature / top-k / top-p / min-p / penalties)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile warm-up request")
     p.add_argument("--draft-model", default=None,

@@ -541,6 +541,7 @@ def _decode_loop_jit(
     window: Optional[int] = None,
     sampler=None,  # ops.sampling.DeviceSampler (static); None = greedy
     key=None,
+    penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
 ):
     """Generate `n_steps` tokens fully on device (one dispatch).
 
@@ -555,21 +556,27 @@ def _decode_loop_jit(
     overshoot (stale cache beyond n_past is masked, so overshoot is safe).
     `window` must cover n_past + n_steps.
     """
-    from llm_tpu.ops.sampling import DeviceSampler, device_sample
+    from llm_tpu.ops.sampling import (
+        DeviceSampler,
+        device_sample,
+        update_penalty_state,
+    )
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
 
     def step(carry, _):
-        logits, npast, c, k = carry
+        logits, npast, c, k, pst = carry
         k, sub = jax.random.split(k)
-        tok = device_sample(logits, sub, sampler)
+        tok = device_sample(logits, sub, sampler, penalty_state=pst)
+        pst = update_penalty_state(pst, tok)
         new_logits, _, c = forward(spec, params, tok[None], npast, c, window)
-        return (new_logits[-1], npast + 1, c, k), tok
+        return (new_logits[-1], npast + 1, c, k, pst), tok
 
-    (logits, npast, cache, _), toks = lax.scan(
+    (logits, npast, cache, _, _), toks = lax.scan(
         step,
-        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key),
+        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
+         penalty_state),
         None,
         length=n_steps,
     )
@@ -577,10 +584,10 @@ def _decode_loop_jit(
 
 
 def decode_loop(spec, params, last_logits, n_past, cache, n_steps,
-                window=None, sampler=None, key=None):
+                window=None, sampler=None, key=None, penalty_state=None):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_jit(spec, params, last_logits, n_past, cache,
-                            n_steps, window, sampler, key)
+                            n_steps, window, sampler, key, penalty_state)
 
 
 @partial(jax.jit, static_argnums=(0, 5, 6, 7), donate_argnums=(4,))
@@ -596,28 +603,35 @@ def _decode_loop_batched_jit(
     key=None,
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
     write_mask=None,  # [B] bool: dummy slots never write the cache
+    penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
 ):
     """Batched multi-token decode on device: B streams x n_steps tokens per
     dispatch (sample-then-evaluate per step, like decode_loop). Returns
     (tokens [n_steps, B], final logits [B, V], n_past [B], cache).
     `window` must cover max(n_past) + n_steps."""
-    from llm_tpu.ops.sampling import DeviceSampler, device_sample
+    from llm_tpu.ops.sampling import (
+        DeviceSampler,
+        device_sample,
+        update_penalty_state,
+    )
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
 
     def step(carry, _):
-        logits, npast, c, k = carry
+        logits, npast, c, k, pst = carry
         k, sub = jax.random.split(k)
-        toks = device_sample(logits, sub, sampler, sampler_values)
+        toks = device_sample(logits, sub, sampler, sampler_values, pst)
+        pst = update_penalty_state(pst, toks)
         new_logits, _, c = forward_batched(
             spec, params, toks[:, None], npast, c, window, write_mask
         )
-        return (new_logits[:, 0, :], npast + 1, c, k), toks
+        return (new_logits[:, 0, :], npast + 1, c, k, pst), toks
 
-    (logits, npast, cache, _), all_toks = lax.scan(
+    (logits, npast, cache, _, _), all_toks = lax.scan(
         step,
-        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key),
+        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
+         penalty_state),
         None,
         length=n_steps,
     )
@@ -626,11 +640,13 @@ def _decode_loop_batched_jit(
 
 def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
                         window=None, sampler=None, key=None,
-                        sampler_values=None, write_mask=None):
+                        sampler_values=None, write_mask=None,
+                        penalty_state=None):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_batched_jit(spec, params, last_logits, n_past, cache,
                                     n_steps, window, sampler, key,
-                                    sampler_values, write_mask)
+                                    sampler_values, write_mask,
+                                    penalty_state)
 
 
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(6,))

@@ -35,7 +35,24 @@ class DeviceSampler:
     temperature: float = 0.8
     top_k: int = 0  # 0 = no top-k truncation
     top_p: float = 1.0  # 1.0 = no nucleus truncation
+    min_p: float = 0.0  # 0.0 = off; keep probs >= min_p * max prob
     bias: Tuple[Tuple[int, float], ...] = ()  # (token_id, additive bias)
+    # windowed penalties over the last `penalty_last_n` tokens, mirroring
+    # the host chain's Repetition / FreqPresence samplers exactly (CTRL
+    # l/p|l*p by presence; -count*freq - presence by window counts); they
+    # require a penalty_state threaded through the decode loop
+    repeat_penalty: float = 1.0  # 1.0 = off
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    penalty_last_n: int = 64
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.repeat_penalty != 1.0
+            or self.frequency_penalty != 0.0
+            or self.presence_penalty != 0.0
+        )
 
     @classmethod
     def greedy(cls) -> "DeviceSampler":
@@ -58,6 +75,9 @@ class BatchedDeviceSampler:
     top_k_max: int  # static k for lax.top_k; per-stream k <= this
     bias_tokens: Tuple[int, ...] = ()  # union of biased token ids
     any_top_p: bool = False  # any stream with top_p < 1 (cutoff pass traced)
+    any_min_p: bool = False  # any stream with min_p > 0
+    any_penalty: bool = False  # any stream with repeat/freq/presence set
+    penalty_last_n: int = 64  # static ring width = max over penalty streams
 
 
 def batched_sampler(samplers, n_slots: int):
@@ -77,9 +97,25 @@ def batched_sampler(samplers, n_slots: int):
         s is not None and s.kind == "sample" and s.top_p < 1.0
         for s in samplers
     )
+    any_min_p = any(
+        s is not None and s.kind == "sample" and s.min_p > 0.0
+        for s in samplers
+    )
+    any_penalty = any(
+        s is not None and s.has_penalties for s in samplers
+    )
+    last_n = max(
+        (s.penalty_last_n for s in samplers
+         if s is not None and s.has_penalties),
+        default=64,
+    )
     temps = np.zeros(n_slots, np.float32)  # 0 = greedy
     ks = np.zeros(n_slots, np.int32)
     ps = np.ones(n_slots, np.float32)  # 1 = no nucleus truncation
+    mps = np.zeros(n_slots, np.float32)  # 0 = no min-p floor
+    reps = np.ones(n_slots, np.float32)  # 1 = no repetition penalty
+    freqs = np.zeros(n_slots, np.float32)
+    press = np.zeros(n_slots, np.float32)
     bias = np.zeros((n_slots, len(bias_tokens)), np.float32)
     tix = {t: i for i, t in enumerate(bias_tokens)}
     for i, s in enumerate(samplers):
@@ -89,16 +125,25 @@ def batched_sampler(samplers, n_slots: int):
             temps[i] = s.temperature
             ks[i] = s.top_k
             ps[i] = s.top_p
+            mps[i] = s.min_p
+        reps[i] = s.repeat_penalty
+        freqs[i] = s.frequency_penalty
+        press[i] = s.presence_penalty
         for t, b in s.bias:
             bias[i, tix[t]] = b
     cfg = BatchedDeviceSampler(
         sample=sample, top_k_max=top_k_max, bias_tokens=bias_tokens,
-        any_top_p=any_top_p,
+        any_top_p=any_top_p, any_min_p=any_min_p,
+        any_penalty=any_penalty, penalty_last_n=last_n,
     )
     values = {
         "temperature": jnp.asarray(temps),
         "top_k": jnp.asarray(ks),
         "top_p": jnp.asarray(ps),
+        "min_p": jnp.asarray(mps),
+        "repeat_penalty": jnp.asarray(reps),
+        "frequency_penalty": jnp.asarray(freqs),
+        "presence_penalty": jnp.asarray(press),
         "bias": jnp.asarray(bias),
     }
     return cfg, values
@@ -128,17 +173,101 @@ def _top_p_truncate(x, p, iters: int = 24):
     return jnp.where(probs >= lo[..., None], x, -jnp.inf)
 
 
+def penalty_state(histories, last_n: int, n_vocab: int):
+    """Host-built device state for windowed penalties: per-stream token
+    counts over the last `last_n` tokens plus the window itself as a ring
+    buffer (so in-loop updates can expire the oldest token). `histories` is
+    a list of token-id sequences (prompt + generated so far); the decode
+    loop updates the state after every sampled token, so penalties see
+    tokens generated earlier in the same block. Leading dim B = len(...)."""
+    import numpy as np
+
+    B = len(histories)
+    counts = np.zeros((B, n_vocab), np.float32)
+    ring = np.full((B, last_n), -1, np.int32)
+    pos = np.zeros(B, np.int32)
+    for b, hist in enumerate(histories):
+        w = list(hist)[-last_n:]
+        for t in w:
+            counts[b, t] += 1.0
+        ring[b, : len(w)] = w
+        pos[b] = len(w) % last_n  # full window: next write = oldest (idx 0)
+    return {
+        "counts": jnp.asarray(counts),
+        "ring": jnp.asarray(ring),
+        "pos": jnp.asarray(pos),
+    }
+
+
+def update_penalty_state(state, toks):
+    """Fold freshly sampled tokens into the window: expire the slot being
+    overwritten, count the new token. Shape-agnostic over leading batch
+    dims ([] for single-stream loops, [B] for batched)."""
+    if state is None:
+        return None
+    counts, ring, pos = state["counts"], state["ring"], state["pos"]
+    c2 = counts.reshape((-1, counts.shape[-1]))
+    r2 = ring.reshape((-1, ring.shape[-1]))
+    p2 = pos.reshape(-1)
+    t2 = toks.reshape(-1)
+    bi = jnp.arange(t2.shape[0])
+    expired = r2[bi, p2]  # -1 while the window is still filling
+    c2 = c2.at[bi, jnp.maximum(expired, 0)].add(
+        jnp.where(expired >= 0, -1.0, 0.0)
+    )
+    c2 = c2.at[bi, t2].add(1.0)
+    r2 = r2.at[bi, p2].set(t2)
+    p2 = (p2 + 1) % ring.shape[-1]
+    return {
+        "counts": c2.reshape(counts.shape),
+        "ring": r2.reshape(ring.shape),
+        "pos": p2.reshape(pos.shape),
+    }
+
+
+def _apply_penalties(x, state, cfg, values):
+    """Mirror the host chain's Repetition (presence-gated l/p | l*p,
+    samplers.py:59-70) and FreqPresence (-count*freq - presence,
+    samplers.py:74-85) over the windowed counts."""
+    counts = state["counts"]
+    seen = counts > 0
+    if isinstance(cfg, BatchedDeviceSampler):
+        rp = values["repeat_penalty"][:, None]
+        fq = values["frequency_penalty"][:, None]
+        pr = values["presence_penalty"][:, None]
+    else:
+        rp = cfg.repeat_penalty
+        fq = cfg.frequency_penalty
+        pr = cfg.presence_penalty
+    x = jnp.where(seen, jnp.where(x < 0, x * rp, x / rp), x)
+    return x - counts * fq - seen.astype(x.dtype) * pr
+
+
+def _min_p_truncate(x, min_p):
+    """min-p floor: keep tokens whose probability is at least min_p times
+    the top probability (no sort, no bisection — the cutoff is direct).
+    `min_p` may be a scalar or per-row [B]; 0 keeps everything."""
+    probs = jax.nn.softmax(x, axis=-1)
+    mp = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), x.shape[:-1])
+    cutoff = mp * jnp.max(probs, axis=-1)
+    return jnp.where(probs >= cutoff[..., None], x, -jnp.inf)
+
+
 def device_sample(
     logits: jnp.ndarray,  # [..., V] f32
     key: jnp.ndarray,
     cfg,  # DeviceSampler | BatchedDeviceSampler
     values=None,  # traced per-stream values for BatchedDeviceSampler
+    penalty_state=None,  # windowed-penalty state (penalty_state())
 ) -> jnp.ndarray:
     """Sample token ids [...] from logits under the static config."""
     if isinstance(cfg, BatchedDeviceSampler):
-        return _device_sample_batched(logits, key, cfg, values)
+        return _device_sample_batched(logits, key, cfg, values,
+                                      penalty_state)
     for tid, b in cfg.bias:
         logits = logits.at[..., tid].add(b)
+    if penalty_state is not None and cfg.has_penalties:
+        logits = _apply_penalties(logits, penalty_state, cfg, None)
 
     if cfg.kind == "greedy":
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -151,6 +280,8 @@ def device_sample(
         x = jnp.where(x < kth, -jnp.inf, x)
     if cfg.top_p < 1.0:
         x = _top_p_truncate(x, cfg.top_p)
+    if cfg.min_p > 0.0:
+        x = _min_p_truncate(x, cfg.min_p)
     x = x / jnp.maximum(cfg.temperature, 1e-6)
     gumbel = -jnp.log(
         -jnp.log(jax.random.uniform(key, x.shape, minval=1e-20, maxval=1.0))
@@ -158,13 +289,17 @@ def device_sample(
     return jnp.argmax(x + gumbel, axis=-1).astype(jnp.int32)
 
 
-def _device_sample_batched(logits, key, cfg: BatchedDeviceSampler, values):
+def _device_sample_batched(logits, key, cfg: BatchedDeviceSampler, values,
+                           penalty_state=None):
     """[B, V] logits with PER-STREAM temperature (0 = greedy), top-k
-    (0 = off) and flat bias — one vectorized pass, no per-stream dispatch."""
+    (0 = off), top-p/min-p, windowed penalties, and flat bias — one
+    vectorized pass, no per-stream dispatch."""
     B, V = logits.shape
     if cfg.bias_tokens:
         cols = jnp.asarray(cfg.bias_tokens, jnp.int32)
         logits = logits.at[:, cols].add(values["bias"])
+    if penalty_state is not None and cfg.any_penalty:
+        logits = _apply_penalties(logits, penalty_state, cfg, values)
     if not cfg.sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -179,6 +314,8 @@ def _device_sample_batched(logits, key, cfg: BatchedDeviceSampler, values):
         x = jnp.where(x < kth, -jnp.inf, x)
     if cfg.any_top_p:
         x = _top_p_truncate(x, values["top_p"])
+    if cfg.any_min_p:
+        x = _min_p_truncate(x, values["min_p"])
     x = x / jnp.maximum(t, 1e-6)
     gumbel = -jnp.log(
         -jnp.log(jax.random.uniform(key, x.shape, minval=1e-20, maxval=1.0))

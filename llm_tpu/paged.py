@@ -431,30 +431,37 @@ def paged_decode_loop(
     key=None,
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
     allow_kernel: bool = True,
+    penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
 ):
     """Multi-token paged decode fully on device: B streams x n_steps tokens
     per dispatch (sample-then-evaluate per step, like decode_loop_batched).
     The host pre-allocates pages covering n_past + n_steps for every active
     stream, so the tables are static for the whole block; EoT overshoot is
     rewound host-side (positions beyond n_past stay masked)."""
-    from llm_tpu.ops.sampling import DeviceSampler, device_sample
+    from llm_tpu.ops.sampling import (
+        DeviceSampler,
+        device_sample,
+        update_penalty_state,
+    )
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
 
     def step(carry, _):
-        logits, npast, c, k = carry
+        logits, npast, c, k, pst = carry
         k, sub = jax.random.split(k)
-        toks = device_sample(logits, sub, sampler, sampler_values)
+        toks = device_sample(logits, sub, sampler, sampler_values, pst)
+        pst = update_penalty_state(pst, toks)
         new_logits, _, c = paged_forward_batched(
             spec, params, toks[:, None], npast, tables, c, window_pages,
             allow_kernel,
         )
-        return (new_logits[:, 0, :], npast + 1, c, k), toks
+        return (new_logits[:, 0, :], npast + 1, c, k, pst), toks
 
-    (logits, npast, cache, _), all_toks = lax.scan(
+    (logits, npast, cache, _, _), all_toks = lax.scan(
         step,
-        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key),
+        (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
+         penalty_state),
         None,
         length=n_steps,
     )
@@ -716,7 +723,7 @@ class PagedEngine(Engine):
         return n_steps
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
-                        values=None, write_mask=None):
+                        values=None, write_mask=None, penalty_state=None):
         # write_mask unused: dummy rows' writes are already redirected to
         # the trash page by the page-table TRASH entries
         active = self._decodable()
@@ -728,5 +735,6 @@ class PagedEngine(Engine):
             self.spec, self.params, jnp.asarray(logits),
             jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
             n_steps, wp, sampler, key, values, self._allow_kernel,
+            penalty_state,
         )
         return np.asarray(toks), np.asarray(last_logits), n_steps

@@ -220,6 +220,7 @@ class MultiHostEngine(_LocalEngine):
                      if d is not None and d.kind == "sample"), default=0),
                 max((s.prefill_pos if s.prefilling else s.n_past
                      for s in self.slots if s is not None), default=0),
+                *_sampler_structure_ints(per_slot),
             ],
             np.int64,
         )
@@ -232,7 +233,7 @@ class MultiHostEngine(_LocalEngine):
             return events
         cfg = BatchedDeviceSampler(
             sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
-            bias_tokens=(),
+            bias_tokens=(), **_sampler_structure_cfg(g, 4),
         )
         gmax2 = int(g[:, 3].max())
         n_steps = min(n_steps, self.spec.n_ctx - 1 - gmax2)
@@ -262,6 +263,7 @@ class MultiHostEngine(_LocalEngine):
                 {k: np.asarray(v) for k, v in values.items()}, ("data",)
             ),
             self._to_global(mask, ("data",)),
+            self._penalty_state_global(cfg, active),
         )
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
@@ -311,6 +313,23 @@ class MultiHostEngine(_LocalEngine):
             )
         return multihost_utils.host_local_array_to_global_array(
             arr, self.mesh, P(*pspec_axes)
+        )
+
+    def _penalty_state_global(self, cfg, active):
+        """Data-sharded windowed-penalty state when the agreed structure
+        includes penalties (every host builds its local rows from its own
+        streams' histories; the agreed window width keeps the jitted
+        program identical across hosts). None when no stream penalizes."""
+        if not cfg.any_penalty:
+            return None
+        from llm_tpu.ops.sampling import penalty_state
+
+        hist = [[] for _ in range(self.max_streams)]
+        for i, s in active:
+            hist[i] = s.tokens
+        st = penalty_state(hist, cfg.penalty_last_n, self.spec.n_vocab)
+        return self._to_global(
+            {k: np.asarray(v) for k, v in st.items()}, ("data",)
         )
 
     def _local_rows(self, arr, axis: int = 0) -> np.ndarray:
@@ -480,12 +499,38 @@ def _mh_paged_step(
     return fn(params, ids, n_past, tables, pool)
 
 
+def _sampler_structure_ints(per_slot) -> list:
+    """Local contribution to the allgathered STATIC sampler structure:
+    [any top-p, any min-p, any penalty, penalty window]. Every host must
+    build the identical BatchedDeviceSampler (identical jitted program),
+    so booleans agree by max and the window by max."""
+    return [
+        int(any(d is not None and d.kind == "sample" and d.top_p < 1.0
+                for d in per_slot)),
+        int(any(d is not None and d.kind == "sample" and d.min_p > 0.0
+                for d in per_slot)),
+        int(any(d is not None and d.has_penalties for d in per_slot)),
+        max((d.penalty_last_n for d in per_slot
+             if d is not None and d.has_penalties), default=0),
+    ]
+
+
+def _sampler_structure_cfg(g, col: int) -> dict:
+    """Agreed BatchedDeviceSampler kwargs from the allgathered ints."""
+    return {
+        "any_top_p": bool(g[:, col].max()),
+        "any_min_p": bool(g[:, col + 1].max()),
+        "any_penalty": bool(g[:, col + 2].max()),
+        "penalty_last_n": max(int(g[:, col + 3].max()), 1),
+    }
+
+
 @_partial(
     jax.jit, static_argnums=(0, 6, 7, 8, 11, 12), donate_argnums=(5,)
 )
 def _mh_paged_loop(
     spec, params, logits, n_past, tables, pool, n_steps, window_pages,
-    sampler_cfg, key, values, allow_kernel, mesh,
+    sampler_cfg, key, values, allow_kernel, mesh, penalty_state=None,
 ):
     from llm_tpu.paged import PagedKVCache, paged_decode_loop
 
@@ -493,15 +538,15 @@ def _mh_paged_loop(
         _P(None, "data"), _P(None, "data"), _P(None, "data"), _P(None, "data")
     )
     fn = _shard_map(
-        lambda p, lg, n, t, c, k, v: paged_decode_loop(
+        lambda p, lg, n, t, c, k, v, pst: paged_decode_loop(
             spec, p, lg, n, t, c, n_steps, window_pages,
-            sampler_cfg, k, v, allow_kernel,
+            sampler_cfg, k, v, allow_kernel, pst,
         ),
         mesh=mesh,
         axis_names={"data"},
         in_specs=(
             _P(), _P("data"), _P("data"), _P("data"), pool_spec, _P(),
-            _P("data"),
+            _P("data"), _P("data"),
         ),
         out_specs=(
             _P(None, "data"), _P("data"), _P("data"), pool_spec
@@ -509,7 +554,7 @@ def _mh_paged_loop(
         check_vma=False,
     )
     toks, last_logits, _, new_pool = fn(
-        params, logits, n_past, tables, pool, key, values
+        params, logits, n_past, tables, pool, key, values, penalty_state
     )
     return toks, last_logits, new_pool
 
@@ -747,6 +792,7 @@ class MultiHostPagedEngine(MultiHostEngine):
                 max((s.prefill_pos if s.prefilling else s.n_past
                      for s in self.slots if s is not None), default=0),
                 self._multi_feasible(active, n_steps),
+                *_sampler_structure_ints(per_slot),
             ],
             np.int64,
         )
@@ -763,7 +809,7 @@ class MultiHostPagedEngine(MultiHostEngine):
             return events + self.step()
         cfg = BatchedDeviceSampler(
             sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
-            bias_tokens=(),
+            bias_tokens=(), **_sampler_structure_cfg(g, 5),
         )
         for i, s in active:  # feasibility-checked above; cannot raise
             self._ensure_pages(
@@ -792,6 +838,7 @@ class MultiHostPagedEngine(MultiHostEngine):
             ),
             self._allow_kernel,
             self.mesh,
+            self._penalty_state_global(cfg, active),
         )
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)

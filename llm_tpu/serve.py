@@ -468,9 +468,24 @@ class Engine:
             n_past[slot] = s.n_past
             mask[slot] = True
 
+        # windowed penalties (repetition / freq / presence): state is
+        # rebuilt from each stream's token history per dispatch and updated
+        # on device inside the block
+        pstate = None
+        if any(s.request.device_sampler.has_penalties for _, s in active):
+            from llm_tpu.ops.sampling import penalty_state
+
+            hist = [[] for _ in range(self.max_streams)]
+            for slot, s in active:
+                hist[slot] = s.tokens
+            pstate = penalty_state(
+                hist, sampler.penalty_last_n, spec.n_vocab
+            )
+
         self._loop_key = jax.random.split(getattr(self, "_loop_key", jax.random.PRNGKey(0)))[0]
         dispatched = self._dispatch_multi(
-            logits, n_past, n_steps, sampler, self._loop_key, values, mask
+            logits, n_past, n_steps, sampler, self._loop_key, values, mask,
+            pstate,
         )
         if dispatched is None:  # backend can't run a block now (e.g. paged
             return retired + self.step()  # pool too tight): single-step
@@ -528,7 +543,7 @@ class Engine:
         return events
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
-                        values=None, write_mask=None):
+                        values=None, write_mask=None, penalty_state=None):
         """Run the n_steps on-device decode block; returns (toks [n_steps, B]
         np, last_logits [B, V] np, n_steps) or None to fall back to
         single-stepping. Overridden by PagedEngine (page pre-allocation +
@@ -549,6 +564,7 @@ class Engine:
             key,
             values,
             jnp.asarray(write_mask) if write_mask is not None else None,
+            penalty_state,
         )
         return np.asarray(toks), np.asarray(last_logits), n_steps
 

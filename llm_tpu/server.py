@@ -73,6 +73,8 @@ def sampler_from_params(params: dict, n_vocab: int = 0):
         args.append(f"topk:k={int(params['top_k'])}")
     if params.get("top_p") is not None:
         args.append(f"topp:p={float(params['top_p'])}")
+    if params.get("min_p") is not None:
+        args.append(f"minp:p={float(params['min_p'])}")
     if temp is not None:
         args.append(f"temperature:{float(temp)}")
     if not args:
@@ -81,24 +83,30 @@ def sampler_from_params(params: dict, n_vocab: int = 0):
 
 
 def device_sampler_from_params(params: dict):
-    """A DeviceSampler for requests expressible on device (greedy, or
-    temperature with optional top-k / top-p) — lets a multi-step server
-    decode whole blocks per dispatch. None when the request needs the host
-    chain (penalties, explicit DSL, or the full default chain)."""
+    """A DeviceSampler for requests expressible on device (greedy or
+    temperature, with optional top-k / top-p / min-p and windowed
+    repetition / frequency / presence penalties) — lets a multi-step
+    server decode whole blocks per dispatch. None when the request needs
+    the host chain (explicit DSL, logprobs, or the full default chain)."""
     from llm_tpu.ops.sampling import DeviceSampler
 
-    blockers = ("sampler", "min_p", "repeat_penalty",
-                "frequency_penalty", "presence_penalty", "logprobs")
-    if any(params.get(k) is not None for k in blockers):
+    if any(params.get(k) is not None for k in ("sampler", "logprobs")):
         return None
     temp = params.get("temperature")
     if temp is None:
         return None
+    penalties = {
+        "repeat_penalty": float(params.get("repeat_penalty") or 1.0),
+        "frequency_penalty": float(params.get("frequency_penalty") or 0.0),
+        "presence_penalty": float(params.get("presence_penalty") or 0.0),
+    }
     if float(temp) <= 0.0:
-        return DeviceSampler.greedy()
+        return DeviceSampler(kind="greedy", **penalties)
     return DeviceSampler(kind="sample", temperature=float(temp),
                          top_k=int(params.get("top_k") or 0),
-                         top_p=float(params.get("top_p") or 1.0))
+                         top_p=float(params.get("top_p") or 1.0),
+                         min_p=float(params.get("min_p") or 0.0),
+                         **penalties)
 
 
 DEFAULT_CHAT_TEMPLATE = {

@@ -424,8 +424,9 @@ class InferenceSession:
 
         2x+ faster than `infer` on high-latency links (one host round trip
         per n_steps tokens instead of per token). Covers greedy /
-        temperature / top-k / flat-bias sampling; use `infer` for the full
-        host sampler chain (mirostat, repetition penalties, DSL).
+        temperature / top-k / top-p / min-p / flat-bias sampling and the
+        windowed repetition / frequency / presence penalties; use `infer`
+        for the full host sampler chain (mirostat, tailfree, typical).
 
         `halt_on_eot=False` keeps generating through EoT tokens — the CLI
         sets it when --ignore-eos (or a -inf EoT bias) is in effect, matching
@@ -456,6 +457,16 @@ class InferenceSession:
                 break
             window = window_bucket(self.n_past + steps, spec.n_ctx)
             key, sub = jax.random.split(key)
+            pstate = None
+            if sampler is not None and sampler.has_penalties:
+                # windowed repetition/freq/presence penalties: per-block
+                # state from the session history, updated on device
+                from llm_tpu.ops.sampling import penalty_state
+
+                st = penalty_state(
+                    [self.tokens], sampler.penalty_last_n, spec.n_vocab
+                )
+                pstate = jax.tree.map(lambda a: a[0], st)
             toks, logits, _, self.cache = decode_loop(
                 spec,
                 model.params,
@@ -466,6 +477,7 @@ class InferenceSession:
                 window,
                 sampler,
                 sub,
+                pstate,
             )
             toks = np.asarray(toks)
             hit = np.nonzero(toks == eot)[0] if halt_on_eot else np.array([])

@@ -580,6 +580,15 @@ class SampledSpeculativeEngine(SpeculativeEngine):
                 "SampledSpeculativeEngine requests need a "
                 'DeviceSampler(kind="sample", ...) as device_sampler'
             )
+        if getattr(ds, "has_penalties", False):
+            # acceptance compares DRAFT vs TARGET distributions; windowed
+            # penalties would have to be applied identically to both per
+            # position, which the one-shot T=k verify cannot do
+            raise ValueError(
+                "speculative serving does not support repetition/"
+                "frequency/presence penalties; use the non-speculative "
+                "engine for penalized requests"
+            )
         # bypass SpeculativeEngine's greedy guard; Engine.submit defaults
         # the (unused) host sampler chain
         return Engine.submit(self, request)

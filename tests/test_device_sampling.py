@@ -246,3 +246,185 @@ def test_engine_step_multi_top_p(model):
     )
     assert texts[0] == ref
     assert len(texts[1]) > 0
+
+
+def test_min_p_truncate_matches_reference():
+    from llm_tpu.ops.sampling import _min_p_truncate
+
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(8, 101)).astype(np.float32) * 2
+    for mp in (0.05, 0.2, 0.5):
+        out = np.asarray(_min_p_truncate(jnp.asarray(logits), mp))
+        for b in range(8):
+            probs = np.exp(logits[b] - logits[b].max())
+            probs /= probs.sum()
+            expect = set(np.nonzero(probs >= mp * probs.max())[0])
+            assert set(np.nonzero(np.isfinite(out[b]))[0]) == expect
+
+
+def test_batched_sampler_per_stream_min_p():
+    import jax
+
+    from llm_tpu.ops.sampling import batched_sampler, device_sample
+
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.normal(size=(2, 60)), jnp.float32)
+    samplers = [
+        DeviceSampler(kind="sample", temperature=1.0, min_p=0.3),
+        DeviceSampler.greedy(),
+    ]
+    cfg, values = batched_sampler(samplers, 2)
+    assert cfg.any_min_p
+    row = np.asarray(logits)[0]
+    probs = np.exp(row - row.max()); probs /= probs.sum()
+    allowed = set(np.nonzero(probs >= 0.3 * probs.max())[0])
+    assert 1 < len(allowed) < 60
+    for seed in range(25):
+        toks = np.asarray(
+            device_sample(logits, jax.random.PRNGKey(seed), cfg, values)
+        )
+        assert int(toks[0]) in allowed
+        assert toks[1] == int(np.argmax(np.asarray(logits)[1]))
+
+
+def _host_chain(model, prompt, n, chain_args):
+    from llm_tpu.samplers import build_sampler_chain
+
+    session = InferenceSession(model, _cfg())
+    out = []
+    session.infer(
+        InferenceRequest(
+            prompt=prompt,
+            parameters=InferenceParameters(
+                sampler=build_sampler_chain(
+                    chain_args, n_vocab=model.spec.n_vocab
+                )
+            ),
+            maximum_token_count=n,
+        ),
+        rng=np.random.default_rng(0),
+        callback=lambda r: out.append(r.text)
+        if r.kind == "inferred_token" else None,
+    )
+    return "".join(out)
+
+
+def test_device_repetition_penalty_matches_host(model):
+    """Penalized GREEDY decode is deterministic: the device block path
+    (windowed counts updated in-loop, including expiry with last_n=4 over
+    a 16-token run) must equal the host Repetition+argmax chain
+    token-for-token."""
+    ref = _host_chain(
+        model, "<t2><t3>", 16,
+        ["repetition:penalty=1.5:last_n=4", "topk:k=1", "temperature:1.0"],
+    )
+    session = InferenceSession(model, _cfg())
+    out = []
+    session.infer_device(
+        "<t2><t3>", 16,
+        sampler=DeviceSampler(kind="greedy", repeat_penalty=1.5,
+                              penalty_last_n=4),
+        n_steps=5,  # blocks of 5: state crosses dispatch boundaries too
+        callback=lambda t: out.append(t),
+    )
+    assert "".join(out) == ref
+
+
+def test_device_freq_presence_matches_host(model):
+    # build_sampler_chain CONFIGURES the default chain, so the default
+    # repetition penalty (1.3) must be explicitly neutralized to isolate
+    # the freq/presence math
+    ref = _host_chain(
+        model, "<t4><t5>", 12,
+        ["repetition:penalty=1.0",
+         "freqpresence:frequency=0.7:presence=0.4:last_n=8",
+         "topk:k=1", "temperature:1.0"],
+    )
+    session = InferenceSession(model, _cfg())
+    out = []
+    session.infer_device(
+        "<t4><t5>", 12,
+        sampler=DeviceSampler(kind="greedy", frequency_penalty=0.7,
+                              presence_penalty=0.4, penalty_last_n=8),
+        n_steps=4,
+        callback=lambda t: out.append(t),
+    )
+    assert "".join(out) == ref
+
+
+def test_engine_step_multi_penalties_match_host(model):
+    """Penalized greedy streams ride step_multi batched (heterogeneous
+    with a plain greedy stream) and equal their host references."""
+    ref_pen = _host_chain(
+        model, "<t2><t3>", 10,
+        ["repetition:penalty=1.4:last_n=64", "topk:k=1", "temperature:1.0"],
+    )
+    ref_plain = _host_greedy(model, "<t7>", 10)[0]
+
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    texts = engine.generate_all(
+        [
+            GenerationRequest(
+                prompt="<t2><t3>", max_tokens=10,
+                device_sampler=DeviceSampler(kind="greedy",
+                                             repeat_penalty=1.4),
+            ),
+            GenerationRequest(
+                prompt="<t7>", max_tokens=10,
+                device_sampler=DeviceSampler.greedy(),
+            ),
+        ],
+        n_steps=4,
+    )
+    assert texts[0] == ref_pen
+    assert texts[1] == ref_plain
+
+
+def test_paged_step_multi_penalties_match_dense(model):
+    """The paged block path threads the same penalty state."""
+    from llm_tpu.paged import PagedEngine
+
+    def run(engine):
+        texts = engine.generate_all(
+            [
+                GenerationRequest(
+                    prompt="<t2><t3>", max_tokens=10,
+                    device_sampler=DeviceSampler(kind="greedy",
+                                                 repeat_penalty=1.4),
+                )
+            ],
+            n_steps=4,
+        )
+        return texts[min(texts)]
+
+    dense = run(Engine(model, max_streams=1, kv_dtype=jnp.float32))
+    paged = run(
+        PagedEngine(model, max_streams=1, page_size=8, kv_dtype=jnp.float32)
+    )
+    assert dense == paged
+    ref = _host_chain(
+        model, "<t2><t3>", 10,
+        ["repetition:penalty=1.4:last_n=64", "topk:k=1", "temperature:1.0"],
+    )
+    assert dense == ref
+
+
+def test_penalty_state_unit():
+    import jax
+
+    from llm_tpu.ops.sampling import penalty_state, update_penalty_state
+
+    st = penalty_state([[5, 5, 9], []], last_n=3, n_vocab=12)
+    c = np.asarray(st["counts"])
+    assert c[0, 5] == 2 and c[0, 9] == 1 and c[1].sum() == 0
+    # append 7 to both: window [5,5,9] is full so 5 (oldest) expires in row 0
+    st = jax.jit(update_penalty_state)(st, jnp.asarray([7, 7], jnp.int32))
+    c = np.asarray(st["counts"])
+    assert c[0, 5] == 1 and c[0, 9] == 1 and c[0, 7] == 1
+    assert c[1, 7] == 1 and c[1].sum() == 1
+    # two more appends: 5 then 9 expire in row 0
+    st = update_penalty_state(st, jnp.asarray([7, 7], jnp.int32))
+    st = update_penalty_state(st, jnp.asarray([7, 7], jnp.int32))
+    c = np.asarray(st["counts"])
+    assert c[0, 5] == 0 and c[0, 9] == 0 and c[0, 7] == 3
+    assert c[1, 7] == 3
