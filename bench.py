@@ -31,6 +31,9 @@ Metrics:
                                    (flash-style online-softmax attention)
   llama7b_q4_0_ttft_64tok    p50 ms to first token (64-token prompt)
   llama7b_q4_0_serve_8streams_int8kv   aggregate tokens/s, B=8, int8 KV
+  llama7b_q4_0_prefix_cache_warm_ttft_512tok   ms to first token for a
+                             REPEATED 512-token prompt (prompt-prefix page
+                             cache; vs_baseline = fraction of uncached)
   llama7b_q4_0_paged_serve_64streams_int8   64 streams over a paged int8
                                             pool sized to tokens in flight
   mpt7b_q4_k_8k_paged_int8_decode      staged config #4: ALiBi + Q4_K +
@@ -595,6 +598,46 @@ def paged_serve_bench(model, decode_rec):
     )
 
 
+@_section("prefix-cache-ttft")
+def prefix_cache_ttft_bench(model):
+    """Serving TTFT for a REPEATED 512-token prompt through the paged
+    engine's prompt-prefix cache: the second request borrows the prompt's
+    full pages and only prefills the tail, so its TTFT is page-lookup +
+    one chunk instead of the whole prompt."""
+    from llm_tpu.paged import PagedEngine
+    from llm_tpu.samplers import GreedySampler
+    from llm_tpu.serve import GenerationRequest
+
+    engine = PagedEngine(
+        model, max_streams=1, page_size=256, n_pages=17, kv_dtype="int8",
+        n_batch=512, prefix_cache=True,
+    )
+    prompt = [int(x) for x in (np.arange(2, 514) % 31000)]
+
+    def ttft(toks):
+        first = []
+
+        def on_tok(_rid, _txt):
+            if not first:
+                first.append(time.perf_counter())
+
+        t0 = time.perf_counter()
+        engine.generate_all(
+            [GenerationRequest(prompt=toks, max_tokens=2,
+                               sampler=GreedySampler(), on_token=on_tok)]
+        )
+        return ((first[0] if first else time.perf_counter()) - t0) * 1e3
+
+    ttft([3, 4, 5])  # compile warm-up (same bucketed shapes)
+    cold = min(ttft(prompt), ttft([int(t) + 1 for t in prompt]))
+    warm = min(ttft(prompt), ttft(prompt))
+    note(f"prefix-cache ttft: cold={cold:.0f}ms warm={warm:.0f}ms")
+    return emit(
+        "llama7b_q4_0_prefix_cache_warm_ttft_512tok", warm, "ms",
+        warm / cold if cold else 0.0,  # fraction of the uncached TTFT
+    )
+
+
 @_section("load-packed")
 def load_packed_bench(load_rec):
     """Repeat-load economics via the plane cache (cli pack): the packed
@@ -817,6 +860,7 @@ def main() -> None:
     ttft_bench(model)
     serve_bench(model, headline)
     paged_serve_bench(model, headline)
+    prefix_cache_ttft_bench(model)
 
     # free the llama weights before the 7B-scale MPT section
     del model
