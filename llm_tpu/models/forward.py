@@ -590,7 +590,7 @@ def decode_loop(spec, params, last_logits, n_past, cache, n_steps,
                             n_steps, window, sampler, key, penalty_state)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7), donate_argnums=(4,))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 12), donate_argnums=(4,))
 def _decode_loop_batched_jit(
     spec,
     params,
@@ -604,10 +604,14 @@ def _decode_loop_batched_jit(
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
     write_mask=None,  # [B] bool: dummy slots never write the cache
     penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
+    logprobs_n: Optional[int] = None,  # static: top-N alternatives per step
 ):
     """Batched multi-token decode on device: B streams x n_steps tokens per
     dispatch (sample-then-evaluate per step, like decode_loop). Returns
-    (tokens [n_steps, B], final logits [B, V], n_past [B], cache).
+    (tokens [n_steps, B], final logits [B, V], n_past [B], cache); with
+    `logprobs_n` set, a fifth element carries per-step MODEL logprobs of
+    the sampled tokens (+ top-N values/ids) so logprob requests ride the
+    block path without the [B, V] rows crossing to the host.
     `window` must cover max(n_past) + n_steps."""
     from llm_tpu.ops.sampling import (
         DeviceSampler,
@@ -623,30 +627,41 @@ def _decode_loop_batched_jit(
         k, sub = jax.random.split(k)
         toks = device_sample(logits, sub, sampler, sampler_values, pst)
         pst = update_penalty_state(pst, toks)
+        out = toks
+        if logprobs_n is not None:
+            # model logprob from the PRE-update row the token was sampled
+            # from (the host _record_logprob definition)
+            logz = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(logz, toks[:, None], axis=1)[:, 0]
+            topv, topi = lax.top_k(logz, max(logprobs_n, 1))
+            out = (toks, lp, topv, topi)
         new_logits, _, c = forward_batched(
             spec, params, toks[:, None], npast, c, window, write_mask
         )
-        return (new_logits[:, 0, :], npast + 1, c, k, pst), toks
+        return (new_logits[:, 0, :], npast + 1, c, k, pst), out
 
-    (logits, npast, cache, _, _), all_toks = lax.scan(
+    (logits, npast, cache, _, _), ys = lax.scan(
         step,
         (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
          penalty_state),
         None,
         length=n_steps,
     )
-    return all_toks, logits, npast, cache
+    if logprobs_n is not None:
+        all_toks, lp, topv, topi = ys
+        return all_toks, logits, npast, cache, (lp, topv, topi)
+    return ys, logits, npast, cache
 
 
 def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
                         window=None, sampler=None, key=None,
                         sampler_values=None, write_mask=None,
-                        penalty_state=None):
+                        penalty_state=None, logprobs_n=None):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_batched_jit(spec, params, last_logits, n_past, cache,
                                     n_steps, window, sampler, key,
                                     sampler_values, write_mask,
-                                    penalty_state)
+                                    penalty_state, logprobs_n)
 
 
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(6,))

@@ -417,7 +417,7 @@ def paged_step(spec, params, ids, n_past, tables, cache, window_pages,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 11), donate_argnums=(5,))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 11, 13), donate_argnums=(5,))
 def paged_decode_loop(
     spec,
     params,
@@ -432,12 +432,15 @@ def paged_decode_loop(
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
     allow_kernel: bool = True,
     penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
+    logprobs_n: Optional[int] = None,  # static: top-N alternatives per step
 ):
     """Multi-token paged decode fully on device: B streams x n_steps tokens
     per dispatch (sample-then-evaluate per step, like decode_loop_batched).
     The host pre-allocates pages covering n_past + n_steps for every active
     stream, so the tables are static for the whole block; EoT overshoot is
-    rewound host-side (positions beyond n_past stay masked)."""
+    rewound host-side (positions beyond n_past stay masked). With
+    `logprobs_n` a fifth return element carries per-step sampled-token
+    logprobs (+ top-N values/ids)."""
     from llm_tpu.ops.sampling import (
         DeviceSampler,
         device_sample,
@@ -452,20 +455,29 @@ def paged_decode_loop(
         k, sub = jax.random.split(k)
         toks = device_sample(logits, sub, sampler, sampler_values, pst)
         pst = update_penalty_state(pst, toks)
+        out = toks
+        if logprobs_n is not None:
+            logz = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(logz, toks[:, None], axis=1)[:, 0]
+            topv, topi = lax.top_k(logz, max(logprobs_n, 1))
+            out = (toks, lp, topv, topi)
         new_logits, _, c = paged_forward_batched(
             spec, params, toks[:, None], npast, tables, c, window_pages,
             allow_kernel,
         )
-        return (new_logits[:, 0, :], npast + 1, c, k, pst), toks
+        return (new_logits[:, 0, :], npast + 1, c, k, pst), out
 
-    (logits, npast, cache, _, _), all_toks = lax.scan(
+    (logits, npast, cache, _, _), ys = lax.scan(
         step,
         (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
          penalty_state),
         None,
         length=n_steps,
     )
-    return all_toks, logits, npast, cache
+    if logprobs_n is not None:
+        all_toks, lp, topv, topi = ys
+        return all_toks, logits, npast, cache, (lp, topv, topi)
+    return ys, logits, npast, cache
 
 
 # ---------------------------------------------------------------------------
@@ -723,7 +735,8 @@ class PagedEngine(Engine):
         return n_steps
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
-                        values=None, write_mask=None, penalty_state=None):
+                        values=None, write_mask=None, penalty_state=None,
+                        logprobs_n=None):
         # write_mask unused: dummy rows' writes are already redirected to
         # the trash page by the page-table TRASH entries
         active = self._decodable()
@@ -731,10 +744,16 @@ class PagedEngine(Engine):
         if n_steps == 0:
             return None
         wp = self._window_pages(extra=n_steps)
-        toks, last_logits, _, self.pool = paged_decode_loop(
+        out = paged_decode_loop(
             self.spec, self.params, jnp.asarray(logits),
             jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
             n_steps, wp, sampler, key, values, self._allow_kernel,
-            penalty_state,
+            penalty_state, logprobs_n,
         )
-        return np.asarray(toks), np.asarray(last_logits), n_steps
+        lp = None
+        if logprobs_n is not None:
+            toks, last_logits, _, self.pool, lp_dev = out
+            lp = tuple(np.asarray(a) for a in lp_dev)
+        else:
+            toks, last_logits, _, self.pool = out
+        return np.asarray(toks), np.asarray(last_logits), n_steps, lp

@@ -103,6 +103,10 @@ class MultiHostEngine(_LocalEngine):
     NOT call the base constructor (device state is global here).
     """
 
+    # the coordinated step_multi has no logprob outputs yet; logprob
+    # requests use the per-token path (host rows)
+    supports_device_logprobs = False
+
     def __init__(
         self,
         model,

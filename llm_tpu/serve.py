@@ -130,6 +130,11 @@ def _decode_all(spec, params, ids, n_past, window, cache, write_mask):
 class Engine:
     """Multi-stream decode engine over a shared immutable model."""
 
+    # step_multi can gather sampled-token logprobs (+ top-N) on device, so
+    # logprob requests ride the block path; engines whose multi-step
+    # dispatch lacks the extra outputs override this with False
+    supports_device_logprobs = True
+
     def __init__(
         self,
         model,
@@ -482,23 +487,39 @@ class Engine:
                 hist, sampler.penalty_last_n, spec.n_vocab
             )
 
+        # logprob requests: top-N gathered on device per step (the full
+        # [B, V] rows never cross to the host)
+        lp_reqs = [
+            s.request.logprobs for _, s in active
+            if s.request.logprobs is not None
+        ]
+        lpn = max(lp_reqs) if lp_reqs else None
+
         self._loop_key = jax.random.split(getattr(self, "_loop_key", jax.random.PRNGKey(0)))[0]
         dispatched = self._dispatch_multi(
             logits, n_past, n_steps, sampler, self._loop_key, values, mask,
-            pstate,
+            pstate, lpn,
         )
         if dispatched is None:  # backend can't run a block now (e.g. paged
             return retired + self.step()  # pool too tight): single-step
-        toks, last_logits, n_steps = dispatched  # toks [n_steps, B]
+        toks, last_logits, n_steps, lp = dispatched  # toks [n_steps, B]
         return retired + self._postprocess_multi(
-            active, toks, last_logits, n_steps
+            active, toks, last_logits, n_steps, lp
         )
 
-    def _postprocess_multi(self, active, toks, last_logits, n_steps) -> list:
+    def _postprocess_multi(self, active, toks, last_logits, n_steps,
+                           lp=None) -> list:
         """Host-side bookkeeping after an n_steps on-device decode block:
         per-stream truncation at EoT / max_tokens / context boundary,
-        UTF-8 assembly, retirement. Shared with MultiHostEngine."""
+        UTF-8 assembly, retirement, logprob records (when the block carried
+        them). Shared with MultiHostEngine."""
         spec = self.spec
+
+        def tstr(t: int) -> str:
+            return self.model.tokenizer.token(t).decode(
+                "utf-8", errors="replace"
+            )
+
         events = []
         for slot, stream in active:
             col = toks[:, slot]
@@ -518,8 +539,20 @@ class Engine:
                 stream.finish_reason = "max_tokens"
 
             text_parts = []
-            for t in col[:n_keep]:
+            for i, t in enumerate(col[:n_keep]):
                 t = int(t)
+                if lp is not None and stream.request.logprobs is not None:
+                    lpv, topv, topi = lp
+                    entry = {"token": tstr(t),
+                             "logprob": float(lpv[i, slot])}
+                    n = stream.request.logprobs
+                    if n:
+                        entry["top_logprobs"] = {
+                            tstr(int(topi[i, slot, j])):
+                                float(topv[i, slot, j])
+                            for j in range(n)
+                        }
+                    stream.logprob_data.append(entry)
                 stream.tokens.append(t)
                 stream.generated += 1
                 if t != self._eot:
@@ -543,16 +576,17 @@ class Engine:
         return events
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
-                        values=None, write_mask=None, penalty_state=None):
+                        values=None, write_mask=None, penalty_state=None,
+                        logprobs_n=None):
         """Run the n_steps on-device decode block; returns (toks [n_steps, B]
-        np, last_logits [B, V] np, n_steps) or None to fall back to
-        single-stepping. Overridden by PagedEngine (page pre-allocation +
-        paged loop)."""
+        np, last_logits [B, V] np, n_steps, logprob arrays or None) or None
+        to fall back to single-stepping. Overridden by PagedEngine (page
+        pre-allocation + paged loop)."""
         from llm_tpu.models.forward import decode_loop_batched
 
         spec = self.spec
         max_past = int(n_past.max())
-        toks, last_logits, _, self.cache = decode_loop_batched(
+        out = decode_loop_batched(
             spec,
             self.params,
             jnp.asarray(logits),
@@ -565,8 +599,15 @@ class Engine:
             values,
             jnp.asarray(write_mask) if write_mask is not None else None,
             penalty_state,
+            logprobs_n,
         )
-        return np.asarray(toks), np.asarray(last_logits), n_steps
+        lp = None
+        if logprobs_n is not None:
+            toks, last_logits, _, self.cache, lp_dev = out
+            lp = tuple(np.asarray(a) for a in lp_dev)
+        else:
+            toks, last_logits, _, self.cache = out
+        return np.asarray(toks), np.asarray(last_logits), n_steps, lp
 
     # -- convenience --------------------------------------------------------
 

@@ -82,15 +82,19 @@ def sampler_from_params(params: dict, n_vocab: int = 0):
     return build_sampler_chain(args, n_vocab=n_vocab)
 
 
-def device_sampler_from_params(params: dict):
+def device_sampler_from_params(params: dict, allow_logprobs: bool = False):
     """A DeviceSampler for requests expressible on device (greedy or
     temperature, with optional top-k / top-p / min-p and windowed
     repetition / frequency / presence penalties) — lets a multi-step
     server decode whole blocks per dispatch. None when the request needs
-    the host chain (explicit DSL, logprobs, or the full default chain)."""
+    the host chain (explicit DSL, or the full default chain). Logprob
+    requests stay on the host path unless the engine's block dispatch
+    gathers them on device (`allow_logprobs`)."""
     from llm_tpu.ops.sampling import DeviceSampler
 
-    if any(params.get(k) is not None for k in ("sampler", "logprobs")):
+    if params.get("sampler") is not None:
+        return None
+    if params.get("logprobs") is not None and not allow_logprobs:
         return None
     temp = params.get("temperature")
     if temp is None:
@@ -464,8 +468,15 @@ class LlmServer:
             seed=body.get("seed"),
             # multi-step servers decode whole blocks on device when every
             # active request's sampling is device-expressible
-            device_sampler=(device_sampler_from_params(body)
-                            if self.loop.multi_step > 1 else None),
+            device_sampler=(
+                device_sampler_from_params(
+                    body,
+                    allow_logprobs=getattr(
+                        self.loop.engine, "supports_device_logprobs", False
+                    ),
+                )
+                if self.loop.multi_step > 1 else None
+            ),
             logprobs=(int(body["logprobs"])
                       if body.get("logprobs") is not None else None),
         )

@@ -393,6 +393,7 @@ class SpeculativeEngine(Engine):
     differences can flip on TPU — module docstring)."""
 
     greedy_only = True  # the server routes temperature=0 as sampler=None
+    supports_device_logprobs = False  # custom step(): no logprob outputs
 
     def __init__(self, model, draft, k: int = 4, **kw):
         assert model.spec.n_vocab == draft.spec.n_vocab, (

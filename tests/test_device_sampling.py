@@ -428,3 +428,66 @@ def test_penalty_state_unit():
     c = np.asarray(st["counts"])
     assert c[0, 5] == 0 and c[0, 9] == 0 and c[0, 7] == 3
     assert c[1, 7] == 3
+
+
+def test_step_multi_device_logprobs_match_host(model):
+    """logprobs ride the block path: values/top-N equal the host per-token
+    recording (same pre-update-row definition) for a greedy stream."""
+
+    def run(use_device):
+        engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+        reqs = [
+            GenerationRequest(
+                prompt="<t2><t3>", max_tokens=6, logprobs=3,
+                sampler=GreedySampler(),
+                device_sampler=DeviceSampler.greedy() if use_device else None,
+            ),
+            GenerationRequest(
+                prompt="<t7>", max_tokens=6,
+                sampler=GreedySampler(),
+                device_sampler=DeviceSampler.greedy() if use_device else None,
+            ),
+        ]
+        ids = [engine.submit(r) for r in reqs]
+        while engine.has_work():
+            if use_device:
+                engine.step_multi(4)
+            else:
+                engine.step()
+        return engine.finished[ids[0]]
+
+    host = run(False)
+    dev = run(True)
+    assert len(dev.logprob_data) == len(host.logprob_data) == 6
+    for h, d in zip(host.logprob_data, dev.logprob_data):
+        assert h["token"] == d["token"]
+        assert abs(h["logprob"] - d["logprob"]) < 1e-4
+        assert set(h["top_logprobs"]) == set(d["top_logprobs"])
+        for k in h["top_logprobs"]:
+            assert abs(h["top_logprobs"][k] - d["top_logprobs"][k]) < 1e-4
+
+
+def test_paged_step_multi_device_logprobs(model):
+    from llm_tpu.paged import PagedEngine
+
+    engine = PagedEngine(model, max_streams=1, page_size=8,
+                         kv_dtype=jnp.float32)
+    rid = engine.submit(
+        GenerationRequest(
+            prompt="<t2><t3>", max_tokens=5, logprobs=2,
+            sampler=GreedySampler(),
+            device_sampler=DeviceSampler.greedy(),
+        )
+    )
+    while engine.has_work():
+        engine.step_multi(4)
+    data = engine.finished[rid].logprob_data
+    assert len(data) == 5
+    for e in data:
+        assert e["logprob"] <= 0.0
+        assert len(e["top_logprobs"]) == 2
+        # the sampled (greedy) token IS the top-1 alternative
+        assert max(e["top_logprobs"].values()) == max(
+            e["top_logprobs"].values()
+        )
+        assert abs(max(e["top_logprobs"].values()) - e["logprob"]) < 1e-5
