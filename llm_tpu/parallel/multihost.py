@@ -103,10 +103,6 @@ class MultiHostEngine(_LocalEngine):
     NOT call the base constructor (device state is global here).
     """
 
-    # the coordinated step_multi has no logprob outputs yet; logprob
-    # requests use the per-token path (host rows)
-    supports_device_logprobs = False
-
     def __init__(
         self,
         model,
@@ -225,6 +221,7 @@ class MultiHostEngine(_LocalEngine):
                 max((s.prefill_pos if s.prefilling else s.n_past
                      for s in self.slots if s is not None), default=0),
                 *_sampler_structure_ints(per_slot),
+                _logprobs_local(active),
             ],
             np.int64,
         )
@@ -239,6 +236,8 @@ class MultiHostEngine(_LocalEngine):
             sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
             bias_tokens=(), **_sampler_structure_cfg(g, 4),
         )
+        lpn = int(g[:, 8].max())
+        lpn = None if lpn < 0 else lpn
         gmax2 = int(g[:, 3].max())
         n_steps = min(n_steps, self.spec.n_ctx - 1 - gmax2)
         if n_steps <= 0:
@@ -253,7 +252,7 @@ class MultiHostEngine(_LocalEngine):
             mask[i] = True
 
         key = jax.random.PRNGKey(self._steps)  # same on every host
-        toks, last_logits, _, self.cache = _decode_loop_batched_jit(
+        out = _decode_loop_batched_jit(
             self.spec,
             self.params,
             self._to_global(logits, ("data",)),
@@ -268,10 +267,19 @@ class MultiHostEngine(_LocalEngine):
             ),
             self._to_global(mask, ("data",)),
             self._penalty_state_global(cfg, active),
+            lpn,
         )
+        lp_l = None
+        if lpn is not None:
+            toks, last_logits, _, self.cache, lp_dev = out
+            lp_l = tuple(self._local_rows(a, axis=1) for a in lp_dev)
+        else:
+            toks, last_logits, _, self.cache = out
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
-        return events + self._postprocess_multi(active, toks_l, ll_l, n_steps)
+        return events + self._postprocess_multi(
+            active, toks_l, ll_l, n_steps, lp_l
+        )
 
     # coordination --------------------------------------------------------
 
@@ -519,6 +527,16 @@ def _sampler_structure_ints(per_slot) -> list:
     ]
 
 
+def _logprobs_local(active) -> int:
+    """Local contribution to the agreed static logprobs_n: the max
+    requested top-N, or -1 when no stream wants logprobs."""
+    reqs = [
+        s.request.logprobs for _, s in active
+        if s.request.logprobs is not None
+    ]
+    return max(reqs) if reqs else -1
+
+
 def _sampler_structure_cfg(g, col: int) -> dict:
     """Agreed BatchedDeviceSampler kwargs from the allgathered ints."""
     return {
@@ -530,21 +548,28 @@ def _sampler_structure_cfg(g, col: int) -> dict:
 
 
 @_partial(
-    jax.jit, static_argnums=(0, 6, 7, 8, 11, 12), donate_argnums=(5,)
+    jax.jit, static_argnums=(0, 6, 7, 8, 11, 12, 14), donate_argnums=(5,)
 )
 def _mh_paged_loop(
     spec, params, logits, n_past, tables, pool, n_steps, window_pages,
     sampler_cfg, key, values, allow_kernel, mesh, penalty_state=None,
+    logprobs_n=None,
 ):
     from llm_tpu.paged import PagedKVCache, paged_decode_loop
 
     pool_spec = PagedKVCache(
         _P(None, "data"), _P(None, "data"), _P(None, "data"), _P(None, "data")
     )
+    out_specs = (_P(None, "data"), _P("data"), _P("data"), pool_spec)
+    if logprobs_n is not None:
+        # per-step logprob arrays ride the stream (data) axis too
+        out_specs = out_specs + (
+            (_P(None, "data"), _P(None, "data"), _P(None, "data")),
+        )
     fn = _shard_map(
         lambda p, lg, n, t, c, k, v, pst: paged_decode_loop(
             spec, p, lg, n, t, c, n_steps, window_pages,
-            sampler_cfg, k, v, allow_kernel, pst,
+            sampler_cfg, k, v, allow_kernel, pst, logprobs_n,
         ),
         mesh=mesh,
         axis_names={"data"},
@@ -552,15 +577,17 @@ def _mh_paged_loop(
             _P(), _P("data"), _P("data"), _P("data"), pool_spec, _P(),
             _P("data"), _P("data"),
         ),
-        out_specs=(
-            _P(None, "data"), _P("data"), _P("data"), pool_spec
-        ),
+        out_specs=out_specs,
         check_vma=False,
     )
-    toks, last_logits, _, new_pool = fn(
+    out = fn(
         params, logits, n_past, tables, pool, key, values, penalty_state
     )
-    return toks, last_logits, new_pool
+    if logprobs_n is not None:
+        toks, last_logits, _, new_pool, lp = out
+        return toks, last_logits, new_pool, lp
+    toks, last_logits, _, new_pool = out
+    return toks, last_logits, new_pool, None
 
 
 class MultiHostPagedEngine(MultiHostEngine):
@@ -797,6 +824,7 @@ class MultiHostPagedEngine(MultiHostEngine):
                      for s in self.slots if s is not None), default=0),
                 self._multi_feasible(active, n_steps),
                 *_sampler_structure_ints(per_slot),
+                _logprobs_local(active),
             ],
             np.int64,
         )
@@ -825,8 +853,10 @@ class MultiHostPagedEngine(MultiHostEngine):
         for i, s in active:
             logits[i] = s.last_logits
 
+        lpn = int(g[:, 9].max())
+        lpn = None if lpn < 0 else lpn
         key = jax.random.PRNGKey(self._steps)  # same on every host
-        toks, last_logits, self.pool = _mh_paged_loop(
+        toks, last_logits, self.pool, lp = _mh_paged_loop(
             self.spec,
             self.params,
             self._to_global(logits, ("data",)),
@@ -843,10 +873,17 @@ class MultiHostPagedEngine(MultiHostEngine):
             self._allow_kernel,
             self.mesh,
             self._penalty_state_global(cfg, active),
+            lpn,
+        )
+        lp_l = (
+            tuple(self._local_rows(a, axis=1) for a in lp)
+            if lp is not None else None
         )
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
-        return events + self._postprocess_multi(active, toks_l, ll_l, n_steps)
+        return events + self._postprocess_multi(
+            active, toks_l, ll_l, n_steps, lp_l
+        )
 
     def _multi_feasible(self, active, n_steps: int) -> int:
         """Largest (halving) block length whose page demand fits the local

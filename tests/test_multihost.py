@@ -329,3 +329,58 @@ def test_multihost_paged_step_multi_pool_pressure(model):
             break
         engine.step_multi(16)
     assert "".join(engine.finished[rid].text) == refs[0]
+
+
+def test_multihost_step_multi_device_logprobs(model):
+    """logprob requests ride the coordinated block path: entries match the
+    dense engine's host-side recording."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.samplers import GreedySampler
+
+    ref_engine = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    rid = ref_engine.submit(GenerationRequest(
+        prompt=[2, 3], max_tokens=6, logprobs=2, sampler=GreedySampler()))
+    while ref_engine.has_work():
+        ref_engine.step()
+    ref = ref_engine.finished[rid].logprob_data
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=2,
+                             kv_dtype=jnp.float32, n_batch=4)
+    ids = [
+        engine.submit(GenerationRequest(
+            prompt=[2, 3], max_tokens=6, logprobs=2,
+            device_sampler=DeviceSampler.greedy())),
+        engine.submit(GenerationRequest(
+            prompt=[9, 4], max_tokens=6,
+            device_sampler=DeviceSampler.greedy())),
+    ]
+    while engine.has_work_global():
+        engine.step_multi(4)
+    got = engine.finished[ids[0]].logprob_data
+    assert len(got) == len(ref) == 6
+    for h, d in zip(ref, got):
+        assert h["token"] == d["token"]
+        assert abs(h["logprob"] - d["logprob"]) < 1e-3
+        assert set(h["top_logprobs"]) == set(d["top_logprobs"])
+
+
+def test_multihost_paged_step_multi_logprobs(model):
+    """Same through the paged shard_map loop (host-local pools)."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(model, mesh, global_streams=2,
+                                  kv_dtype=jnp.float32, page_size=16,
+                                  n_batch=16)
+    rid = engine.submit(GenerationRequest(
+        prompt=[2, 3], max_tokens=5, logprobs=2,
+        device_sampler=DeviceSampler.greedy()))
+    while engine.has_work_global():
+        engine.step_multi(4)
+    data = engine.finished[rid].logprob_data
+    assert len(data) == 5
+    for e in data:
+        assert len(e["top_logprobs"]) == 2
+        assert abs(max(e["top_logprobs"].values()) - e["logprob"]) < 1e-5
