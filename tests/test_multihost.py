@@ -384,3 +384,55 @@ def test_multihost_paged_step_multi_logprobs(model):
     for e in data:
         assert len(e["top_logprobs"]) == 2
         assert abs(max(e["top_logprobs"].values()) - e["logprob"]) < 1e-5
+
+
+def test_multihost_step_multi_penalties(model):
+    """Windowed repetition penalties through the coordinated dense block
+    path: equals the single-host engine's device-penalized greedy."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    ds = DeviceSampler(kind="greedy", repeat_penalty=1.4, penalty_last_n=8)
+    ref_engine = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    ref = ref_engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10, device_sampler=ds)],
+        n_steps=4,
+    )[0]
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=2,
+                             kv_dtype=jnp.float32, n_batch=4)
+    ids = [
+        engine.submit(GenerationRequest(
+            prompt=[2, 3], max_tokens=10, device_sampler=ds)),
+        engine.submit(GenerationRequest(
+            prompt=[9, 4], max_tokens=10,
+            device_sampler=DeviceSampler.greedy())),
+    ]
+    while engine.has_work_global():
+        engine.step_multi(4)
+    assert "".join(engine.finished[ids[0]].text) == ref
+
+
+def test_multihost_paged_step_multi_penalties(model):
+    """Penalty state rides the paged shard_map loop (data-sharded dict)."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.paged import PagedEngine
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+
+    ds = DeviceSampler(kind="greedy", repeat_penalty=1.4, penalty_last_n=8)
+    ref_engine = PagedEngine(model, max_streams=1, page_size=16,
+                             kv_dtype=jnp.float32)
+    ref = ref_engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10, device_sampler=ds)],
+        n_steps=4,
+    )[0]
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(model, mesh, global_streams=2,
+                                  kv_dtype=jnp.float32, page_size=16,
+                                  n_batch=16)
+    rid = engine.submit(GenerationRequest(
+        prompt=[2, 3], max_tokens=10, device_sampler=ds))
+    while engine.has_work_global():
+        engine.step_multi(4)
+    assert "".join(engine.finished[rid].text) == ref
