@@ -107,6 +107,8 @@ class Model:
     model/mod.rs:268-277); any number of sessions may share it.
     """
 
+    chat_template = None  # GGUF tokenizer.chat_template (HF jinja), if any
+
     def __init__(
         self,
         arch: ArchInfo,
@@ -283,7 +285,7 @@ def load(
     progress(LoadProgress("loaded", byte_size=total_bytes))
     del start
 
-    return Model(
+    model = Model(
         arch=arch,
         hyperparameters=hp,
         spec=spec,
@@ -292,3 +294,12 @@ def load(
         model_parameters=params,
         container_type=reader.container,
     )
+    # GGUF checkpoints may carry the HF-convention jinja chat template
+    # (tokenizer.chat_template); the serving chat endpoint renders with it
+    tmpl = (getattr(reader, "metadata", {}) or {}).get(
+        "tokenizer.chat_template"
+    )
+    if isinstance(tmpl, bytes):
+        tmpl = tmpl.decode("utf-8", errors="replace")
+    model.chat_template = tmpl
+    return model

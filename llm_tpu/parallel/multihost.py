@@ -103,6 +103,11 @@ class MultiHostEngine(_LocalEngine):
     NOT call the base constructor (device state is global here).
     """
 
+    # block-path flat bias would need a cross-host agreement on the
+    # biased-token union (static structure); those requests use the
+    # per-token host-sampling path instead
+    supports_device_bias = False
+
     def __init__(
         self,
         model,

@@ -47,21 +47,32 @@ from llm_tpu.serve import Engine, GenerationRequest
 __all__ = ["LlmServer", "sampler_from_params", "serve_forever"]
 
 
+def _logit_bias(params: dict) -> tuple:
+    """OpenAI `logit_bias` {token_id: additive bias}; -100 bans a token
+    outright (the API's documented semantics), mapped to -inf."""
+    raw = params.get("logit_bias") or {}
+    return tuple(
+        (int(k), float("-inf") if float(v) <= -100.0 else float(v))
+        for k, v in raw.items()
+    )
+
+
 def sampler_from_params(params: dict, n_vocab: int = 0):
     """Map OpenAI-style sampling params onto the sampler-chain DSL.
 
     temperature=0 means greedy (top-k 1). Unknown keys are ignored (the
     API surface is a superset across clients); explicit `sampler` strings
     pass straight through to the reference DSL (samplers.rs:238-285)."""
+    bias = _logit_bias(params)
     if params.get("sampler"):
         raw = params["sampler"]
         args = raw if isinstance(raw, list) else [raw]
-        return build_sampler_chain(args, n_vocab=n_vocab)
+        return build_sampler_chain(args, n_vocab=n_vocab, bias=bias)
     args = []
     temp = params.get("temperature")
     if temp is not None and float(temp) <= 0.0:
         return build_sampler_chain(["topk:k=1", "temperature:1.0"],
-                                   n_vocab=n_vocab)
+                                   n_vocab=n_vocab, bias=bias)
     if params.get("repeat_penalty") is not None:
         args.append(f"repetition:penalty={float(params['repeat_penalty'])}")
     if params.get("frequency_penalty") is not None or \
@@ -77,12 +88,13 @@ def sampler_from_params(params: dict, n_vocab: int = 0):
         args.append(f"minp:p={float(params['min_p'])}")
     if temp is not None:
         args.append(f"temperature:{float(temp)}")
-    if not args:
+    if not args and not bias:
         return default_samplers()
-    return build_sampler_chain(args, n_vocab=n_vocab)
+    return build_sampler_chain(args, n_vocab=n_vocab, bias=bias)
 
 
-def device_sampler_from_params(params: dict, allow_logprobs: bool = False):
+def device_sampler_from_params(params: dict, allow_logprobs: bool = False,
+                               allow_bias: bool = True):
     """A DeviceSampler for requests expressible on device (greedy or
     temperature, with optional top-k / top-p / min-p and windowed
     repetition / frequency / presence penalties) — lets a multi-step
@@ -96,6 +108,10 @@ def device_sampler_from_params(params: dict, allow_logprobs: bool = False):
         return None
     if params.get("logprobs") is not None and not allow_logprobs:
         return None
+    if params.get("logit_bias") and not allow_bias:
+        # multi-host block dispatch would need a cross-host agreement on
+        # the biased-token union; those requests sample host-side instead
+        return None
     temp = params.get("temperature")
     if temp is None:
         return None
@@ -103,6 +119,7 @@ def device_sampler_from_params(params: dict, allow_logprobs: bool = False):
         "repeat_penalty": float(params.get("repeat_penalty") or 1.0),
         "frequency_penalty": float(params.get("frequency_penalty") or 0.0),
         "presence_penalty": float(params.get("presence_penalty") or 0.0),
+        "bias": _logit_bias(params),
     }
     if float(temp) <= 0.0:
         return DeviceSampler(kind="greedy", **penalties)
@@ -125,9 +142,27 @@ DEFAULT_CHAT_TEMPLATE = {
 }
 
 
-def render_chat(messages, template=None) -> tuple[str, str]:
-    """[{role, content}] -> (prompt, stop sequence). Unknown roles render
-    with the user prefix."""
+def render_chat(messages, template=None, jinja=None) -> tuple[str, str]:
+    """[{role, content}] -> (prompt, stop sequence).
+
+    Precedence: a per-request `chat_template` dict (role-format strings),
+    then the checkpoint's own HF-convention JINJA template (GGUF
+    `tokenizer.chat_template`, rendered with add_generation_prompt), then
+    the built-in vicuna-style default. Unknown roles render with the user
+    prefix."""
+    if template is None and jinja:
+        import jinja2
+
+        env = jinja2.Environment()  # noqa: S701 — text templating
+        env.globals["raise_exception"] = _jinja_raise
+        prompt = env.from_string(jinja).render(
+            messages=list(messages),
+            add_generation_prompt=True,
+            bos_token="",
+            eos_token="",
+        )
+        # generation halts at the model's own EoT; no textual stop needed
+        return prompt, ""
     t = dict(DEFAULT_CHAT_TEMPLATE)
     if template:
         t.update(template)
@@ -138,6 +173,11 @@ def render_chat(messages, template=None) -> tuple[str, str]:
         parts.append(fmt.format(content=m.get("content", "")))
     parts.append(t["generation_prefix"])
     return "".join(parts), t["stop"]
+
+
+def _jinja_raise(message):
+    """HF chat templates call raise_exception() for unsupported inputs."""
+    raise ValueError(message)
 
 
 class _StopScanner:
@@ -474,6 +514,9 @@ class LlmServer:
                     allow_logprobs=getattr(
                         self.loop.engine, "supports_device_logprobs", False
                     ),
+                    allow_bias=getattr(
+                        self.loop.engine, "supports_device_bias", True
+                    ),
                 )
                 if self.loop.multi_step > 1 else None
             ),
@@ -587,8 +630,15 @@ def _make_handler(server: LlmServer):
             if chat:
                 # render messages -> prompt; the user prefix joins the
                 # stop set (the CLI chat convention, interactive.rs:66-114)
-                prompt, stop = render_chat(body.get("messages", ()),
-                                           body.get("chat_template"))
+                try:
+                    prompt, stop = render_chat(
+                        body.get("messages", ()),
+                        body.get("chat_template"),
+                        getattr(server.model, "chat_template", None),
+                    )
+                except ValueError as e:  # template raise_exception()
+                    self._json(400, {"error": str(e)})
+                    return
                 stops = body.get("stop") or []
                 if isinstance(stops, str):
                     stops = [stops]
