@@ -607,9 +607,12 @@ def cmd_chat(args) -> None:
 def cmd_gguf_convert(args) -> None:
     from llm_tpu.ggml.gguf import convert_ggml_to_gguf
 
+    tmpl = args.chat_template
+    if tmpl and os.path.exists(tmpl):
+        tmpl = Path(tmpl).read_text()
     convert_ggml_to_gguf(
         args.source, args.destination, args.model_architecture,
-        tokenizer_json=args.tokenizer_json,
+        tokenizer_json=args.tokenizer_json, chat_template=tmpl,
     )
     print(f"wrote {args.destination}", file=sys.stderr)
 
@@ -784,6 +787,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--tokenizer-json", default=None,
         help="HF tokenizer.json to source BPE merges from "
         "(emits tokenizer.ggml.merges / model=gpt2)",
+    )
+    p.add_argument(
+        "--chat-template", default=None,
+        help="HF-convention jinja chat template to embed as "
+        "tokenizer.chat_template (file path or literal template text)",
     )
     p.set_defaults(fn=cmd_gguf_convert)
 

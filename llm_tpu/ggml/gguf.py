@@ -611,6 +611,7 @@ def convert_ggml_to_gguf(
     dst: str | Path,
     architecture: str = "llama",
     tokenizer_json: "Optional[str | Path]" = None,
+    chat_template: "Optional[str]" = None,
 ) -> None:
     """Convert a classic GGML/GGJT checkpoint into GGUF v3 (all 7 archs)."""
     from llm_tpu.ggml.reader import GgmlReader
@@ -644,6 +645,8 @@ def convert_ggml_to_gguf(
             if merges:
                 md["tokenizer.ggml.model"] = "gpt2"
                 md["tokenizer.ggml.merges"] = merges
+        if chat_template:
+            md["tokenizer.chat_template"] = chat_template
         for k, v in md.items():
             w.add_metadata(k, v)
         for name, info in reader.tensors.items():

@@ -366,3 +366,25 @@ def test_gguf_convert_merges_from_tokenizer_json(tmp_path):
     md = GgufReader(gguf).load("gpt2").metadata
     assert md["tokenizer.ggml.model"] == b"gpt2"
     assert md["tokenizer.ggml.merges"] == [b"a b", b"ab c"]
+
+
+def test_gguf_convert_embeds_chat_template(tmp_path):
+    """gguf-convert --chat-template -> tokenizer.chat_template metadata ->
+    Model.chat_template -> chat rendering."""
+    from llm_tpu.cli import main
+    from llm_tpu.loader import ModelParameters, load
+    from llm_tpu.server import render_chat
+    from llm_tpu.testing import make_tiny_file
+
+    src = tmp_path / "m.bin"
+    make_tiny_file("llama", src)
+    dst = tmp_path / "m.gguf"
+    tmpl = "{% for m in messages %}<t2>{{ m.content }}{% endfor %}<t3>"
+    main(["gguf-convert", str(src), str(dst), "-a", "llama",
+          "--chat-template", tmpl])
+    m = load(dst, "llama", params=ModelParameters(context_size=32))
+    assert m.chat_template == tmpl
+    prompt, _ = render_chat(
+        [{"role": "user", "content": "<t5>"}], None, m.chat_template
+    )
+    assert prompt == "<t2><t5><t3>"
