@@ -827,7 +827,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the startup compile warm-up request")
     p.add_argument("--draft-model", default=None,
                    help="speculative decoding: small same-vocab draft "
-                   "checkpoint (greedy requests only, dense KV)")
+                   "checkpoint (greedy requests only; dense KV, or paged "
+                   "with --paged incl. --prefix-cache/--kv-int8)")
     p.add_argument("--draft-k", type=int, default=4,
                    help="draft proposals per speculative round")
     p.add_argument("--multihost", action="store_true",

@@ -752,13 +752,21 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
         engine = cls(model, mesh, global_streams=max_streams,
                      kv_dtype=kv_dtype, n_batch=n_batch, **kwargs)
     elif draft is not None:
-        from llm_tpu.speculative import SpeculativeEngine
+        from llm_tpu.speculative import (
+            PagedSpeculativeEngine,
+            SpeculativeEngine,
+        )
 
         if paged:
-            raise ValueError("--draft-model is dense-KV only for now")
-        engine = SpeculativeEngine(model, draft, k=draft_k,
-                                   max_streams=max_streams,
-                                   kv_dtype=kv_dtype, n_batch=n_batch)
+            kwargs = {} if n_pages is None else {"n_pages": n_pages}
+            engine = PagedSpeculativeEngine(
+                model, draft, k=draft_k, max_streams=max_streams,
+                kv_dtype=kv_dtype, n_batch=n_batch, page_size=page_size,
+                prefix_cache=prefix_cache, **kwargs)
+        else:
+            engine = SpeculativeEngine(model, draft, k=draft_k,
+                                       max_streams=max_streams,
+                                       kv_dtype=kv_dtype, n_batch=n_batch)
     elif paged:
         from llm_tpu.paged import PagedEngine
 

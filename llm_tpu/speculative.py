@@ -445,6 +445,21 @@ class SpeculativeEngine(Engine):
         # mode would bypass verification
         return self.step()
 
+    def _reserve_round(self, decodable, k: int) -> bool:
+        """Reserve room for a k-token verify per stream; dense slot caches
+        always have it (PagedSpeculativeEngine pre-allocates pages)."""
+        return True
+
+    def _verify_batch(self, proposals, n_past, mask, max_past, k):
+        """One batched T=k target forward over all streams' proposals;
+        returns [B, k, V] logits (dense cache here; paged override)."""
+        window = window_bucket(max_past + k, self.spec.n_ctx)
+        t_logits, self.cache = _verify(
+            self.spec, self.params, jnp.asarray(proposals),
+            jnp.asarray(n_past), self.cache, window, jnp.asarray(mask),
+        )
+        return np.asarray(t_logits)
+
     def step(self):
         self._admit()
         self._advance_prefills()
@@ -464,8 +479,9 @@ class SpeculativeEngine(Engine):
             mask[slot] = True
         max_past = int(n_past.max())
         k = min(self.k, spec.n_ctx - 1 - max_past)
-        if k <= 0:
-            # at the context boundary the plain path retires cleanly
+        if k <= 0 or not self._reserve_round(decodable, k):
+            # at the context boundary (or a page pool too tight for the
+            # round) the plain path makes progress / retires cleanly
             return events + super().step()
         window = window_bucket(max_past + k, spec.n_ctx)
 
@@ -479,11 +495,7 @@ class SpeculativeEngine(Engine):
         proposals = np.asarray(toks).T  # [B, k]
 
         # 2. target verifies all proposals in one batched T=k forward
-        t_logits, self.cache = _verify(
-            spec, self.params, jnp.asarray(proposals),
-            jnp.asarray(n_past), self.cache, window, jnp.asarray(mask),
-        )
-        t_logits = np.asarray(t_logits)  # [B, k, V]
+        t_logits = self._verify_batch(proposals, n_past, mask, max_past, k)
 
         # 3. per-stream host acceptance of the longest agreeing prefix
         eot = self._eot
@@ -713,3 +725,59 @@ class SampledSpeculativeEngine(SpeculativeEngine):
             for slot, stream in tail_streams:
                 stream.last_logits = tl[slot]
         return events
+
+
+from llm_tpu.paged import PagedEngine  # noqa: E402
+
+
+class PagedSpeculativeEngine(SpeculativeEngine, PagedEngine):
+    """Speculative decoding over a PAGED target KV pool (greedy streams).
+
+    Long-context serving composed with draft acceleration: the target's
+    KV rides PagedEngine's shared page pool (bf16/f32/int8, optional
+    prompt-prefix cache), while the small draft keeps a dense [L, B]
+    cache. Each round pre-allocates pages for the k verify positions; a
+    pool too tight for the round falls back to the plain paged per-token
+    step (and its kv_oom retirement rules). Verify overshoot is safe for
+    the same reason as dense: unaccepted positions stay masked
+    (reads touch pos < n_past only) and live in this stream's OWN pages —
+    a borrowed prefix ends at the prompt boundary, strictly below any
+    verify position, so shared pages are never written.
+
+    MRO: SpeculativeEngine supplies the round logic (draft block ->
+    verify -> longest-agreeing-prefix acceptance), PagedEngine supplies
+    the device state (pool/tables/allocator, paged prefill, fallback
+    step); only the verify dispatch and round reservation differ."""
+
+    def __init__(self, model, draft, k: int = 4, **kw):
+        super().__init__(model, draft, k=k, **kw)
+
+    def _reserve_round(self, decodable, k: int) -> bool:
+        try:
+            for slot, s in decodable:
+                self._ensure_pages(
+                    slot, min(s.n_past + k, self.spec.n_ctx) - 1
+                )
+        except MemoryError:
+            return False
+        return True
+
+    def _verify_batch(self, proposals, n_past, mask, max_past, k):
+        from llm_tpu.paged import paged_step
+
+        # dummy rows have no write_mask in the paged forward: park a
+        # prefilling slot's writes at its frontier (the next real chunk
+        # overwrites them) — empty slots' page-0 entries are TRASH already
+        n_past = np.array(n_past)
+        for slot, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                n_past[slot] = s.prefill_pos
+        wp = min(
+            -(-(max_past + k) // self.page_size), self.pages_per_stream
+        )
+        t_logits, _, self.pool = paged_step(
+            self.spec, self.params, jnp.asarray(proposals),
+            jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
+            wp, self._allow_kernel,
+        )
+        return np.asarray(t_logits)

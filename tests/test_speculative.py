@@ -279,3 +279,111 @@ def test_sampled_speculative_engine_rejects_host_sampler(models):
                                       kv_dtype=jnp.float32)
     with pytest.raises(ValueError):
         engine.submit(GenerationRequest(prompt=[2], max_tokens=2))
+
+
+def test_paged_speculative_matches_plain_paged(models):
+    """Speculative decoding over a PAGED target pool equals the plain
+    paged engine's greedy output for every stream."""
+    from llm_tpu.paged import PagedEngine
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    target, draft = models
+    prompts = [[2, 3], [9, 4, 5], [7, 8, 2, 11]]
+    from llm_tpu.samplers import GreedySampler
+
+    plain = PagedEngine(target, max_streams=3, page_size=16,
+                        kv_dtype=jnp.float32)
+    ref_texts = plain.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=12, sampler=GreedySampler())
+         for p in prompts]
+    )
+    refs = [ref_texts[i] for i in sorted(ref_texts)]
+
+    engine = PagedSpeculativeEngine(target, draft, k=4, max_streams=3,
+                                    page_size=16, kv_dtype=jnp.float32,
+                                    n_batch=8)
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=12) for p in prompts]
+    )
+    assert [texts[i] for i in sorted(texts)] == refs
+    assert engine.drafted > 0
+    # pages all returned when the streams retire
+    assert engine.allocator.available == engine.pool.n_pages - 1
+
+
+def test_paged_speculative_int8_pool(models):
+    from llm_tpu.paged import PagedEngine
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    target, draft = models
+    from llm_tpu.samplers import GreedySampler
+
+    plain = PagedEngine(target, max_streams=1, page_size=16, kv_dtype="int8")
+    ref = plain.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10,
+                           sampler=GreedySampler())]
+    )[0]
+    engine = PagedSpeculativeEngine(target, draft, k=3, max_streams=1,
+                                    page_size=16, kv_dtype="int8")
+    got = engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10)]
+    )[0]
+    assert got == ref
+
+
+def test_paged_speculative_with_prefix_cache(models):
+    """Prefix reuse composes with paged speculative rounds: borrowed
+    prompt pages are never written by verify overshoot."""
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    target, draft = models
+    prompt = list(range(2, 21))
+    engine = PagedSpeculativeEngine(target, draft, k=3, max_streams=1,
+                                    page_size=8, kv_dtype=jnp.float32,
+                                    prefix_cache=True)
+    first = engine.generate_all(
+        [GenerationRequest(prompt=prompt, max_tokens=8)]
+    )
+    second = engine.generate_all(
+        [GenerationRequest(prompt=prompt, max_tokens=8)]
+    )
+    assert list(first.values())[0] == list(second.values())[0]
+
+
+def test_paged_speculative_tight_pool_falls_back(models):
+    """A pool too small for k-token rounds still completes correctly via
+    the per-token paged fallback."""
+    from llm_tpu.paged import PagedEngine
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    target, draft = models
+    from llm_tpu.samplers import GreedySampler
+
+    plain = PagedEngine(target, max_streams=1, page_size=16,
+                        kv_dtype=jnp.float32)
+    ref = plain.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10,
+                           sampler=GreedySampler())]
+    )[0]
+    engine = PagedSpeculativeEngine(target, draft, k=4, max_streams=1,
+                                    page_size=16, n_pages=3,
+                                    kv_dtype=jnp.float32)
+    got = engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10)]
+    )[0]
+    assert got == ref
+
+
+def test_paged_speculative_self_draft_accepts_everything(models):
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    target, _ = models
+    engine = PagedSpeculativeEngine(target, target, k=4, max_streams=1,
+                                    page_size=16, kv_dtype=jnp.float32)
+    engine.generate_all([GenerationRequest(prompt=[2, 3], max_tokens=12)])
+    assert engine.acceptance_rate > 0.9
