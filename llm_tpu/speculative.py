@@ -450,15 +450,23 @@ class SpeculativeEngine(Engine):
         always have it (PagedSpeculativeEngine pre-allocates pages)."""
         return True
 
-    def _verify_batch(self, proposals, n_past, mask, max_past, k):
+    def _verify_batch(self, proposals, n_past, mask, max_past, k,
+                      extra: int = 0):
         """One batched T=k target forward over all streams' proposals;
-        returns [B, k, V] logits (dense cache here; paged override)."""
-        window = window_bucket(max_past + k, self.spec.n_ctx)
+        returns [B, k, V] logits (dense cache here; paged override).
+        `extra` widens the window bucket (the sampled variant shares one
+        compiled window with its T=1 tail eval)."""
+        window = window_bucket(max_past + k + extra, self.spec.n_ctx)
         t_logits, self.cache = _verify(
             self.spec, self.params, jnp.asarray(proposals),
             jnp.asarray(n_past), self.cache, window, jnp.asarray(mask),
         )
         return np.asarray(t_logits)
+
+    def _fallback_step(self):
+        """Per-token progress when a speculative round cannot run (context
+        boundary / page pool too tight)."""
+        return super().step()
 
     def step(self):
         self._admit()
@@ -628,8 +636,8 @@ class SampledSpeculativeEngine(SpeculativeEngine):
         max_past = int(n_past.max())
         # +1 below the greedy clamp: a bonus token may extend past k
         k = min(self.k, spec.n_ctx - 2 - max_past)
-        if k <= 0:
-            return events + Engine.step(self)
+        if k <= 0 or not self._reserve_round(decodable, k + 1):
+            return events + self._fallback_step()
         window = window_bucket(max_past + k + 1, spec.n_ctx)
 
         per_slot = [None] * B
@@ -648,11 +656,9 @@ class SampledSpeculativeEngine(SpeculativeEngine):
         proposals = np.asarray(toks).T  # [B, k]
         q_logits = np.asarray(q_logits)  # [k, B, V]
 
-        t_logits, self.cache = _verify(
-            spec, self.params, jnp.asarray(proposals),
-            jnp.asarray(n_past), self.cache, window, jnp.asarray(mask),
-        )
-        t_logits = np.asarray(t_logits)  # [B, k, V]
+        t_logits = self._verify_batch(
+            proposals, n_past, mask, max_past, k, extra=1
+        )  # [B, k, V]
 
         eot = self._eot
         tail_ids = np.zeros(B, np.int32)
@@ -712,45 +718,38 @@ class SampledSpeculativeEngine(SpeculativeEngine):
             pos = np.zeros(B, np.int32)
             for slot, stream in tail_streams:
                 pos[slot] = stream.n_past - 1  # the tail token's position
-            tl, self.cache = _tail_eval(
-                spec, self.params, jnp.asarray(tail_ids), jnp.asarray(pos),
-                self.cache, window, jnp.asarray(tail_mask),
-            )
+            tl = self._tail_eval_target(tail_ids, pos, tail_mask, window)
             _, self.d_cache = _tail_eval(
                 self.draft.spec, self.draft.params, jnp.asarray(tail_ids),
                 jnp.asarray(pos), self.d_cache, window,
                 jnp.asarray(tail_mask),
             )
-            tl = np.asarray(tl)
             for slot, stream in tail_streams:
                 stream.last_logits = tl[slot]
         return events
+
+    def _tail_eval_target(self, tail_ids, pos, tail_mask, window):
+        """Masked T=1 target eval of the emitted correction/bonus tokens
+        (dense cache here; paged override)."""
+        tl, self.cache = _tail_eval(
+            self.spec, self.params, jnp.asarray(tail_ids),
+            jnp.asarray(pos), self.cache, window, jnp.asarray(tail_mask),
+        )
+        return np.asarray(tl)
 
 
 from llm_tpu.paged import PagedEngine  # noqa: E402
 
 
-class PagedSpeculativeEngine(SpeculativeEngine, PagedEngine):
-    """Speculative decoding over a PAGED target KV pool (greedy streams).
-
-    Long-context serving composed with draft acceleration: the target's
-    KV rides PagedEngine's shared page pool (bf16/f32/int8, optional
-    prompt-prefix cache), while the small draft keeps a dense [L, B]
-    cache. Each round pre-allocates pages for the k verify positions; a
-    pool too tight for the round falls back to the plain paged per-token
-    step (and its kv_oom retirement rules). Verify overshoot is safe for
-    the same reason as dense: unaccepted positions stay masked
-    (reads touch pos < n_past only) and live in this stream's OWN pages —
-    a borrowed prefix ends at the prompt boundary, strictly below any
-    verify position, so shared pages are never written.
-
-    MRO: SpeculativeEngine supplies the round logic (draft block ->
-    verify -> longest-agreeing-prefix acceptance), PagedEngine supplies
-    the device state (pool/tables/allocator, paged prefill, fallback
-    step); only the verify dispatch and round reservation differ."""
-
-    def __init__(self, model, draft, k: int = 4, **kw):
-        super().__init__(model, draft, k=k, **kw)
+class _PagedSpeculativeMixin:
+    """Paged-target plumbing shared by the greedy and sampled paged
+    speculative engines: page reservation per round, the T=k verify and
+    T=1 tail eval through the paged forward, and the per-token paged
+    fallback. Verify overshoot is safe for the same reason as dense:
+    unaccepted positions stay masked (reads touch pos < n_past only) and
+    live in the stream's OWN pages — a borrowed prefix ends at the prompt
+    boundary, strictly below any verify position, so shared pages are
+    never written."""
 
     def _reserve_round(self, decodable, k: int) -> bool:
         try:
@@ -762,22 +761,80 @@ class PagedSpeculativeEngine(SpeculativeEngine, PagedEngine):
             return False
         return True
 
-    def _verify_batch(self, proposals, n_past, mask, max_past, k):
-        from llm_tpu.paged import paged_step
+    def _fallback_step(self):
+        return PagedEngine.step(self)
 
-        # dummy rows have no write_mask in the paged forward: park a
-        # prefilling slot's writes at its frontier (the next real chunk
-        # overwrites them) — empty slots' page-0 entries are TRASH already
+    def _adjusted_n_past(self, n_past):
+        """Dummy rows have no write_mask in the paged forward: park a
+        prefilling slot's writes at its frontier (the next real chunk
+        overwrites them) — empty slots' page-0 entries are TRASH already."""
         n_past = np.array(n_past)
         for slot, s in enumerate(self.slots):
             if s is not None and s.prefilling:
                 n_past[slot] = s.prefill_pos
+        return n_past
+
+    def _verify_batch(self, proposals, n_past, mask, max_past, k,
+                      extra: int = 0):
+        from llm_tpu.paged import paged_step
+
         wp = min(
-            -(-(max_past + k) // self.page_size), self.pages_per_stream
+            -(-(max_past + k + extra) // self.page_size),
+            self.pages_per_stream,
         )
         t_logits, _, self.pool = paged_step(
             self.spec, self.params, jnp.asarray(proposals),
-            jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
-            wp, self._allow_kernel,
+            jnp.asarray(self._adjusted_n_past(n_past)),
+            jnp.asarray(self.tables), self.pool, wp, self._allow_kernel,
         )
         return np.asarray(t_logits)
+
+    def _tail_eval_target(self, tail_ids, pos, tail_mask, window):
+        from llm_tpu.paged import paged_step
+
+        # rows outside tail_mask: every surviving decodable stream IS a
+        # tail stream (non-tail ones retired), so the only dummy rows are
+        # prefilling (frontier-parked) or empty (TRASH page 0) slots
+        pos = np.array(pos)
+        for slot, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                pos[slot] = s.prefill_pos
+        wp = min(
+            max(1, -(-(int(pos.max()) + 1) // self.page_size)),
+            self.pages_per_stream,
+        )
+        tl, _, self.pool = paged_step(
+            self.spec, self.params, jnp.asarray(tail_ids)[:, None],
+            jnp.asarray(pos), jnp.asarray(self.tables), self.pool,
+            wp, self._allow_kernel,
+        )
+        return np.asarray(tl)[:, 0, :]
+
+
+class PagedSpeculativeEngine(
+    _PagedSpeculativeMixin, SpeculativeEngine, PagedEngine
+):
+    """Speculative decoding over a PAGED target KV pool (greedy streams).
+
+    Long-context serving composed with draft acceleration: the target's
+    KV rides PagedEngine's shared page pool (bf16/f32/int8, optional
+    prompt-prefix cache), while the small draft keeps a dense [L, B]
+    cache. Each round pre-allocates pages for the k verify positions; a
+    pool too tight for the round falls back to the plain paged per-token
+    step (and its kv_oom retirement rules).
+
+    MRO: the mixin supplies the paged verify/reserve/fallback,
+    SpeculativeEngine the round logic (draft block -> verify ->
+    longest-agreeing-prefix acceptance), PagedEngine the device state
+    (pool/tables/allocator, paged prefill)."""
+
+
+class PagedSampledSpeculativeEngine(
+    _PagedSpeculativeMixin, SampledSpeculativeEngine, PagedEngine
+):
+    """Rejection-sampling speculative decoding over a PAGED target pool.
+
+    The sampled round reserves k+1 positions (the correction/bonus tail
+    extends one past the proposals) and its T=1 tail eval runs through
+    the paged forward; everything else is SampledSpeculativeEngine's
+    exact-acceptance machinery over PagedEngine state."""

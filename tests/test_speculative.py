@@ -387,3 +387,65 @@ def test_paged_speculative_self_draft_accepts_everything(models):
                                     page_size=16, kv_dtype=jnp.float32)
     engine.generate_all([GenerationRequest(prompt=[2, 3], max_tokens=12)])
     assert engine.acceptance_rate > 0.9
+
+
+def test_paged_sampled_speculative_engine(models):
+    """Rejection-sampling speculative over a paged pool: deterministic per
+    seed, correct page accounting, high self-draft acceptance."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSampledSpeculativeEngine
+
+    target, draft = models
+
+    def run(seed, d=None, **kw):
+        engine = PagedSampledSpeculativeEngine(
+            target, d or draft, k=3, max_streams=2, page_size=16,
+            kv_dtype=jnp.float32, n_batch=8, **kw,
+        )
+        out = engine.generate_all([
+            GenerationRequest(
+                prompt=[2, 9, 4], max_tokens=10, seed=seed,
+                device_sampler=DeviceSampler(kind="sample",
+                                             temperature=0.9, top_k=20),
+            ),
+            GenerationRequest(
+                prompt=[7, 8], max_tokens=10, seed=seed + 1,
+                device_sampler=DeviceSampler(kind="sample",
+                                             temperature=0.7, top_k=8),
+            ),
+        ])
+        return [out[i] for i in sorted(out)], engine
+
+    o1, e1 = run(3)
+    o2, _ = run(3)
+    assert o1 == o2  # deterministic per seed
+    assert all(len(t) > 0 for t in o1)
+    # pages all returned
+    assert e1.allocator.available == e1.pool.n_pages - 1
+
+    _, e_self = run(5, d=target)
+    assert e_self.acceptance_rate > 0.9
+
+    # tight pool: rounds fall back to per-token but still complete
+    o_tight, _ = run(3, n_pages=3)
+    assert all(len(t) > 0 for t in o_tight)
+
+
+def test_paged_sampled_speculative_int8(models):
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSampledSpeculativeEngine
+
+    target, draft = models
+    engine = PagedSampledSpeculativeEngine(
+        target, draft, k=3, max_streams=1, page_size=16, kv_dtype="int8",
+    )
+    out = engine.generate_all([
+        GenerationRequest(
+            prompt=[2, 3], max_tokens=8, seed=1,
+            device_sampler=DeviceSampler(kind="sample", temperature=0.8,
+                                         top_k=10),
+        )
+    ])
+    assert len(list(out.values())[0]) > 0
