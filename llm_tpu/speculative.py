@@ -764,6 +764,33 @@ class _PagedSpeculativeMixin:
     def _fallback_step(self):
         return PagedEngine.step(self)
 
+    def _begin_prefill(self, stream, slot: int) -> None:
+        super()._begin_prefill(stream, slot)
+        # a borrowed prompt-prefix page chain (prefix_cache) skips TARGET
+        # prefill for those positions, but the dense DRAFT cache has no
+        # such reuse — prefill the draft over the skipped region now, or
+        # its attention would read a previous occupant's stale KV there
+        # (outputs stay correct via verification, but draft quality and
+        # per-engine determinism would silently degrade)
+        spec_d = self.draft.spec
+        toks = stream.prefill_queue
+        pos = 0
+        while pos < stream.prefill_pos:
+            chunk = toks[pos : pos + self.n_batch]
+            bucket = (
+                self.n_batch
+                if pos + self.n_batch <= spec_d.n_ctx
+                else len(chunk)
+            )
+            ids = np.zeros(bucket, np.int32)
+            ids[: len(chunk)] = chunk
+            _, self.d_cache = _prefill_slot(
+                spec_d, self.draft.params, jnp.asarray(ids),
+                jnp.int32(pos), slot, self.d_cache,
+                window_bucket(pos, spec_d.n_ctx),
+            )
+            pos += len(chunk)
+
     def _adjusted_n_past(self, n_past):
         """Dummy rows have no write_mask in the paged forward: park a
         prefilling slot's writes at its frontier (the next real chunk

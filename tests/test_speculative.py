@@ -449,3 +449,34 @@ def test_paged_sampled_speculative_int8(models):
         )
     ])
     assert len(list(out.values())[0]) > 0
+
+
+def test_paged_speculative_prefix_borrow_prefills_draft(models):
+    """Borrowed target pages skip TARGET prefill, but the dense draft
+    cache must still be prefilled over the skipped region (stale draft KV
+    would silently degrade proposals and determinism)."""
+    import jax
+
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    target, draft = models
+    prompt = list(range(2, 21))  # 19 toks + BOS = 20 -> 2 full pages of 8
+    engine = PagedSpeculativeEngine(target, draft, k=3, max_streams=1,
+                                    page_size=8, kv_dtype=jnp.float32,
+                                    n_batch=8, prefix_cache=True)
+    engine.generate_all([GenerationRequest(prompt=prompt, max_tokens=4)])
+    assert engine.prefix_cache.evictable == 2  # pages registered
+
+    # wipe the draft cache, then admit the same prompt: the borrow jumps
+    # prefill_pos to 16, and the draft must be re-prefilled over [0, 16)
+    engine.d_cache = jax.tree.map(jnp.zeros_like, engine.d_cache)
+    rid = engine.submit(GenerationRequest(prompt=prompt, max_tokens=4))
+    engine._admit()
+    stream = engine.slots[0]
+    assert stream is not None and stream.prefill_pos == 16  # borrowed
+    k_slice = np.asarray(engine.d_cache.k[:, 0, :16])
+    assert np.abs(k_slice).sum() > 0, "draft cache not prefilled over the borrow"
+    while engine.has_work():
+        engine.step()
+    assert len("".join(engine.finished[rid].text)) > 0
