@@ -77,7 +77,12 @@ class BatchedDeviceSampler:
     any_top_p: bool = False  # any stream with top_p < 1 (cutoff pass traced)
     any_min_p: bool = False  # any stream with min_p > 0
     any_penalty: bool = False  # any stream with repeat/freq/presence set
-    penalty_last_n: int = 64  # static ring width = max over penalty streams
+    # static ring width. NOTE: the batched path unifies the penalty WINDOW
+    # to the max across penalty-active streams (per-stream penalty VALUES
+    # stay exact; a shared ring cannot expire per-stream) — streams that
+    # need a different window than their batchmates should use the host
+    # sampler chain
+    penalty_last_n: int = 64
 
 
 def batched_sampler(samplers, n_slots: int):
