@@ -402,13 +402,21 @@ class SpeculativeEngine(Engine):
         assert model.spec.n_ctx == draft.spec.n_ctx, (
             "batched speculative requires equal context windows"
         )
-        assert kw.get("mesh") is None, "mesh not supported yet"
         self.draft = draft
         self.k = k
         super().__init__(model, **kw)
         self.d_cache = init_cache_batched(
             draft.spec, self.max_streams, kw.get("kv_dtype", jnp.bfloat16)
         )
+        self.d_params = draft.params
+        mesh = kw.get("mesh")
+        if mesh is not None:
+            # TP: the draft shards exactly like the target (the verify and
+            # draft dispatches are ordinary jits — GSPMD partitions them)
+            from llm_tpu.parallel import shard_cache, shard_params
+
+            self.d_params = shard_params(draft.params, mesh)
+            self.d_cache = shard_cache(self.d_cache, mesh, batched=True)
         self.accepted = 0
         self.drafted = 0
 
@@ -435,7 +443,7 @@ class SpeculativeEngine(Engine):
         ids = np.zeros(bucket, np.int32)
         ids[: len(chunk)] = chunk
         _, self.d_cache = _prefill_slot(
-            spec_d, self.draft.params, jnp.asarray(ids), jnp.int32(pos),
+            spec_d, self.d_params, jnp.asarray(ids), jnp.int32(pos),
             slot, self.d_cache, window_bucket(pos, spec_d.n_ctx),
         )
         super()._prefill_chunk(stream, slot)
@@ -496,7 +504,7 @@ class SpeculativeEngine(Engine):
         # 1. draft proposes k tokens per stream (proposal 0 chains from
         # the TARGET's head logits, so it is that stream's own argmax)
         toks, _, _, self.d_cache = decode_loop_batched(
-            self.draft.spec, self.draft.params, jnp.asarray(ll),
+            self.draft.spec, self.d_params, jnp.asarray(ll),
             jnp.asarray(n_past), self.d_cache, k, window,
             write_mask=jnp.asarray(mask),
         )
@@ -649,7 +657,7 @@ class SampledSpeculativeEngine(SpeculativeEngine):
             getattr(self, "_key", jax.random.PRNGKey(0))
         )[0]
         toks, q_logits, self.d_cache = _draft_propose_batched(
-            self.draft.spec, self.draft.params, jnp.asarray(ll),
+            self.draft.spec, self.d_params, jnp.asarray(ll),
             jnp.asarray(n_past), self.d_cache, k, self._key, window,
             sampler, values, jnp.asarray(mask),
         )
@@ -720,7 +728,7 @@ class SampledSpeculativeEngine(SpeculativeEngine):
                 pos[slot] = stream.n_past - 1  # the tail token's position
             tl = self._tail_eval_target(tail_ids, pos, tail_mask, window)
             _, self.d_cache = _tail_eval(
-                self.draft.spec, self.draft.params, jnp.asarray(tail_ids),
+                self.draft.spec, self.d_params, jnp.asarray(tail_ids),
                 jnp.asarray(pos), self.d_cache, window,
                 jnp.asarray(tail_mask),
             )
@@ -785,7 +793,7 @@ class _PagedSpeculativeMixin:
             ids = np.zeros(bucket, np.int32)
             ids[: len(chunk)] = chunk
             _, self.d_cache = _prefill_slot(
-                spec_d, self.draft.params, jnp.asarray(ids),
+                spec_d, self.d_params, jnp.asarray(ids),
                 jnp.int32(pos), slot, self.d_cache,
                 window_bucket(pos, spec_d.n_ctx),
             )

@@ -480,3 +480,49 @@ def test_paged_speculative_prefix_borrow_prefills_draft(models):
     while engine.has_work():
         engine.step()
     assert len("".join(engine.finished[rid].text)) > 0
+
+
+def test_speculative_engine_tp_mesh_matches_single_device(models):
+    """Speculative serving under a TP(+DP) mesh: target and draft both
+    shard; greedy output equals the unsharded engine."""
+    from llm_tpu.parallel.sharding import MeshConfig, make_mesh
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SpeculativeEngine
+
+    target, draft = models
+    prompts = [[2, 3], [9, 4, 5]]
+    base = SpeculativeEngine(target, draft, k=3, max_streams=2,
+                             kv_dtype=jnp.float32, n_batch=8)
+    refs = base.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=10) for p in prompts]
+    )
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = SpeculativeEngine(target, draft, k=3, max_streams=2,
+                               kv_dtype=jnp.float32, n_batch=8, mesh=mesh)
+    texts = engine.generate_all(
+        [GenerationRequest(prompt=p, max_tokens=10) for p in prompts]
+    )
+    assert [texts[i] for i in sorted(texts)] == [refs[i] for i in sorted(refs)]
+    assert engine.drafted > 0
+
+
+def test_paged_speculative_engine_tp_mesh(models):
+    from llm_tpu.parallel.sharding import MeshConfig, make_mesh
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    target, draft = models
+    base = PagedSpeculativeEngine(target, draft, k=3, max_streams=1,
+                                  page_size=16, kv_dtype=jnp.float32)
+    ref = base.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10)]
+    )
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    engine = PagedSpeculativeEngine(target, draft, k=3, max_streams=1,
+                                    page_size=16, kv_dtype=jnp.float32,
+                                    mesh=mesh)
+    got = engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=10)]
+    )
+    assert list(got.values()) == list(ref.values())
