@@ -655,6 +655,7 @@ def cmd_serve(args) -> None:
             warmup=not args.no_warmup,
             draft=draft,
             draft_k=args.draft_k,
+            draft_sampled=args.draft_sampled,
             multihost=args.multihost,
             model_parallel=args.model_parallel,
         )
@@ -831,6 +832,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "with --paged incl. --prefix-cache/--kv-int8)")
     p.add_argument("--draft-k", type=int, default=4,
                    help="draft proposals per speculative round")
+    p.add_argument("--draft-sampled", action="store_true",
+                   help="rejection-sampling speculative decoding: serves "
+                   "SAMPLED requests (temperature/top-k/top-p/min-p; "
+                   "greedy maps to top-k 1) with the output distribution "
+                   "exactly the target's")
     p.add_argument("--multihost", action="store_true",
                    help="serve across host processes over a global mesh "
                    "(run one `serve` per host; --max-streams counts GLOBAL "

@@ -507,7 +507,8 @@ class LlmServer:
             sampler=sampler,
             seed=body.get("seed"),
             # multi-step servers decode whole blocks on device when every
-            # active request's sampling is device-expressible
+            # active request's sampling is device-expressible; sampled
+            # speculative engines consume the device sampler per round
             device_sampler=(
                 device_sampler_from_params(
                     body,
@@ -518,7 +519,9 @@ class LlmServer:
                         self.loop.engine, "supports_device_bias", True
                     ),
                 )
-                if self.loop.multi_step > 1 else None
+                if self.loop.multi_step > 1 or getattr(
+                    self.loop.engine, "requires_device_sampler", False
+                ) else None
             ),
             logprobs=(int(body["logprobs"])
                       if body.get("logprobs") is not None else None),
@@ -727,8 +730,9 @@ def _make_handler(server: LlmServer):
 def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                   kv_dtype=None, n_batch=64, paged=False, page_size=256,
                   n_pages=None, multi_step=0, warmup=True,
-                  draft=None, draft_k=4, multihost=False,
-                  model_parallel=None, prefix_cache=False) -> None:
+                  draft=None, draft_k=4, draft_sampled=False,
+                  multihost=False, model_parallel=None,
+                  prefix_cache=False) -> None:
     """CLI entry: build the engine and serve until interrupted."""
     import jax.numpy as jnp
 
@@ -753,20 +757,26 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                      kv_dtype=kv_dtype, n_batch=n_batch, **kwargs)
     elif draft is not None:
         from llm_tpu.speculative import (
+            PagedSampledSpeculativeEngine,
             PagedSpeculativeEngine,
+            SampledSpeculativeEngine,
             SpeculativeEngine,
         )
 
         if paged:
+            cls = (PagedSampledSpeculativeEngine if draft_sampled
+                   else PagedSpeculativeEngine)
             kwargs = {} if n_pages is None else {"n_pages": n_pages}
-            engine = PagedSpeculativeEngine(
+            engine = cls(
                 model, draft, k=draft_k, max_streams=max_streams,
                 kv_dtype=kv_dtype, n_batch=n_batch, page_size=page_size,
                 prefix_cache=prefix_cache, **kwargs)
         else:
-            engine = SpeculativeEngine(model, draft, k=draft_k,
-                                       max_streams=max_streams,
-                                       kv_dtype=kv_dtype, n_batch=n_batch)
+            cls = (SampledSpeculativeEngine if draft_sampled
+                   else SpeculativeEngine)
+            engine = cls(model, draft, k=draft_k,
+                         max_streams=max_streams,
+                         kv_dtype=kv_dtype, n_batch=n_batch)
     elif paged:
         from llm_tpu.paged import PagedEngine
 

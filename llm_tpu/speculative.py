@@ -214,15 +214,38 @@ class SpeculativeSession:
 # sampled speculative decoding (rejection sampling; Leviathan et al. 2022)
 
 
-def _sampling_probs(logits: np.ndarray, temperature: float, top_k: int):
-    """The target/draft sampling transform as probabilities: temperature
-    scaling + optional top-k truncation (matches ops/sampling.device_sample
-    for the 'sample' kind)."""
-    x = logits.astype(np.float64) / max(temperature, 1e-6)
+def _softmax64(x: np.ndarray) -> np.ndarray:
+    z = x - x[np.isfinite(x)].max()
+    p = np.exp(z)
+    return p / p.sum()
+
+
+def _sampling_probs(logits: np.ndarray, temperature: float, top_k: int,
+                    top_p: float = 1.0, min_p: float = 0.0, bias=()):
+    """The target/draft sampling transform as probabilities, mirroring
+    ops/sampling.device_sample's 'sample' kind EXACTLY (the acceptance
+    identity requires q to be the distribution proposals were actually
+    drawn from): flat bias, then truncations on the raw logits (top-k,
+    then top-p on the truncated softmax with boundary ties included, then
+    min-p), then temperature."""
+    x = logits.astype(np.float64).copy()
+    for tid, b in bias:
+        x[tid] += b
     if top_k and top_k < x.shape[-1]:
         kth = np.partition(x, -top_k)[-top_k]
         x = np.where(x < kth, -np.inf, x)
-    x = x - x.max()
+    if top_p < 1.0:
+        probs = _softmax64(x)
+        order = np.argsort(probs)[::-1]
+        csum = np.cumsum(probs[order])
+        cutoff = probs[order[int(np.searchsorted(csum, top_p))
+                            if csum[-1] > top_p else len(order) - 1]]
+        x = np.where(probs >= cutoff, x, -np.inf)
+    if min_p > 0.0:
+        probs = _softmax64(x)
+        x = np.where(probs >= min_p * probs.max(), x, -np.inf)
+    x = x / max(temperature, 1e-6)
+    x = x - x[np.isfinite(x)].max()
     p = np.exp(x)
     return p / p.sum()
 
@@ -601,9 +624,19 @@ class SampledSpeculativeEngine(SpeculativeEngine):
     per round, so runs are deterministic per engine instance."""
 
     greedy_only = False
+    requires_device_sampler = True  # the server always builds one
 
     def submit(self, request):
+        import dataclasses
+
         ds = request.device_sampler
+        if ds is not None and getattr(ds, "kind", None) == "greedy":
+            # greedy is the degenerate sample: top-k 1 makes the sampling
+            # distribution a point mass at the argmax, so acceptance
+            # reduces exactly to the greedy engine's comparison
+            ds = dataclasses.replace(ds, kind="sample", temperature=1.0,
+                                     top_k=1, top_p=1.0, min_p=0.0)
+            request.device_sampler = ds
         if ds is None or getattr(ds, "kind", None) != "sample":
             raise ValueError(
                 "SampledSpeculativeEngine requests need a "
@@ -674,7 +707,8 @@ class SampledSpeculativeEngine(SpeculativeEngine):
         tail_streams = []
         for slot, stream in decodable:
             ds = stream.request.device_sampler
-            temp, top_k = ds.temperature, ds.top_k
+            tr = dict(temperature=ds.temperature, top_k=ds.top_k,
+                      top_p=ds.top_p, min_p=ds.min_p, bias=ds.bias)
             rng = stream.rng
             heads = [np.asarray(stream.last_logits)] + [
                 t_logits[slot, i] for i in range(k)
@@ -682,8 +716,8 @@ class SampledSpeculativeEngine(SpeculativeEngine):
             n_acc = 0
             tail = None  # correction/bonus token, unevaluated
             for i in range(k):
-                p = _sampling_probs(heads[i], temp, top_k)
-                q = _sampling_probs(q_logits[i, slot], temp, top_k)
+                p = _sampling_probs(heads[i], **tr)
+                q = _sampling_probs(q_logits[i, slot], **tr)
                 x = int(proposals[slot, i])
                 self.drafted += 1
                 if rng.random() < min(1.0, p[x] / max(q[x], 1e-30)):
@@ -703,7 +737,7 @@ class SampledSpeculativeEngine(SpeculativeEngine):
             accepted_eot = n_acc and int(proposals[slot, n_acc - 1]) == eot
             if tail is None and not accepted_eot:
                 # bonus token from the target head at the frontier
-                p = _sampling_probs(heads[n_acc], temp, top_k)
+                p = _sampling_probs(heads[n_acc], **tr)
                 tail = int(rng.choice(len(p), p=p))
 
             for i in range(n_acc):

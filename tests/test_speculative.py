@@ -526,3 +526,68 @@ def test_paged_speculative_engine_tp_mesh(models):
         [GenerationRequest(prompt=[2, 3], max_tokens=10)]
     )
     assert list(got.values()) == list(ref.values())
+
+
+def test_sampled_speculative_greedy_conversion_matches_plain(models):
+    """kind=greedy converts to sample(top-k 1): acceptance degenerates to
+    the greedy comparison, so output equals plain greedy text."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SampledSpeculativeEngine
+
+    target, draft = models
+    ref = _plain_engine_greedy(target, [[2, 3]], 10)[0]
+    engine = SampledSpeculativeEngine(target, draft, k=3, max_streams=1,
+                                      kv_dtype=jnp.float32, n_batch=8)
+    out = engine.generate_all([
+        GenerationRequest(prompt=[2, 3], max_tokens=10, seed=0,
+                          device_sampler=DeviceSampler.greedy())
+    ])
+    assert list(out.values())[0] == ref
+
+
+def test_sampled_speculative_top_p_exact_q(models):
+    """With top_p set, the host acceptance q must equal the device
+    proposal distribution — self-draft then accepts ~everything (p == q
+    requires the transforms to match exactly)."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SampledSpeculativeEngine
+
+    target, _ = models
+    engine = SampledSpeculativeEngine(target, target, k=4, max_streams=1,
+                                      kv_dtype=jnp.float32, n_batch=8)
+    engine.generate_all([
+        GenerationRequest(
+            prompt=[2, 3], max_tokens=12, seed=2,
+            device_sampler=DeviceSampler(kind="sample", temperature=0.9,
+                                         top_k=30, top_p=0.7, min_p=0.02),
+        )
+    ])
+    assert engine.acceptance_rate > 0.9, engine.acceptance_rate
+
+
+def test_sampling_probs_matches_device_transform():
+    """Host q (numpy, float64) keeps the same SUPPORT as the device
+    transform for top-k/top-p/min-p/bias combinations."""
+    import jax
+
+    from llm_tpu.ops.sampling import DeviceSampler, device_sample
+    from llm_tpu.speculative import _sampling_probs
+
+    rng = np.random.default_rng(8)
+    for trial in range(5):
+        row = rng.normal(size=97).astype(np.float32) * 2
+        ds = DeviceSampler(kind="sample", temperature=0.9, top_k=25,
+                           top_p=0.8, min_p=0.05, bias=((3, 2.5),))
+        q = _sampling_probs(row, ds.temperature, ds.top_k, ds.top_p,
+                            ds.min_p, ds.bias)
+        support = set(np.nonzero(q > 0)[0])
+        seen = set()
+        for seed in range(60):
+            tok = int(device_sample(jnp.asarray(row),
+                                    jax.random.PRNGKey(100 * trial + seed),
+                                    ds))
+            assert tok in support, (trial, tok)
+            seen.add(tok)
+        assert seen <= support
