@@ -35,6 +35,10 @@ __all__ = [
     "Engine",
     "GenerationRequest",
     "PagedEngine",
+    "SpeculativeEngine",
+    "SampledSpeculativeEngine",
+    "PagedSpeculativeEngine",
+    "PagedSampledSpeculativeEngine",
     "LlmServer",
 ]
 
@@ -88,6 +92,15 @@ def __getattr__(name):
         from llm_tpu.paged import PagedEngine
 
         return PagedEngine
+    if name in (
+        "SpeculativeEngine",
+        "SampledSpeculativeEngine",
+        "PagedSpeculativeEngine",
+        "PagedSampledSpeculativeEngine",
+    ):
+        import llm_tpu.speculative as m
+
+        return getattr(m, name)
     if name == "LlmServer":
         from llm_tpu.server import LlmServer
 
