@@ -583,11 +583,8 @@ def test_sampling_probs_matches_device_transform():
         q = _sampling_probs(row, ds.temperature, ds.top_k, ds.top_p,
                             ds.min_p, ds.bias)
         support = set(np.nonzero(q > 0)[0])
-        seen = set()
-        for seed in range(60):
-            tok = int(device_sample(jnp.asarray(row),
-                                    jax.random.PRNGKey(100 * trial + seed),
-                                    ds))
-            assert tok in support, (trial, tok)
-            seen.add(tok)
-        assert seen <= support
+        keys = jax.random.split(jax.random.PRNGKey(trial), 60)
+        toks = np.asarray(jax.vmap(
+            lambda k: device_sample(jnp.asarray(row), k, ds)
+        )(keys))
+        assert set(int(t) for t in toks) <= support, trial
