@@ -325,6 +325,15 @@ def cmd_infer(args) -> None:
         from llm_tpu.tokenizer import TokenBias
 
         # map basic sampler DSL options onto the device sampler
+        def _kv_get(kv, field, default):
+            """Prefix-match option keys exactly like the host chain's
+            _configure (samplers.py: field.startswith(key)), so e.g.
+            freqpresence:freq=0.7 means the same on both paths."""
+            for k, v in kv.items():
+                if field.startswith(k.strip().lower()):
+                    return v
+            return default
+
         temp, topk, topp, minp = None, 0, 1.0, 0.0
         rep, last_n, freq, pres = 1.0, 64, 0.0, 0.0
         for opt in args.sampler_options:
@@ -342,12 +351,12 @@ def cmd_infer(args) -> None:
             elif key == "minp":
                 minp = float(rest.split("=")[-1] or rest)
             elif key == "repetition":
-                rep = float(kv.get("penalty", 1.3))
-                last_n = int(kv.get("last_n", last_n))
+                rep = float(_kv_get(kv, "penalty", 1.3))
+                last_n = int(_kv_get(kv, "last_n", last_n))
             elif key == "freqpresence":
-                freq = float(kv.get("frequency", 0.0))
-                pres = float(kv.get("presence", 0.0))
-                last_n = int(kv.get("last_n", last_n))
+                freq = float(_kv_get(kv, "frequency", 0.0))
+                pres = float(_kv_get(kv, "presence", 0.0))
+                last_n = int(_kv_get(kv, "last_n", last_n))
         # --token-bias / --ignore-eos ride the DeviceSampler's flat bias,
         # same precedence as the host chain (inference_parameters above)
         if args.token_bias:

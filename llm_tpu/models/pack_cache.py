@@ -116,9 +116,14 @@ def _load_node(spec: dict, base: Path):
 
 
 def save_packed_params(params: ModelParams, path, key: dict) -> None:
-    """Write the packed parameter pytree to `path` (a .tpupack dir)."""
+    """Write the packed parameter pytree to `path` (a .tpupack dir).
+
+    The manifest is removed FIRST and re-created (atomically) LAST: an
+    interrupted re-pack must leave a manifest-less (= ignored) directory,
+    never an old manifest pointing at partially rewritten arrays."""
     base = Path(path)
     base.mkdir(parents=True, exist_ok=True)
+    (base / "manifest.json").unlink(missing_ok=True)
     arrays: list = []
     tree = _save_node(params, arrays, [0])
     for fname, a in arrays:
@@ -139,5 +144,7 @@ def load_packed_params(path, expected_key: dict) -> Optional[ModelParams]:
         if manifest.get("key") != expected_key:
             return None
         return _load_node(manifest["tree"], base)
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # any malformed cache (unreadable, bad JSON, structurally wrong
+        # tree, missing arrays) falls back to the transcode path
         return None

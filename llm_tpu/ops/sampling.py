@@ -184,10 +184,18 @@ def penalty_state(histories, last_n: int, n_vocab: int):
     buffer (so in-loop updates can expire the oldest token). `histories` is
     a list of token-id sequences (prompt + generated so far); the decode
     loop updates the state after every sampled token, so penalties see
-    tokens generated earlier in the same block. Leading dim B = len(...)."""
+    tokens generated earlier in the same block. Leading dim B = len(...).
+
+    `last_n` <= 0 (or >= 2**30, the cross-host sentinel) means the host
+    chain's penalize-ENTIRE-history semantics (samplers.py Repetition):
+    the ring sizes to the longest history plus generous block headroom,
+    rounded up to 64 so dispatch shapes re-bucket rarely."""
     import numpy as np
 
     B = len(histories)
+    if last_n <= 0 or last_n >= 1 << 30:
+        longest = max((len(h) for h in histories), default=0)
+        last_n = max(64, -(-(longest + 256) // 64) * 64)
     counts = np.zeros((B, n_vocab), np.float32)
     ring = np.full((B, last_n), -1, np.int32)
     pos = np.zeros(B, np.int32)

@@ -114,15 +114,17 @@ class PageAllocator:
 
 
 class PrefixCache:
-    """Exact prompt-prefix KV reuse at page granularity.
+    """Prompt-prefix KV reuse at page granularity.
 
     The KV rows of position p depend only on tokens[0..p] (causal attention;
     RoPE/ALiBi are functions of absolute position), so a FULL page whose
     covering token prefix matches a new request's prompt can be shared
-    verbatim — no copy, no recompute. Full prompt pages are registered here
-    (key = the exact token prefix bytes, so matches are exact, never
-    hash-collision-probabilistic); admission borrows the longest registered
-    chain and starts prefill at the matched page boundary.
+    verbatim — no copy, no recompute. Full prompt pages are registered here,
+    content-addressed by a ROLLING SHA-256 over the token prefix (one
+    linear hashing pass per prompt instead of O(prompt^2) byte keys;
+    collision odds ~2^-128, i.e. reuse is exact for all practical
+    purposes); admission borrows the longest registered chain and starts
+    prefill at the matched page boundary.
 
     Pages are refcounted by the number of page-table rows pointing at them;
     at refcount 0 they stay cached (LRU) and are evicted back to the free
@@ -137,25 +139,34 @@ class PrefixCache:
     """
 
     def __init__(self):
-        self.by_key: dict[bytes, int] = {}  # token-prefix bytes -> page id
+        self.by_key: dict[bytes, int] = {}  # prefix digest -> page id
         self.key_of: dict[int, bytes] = {}
         self.refs: dict[int, int] = {}  # page id -> #table rows using it
         self.lru: dict[int, None] = {}  # refcount-0 pages, insertion-ordered
 
     @staticmethod
-    def key(tokens, n: int) -> bytes:
-        return np.asarray(tokens[:n], np.int32).tobytes()
+    def digests(tokens, page_size: int, n_pages: int) -> list[bytes]:
+        """Rolling per-page-boundary digests: digests[j] covers
+        tokens[: (j+1)*page_size]. One linear pass."""
+        import hashlib
 
-    def register(self, tokens, j: int, page_size: int, pid: int) -> None:
-        """Register physical page `pid` as holding the KV of logical page j
-        under prefix tokens[: (j+1)*page_size]. The registering stream holds
-        the first reference. First registration wins (a racing duplicate
-        stays an ordinary owned page and is freed on release)."""
-        k = self.key(tokens, (j + 1) * page_size)
-        if k in self.by_key or pid in self.refs:
+        h = hashlib.sha256()
+        out = []
+        arr = np.asarray(tokens[: n_pages * page_size], np.int32)
+        for j in range(n_pages):
+            h.update(arr[j * page_size : (j + 1) * page_size].tobytes())
+            out.append(h.digest())
+        return out
+
+    def register(self, digest: bytes, pid: int) -> None:
+        """Register physical page `pid` under its covering-prefix digest.
+        The registering stream holds the first reference. First
+        registration wins (a racing duplicate stays an ordinary owned page
+        and is freed on release)."""
+        if digest in self.by_key or pid in self.refs:
             return
-        self.by_key[k] = pid
-        self.key_of[pid] = k
+        self.by_key[digest] = pid
+        self.key_of[pid] = digest
         self.refs[pid] = 1
 
     def match(self, tokens, page_size: int) -> list[int]:
@@ -163,25 +174,15 @@ class PrefixCache:
         of `tokens` (at least one token is always left to prefill, so the
         borrower never writes into a shared page). Takes references."""
         limit = (len(tokens) - 1) // page_size
-        best: list[int] = []
-        for m in range(limit, 0, -1):
-            pid = self.by_key.get(self.key(tokens, m * page_size))
+        chain: list[int] = []
+        for d in self.digests(tokens, page_size, limit):
+            pid = self.by_key.get(d)
             if pid is None:
-                continue
-            chain = [pid]
-            ok = True
-            for j in range(m - 1, 0, -1):
-                p = self.by_key.get(self.key(tokens, j * page_size))
-                if p is None:
-                    ok = False
-                    break
-                chain.append(p)
-            if ok:
-                best = chain[::-1]
-                break
-        for pid in best:
+                break  # a chain with a hole is unusable past the hole
+            chain.append(pid)
+        for pid in chain:
             self.acquire(pid)
-        return best
+        return chain
 
     def acquire(self, pid: int) -> None:
         self.refs[pid] += 1
@@ -609,11 +610,12 @@ class PagedEngine(Engine):
         cache = self.prefix_cache
         if cache is None:
             return
-        toks = stream.prefill_queue
-        for j in range(stream.prefill_pos // self.page_size):
+        full = stream.prefill_pos // self.page_size
+        digests = cache.digests(stream.prefill_queue, self.page_size, full)
+        for j in range(full):
             pid = int(self.tables[slot, j])
             if pid != PageAllocator.TRASH:
-                cache.register(toks, j, self.page_size, pid)
+                cache.register(digests[j], pid)
 
     def _window_pages(self, extra: int = 1) -> int:
         max_past = max(
@@ -737,8 +739,15 @@ class PagedEngine(Engine):
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
                         values=None, write_mask=None, penalty_state=None,
                         logprobs_n=None):
-        # write_mask unused: dummy rows' writes are already redirected to
-        # the trash page by the page-table TRASH entries
+        # the paged forward has no write mask: EMPTY slots' writes land on
+        # the trash page (all-TRASH tables), but a PREFILLING slot's table
+        # already maps page 0 to a real — possibly SHARED prefix — page,
+        # so its dummy rows must park at the prefill frontier (the next
+        # real chunk overwrites them), exactly like the per-token step
+        n_past = np.array(n_past)
+        for slot, s in enumerate(self.slots):
+            if s is not None and s.prefilling:
+                n_past[slot] = s.prefill_pos
         active = self._decodable()
         n_steps = self._plan_multi(active, n_steps)
         if n_steps == 0:

@@ -527,8 +527,11 @@ def _sampler_structure_ints(per_slot) -> list:
         int(any(d is not None and d.kind == "sample" and d.min_p > 0.0
                 for d in per_slot)),
         int(any(d is not None and d.has_penalties for d in per_slot)),
-        max((d.penalty_last_n for d in per_slot
-             if d is not None and d.has_penalties), default=0),
+        # last_n <= 0 = unbounded window: a large sentinel keeps the
+        # cross-host max agreement monotone (unbounded beats any finite)
+        max(((d.penalty_last_n if d.penalty_last_n > 0 else 1 << 30)
+             for d in per_slot if d is not None and d.has_penalties),
+            default=0),
     ]
 
 

@@ -115,18 +115,22 @@ def device_sampler_from_params(params: dict, allow_logprobs: bool = False,
     temp = params.get("temperature")
     if temp is None:
         return None
+    def _f(key, default):
+        v = params.get(key)  # explicit None checks: 0 and 0.0 are real
+        return default if v is None else float(v)  # values (0 ≠ unset)
+
     penalties = {
-        "repeat_penalty": float(params.get("repeat_penalty") or 1.0),
-        "frequency_penalty": float(params.get("frequency_penalty") or 0.0),
-        "presence_penalty": float(params.get("presence_penalty") or 0.0),
+        "repeat_penalty": _f("repeat_penalty", 1.0),
+        "frequency_penalty": _f("frequency_penalty", 0.0),
+        "presence_penalty": _f("presence_penalty", 0.0),
         "bias": _logit_bias(params),
     }
     if float(temp) <= 0.0:
         return DeviceSampler(kind="greedy", **penalties)
     return DeviceSampler(kind="sample", temperature=float(temp),
-                         top_k=int(params.get("top_k") or 0),
-                         top_p=float(params.get("top_p") or 1.0),
-                         min_p=float(params.get("min_p") or 0.0),
+                         top_k=int(_f("top_k", 0)),
+                         top_p=_f("top_p", 1.0),
+                         min_p=_f("min_p", 0.0),
                          **penalties)
 
 
@@ -151,16 +155,33 @@ def render_chat(messages, template=None, jinja=None) -> tuple[str, str]:
     the built-in vicuna-style default. Unknown roles render with the user
     prefix."""
     if template is None and jinja:
-        import jinja2
-
-        env = jinja2.Environment()  # noqa: S701 — text templating
-        env.globals["raise_exception"] = _jinja_raise
-        prompt = env.from_string(jinja).render(
-            messages=list(messages),
-            add_generation_prompt=True,
-            bos_token="",
-            eos_token="",
-        )
+        # ANY template failure (syntax error, undefined variable, the
+        # template's own raise_exception, jinja2 missing) maps to
+        # ValueError, which the handler returns as HTTP 400 — a broken
+        # embedded template must never 500 the endpoint
+        try:
+            import jinja2
+        except ImportError:
+            raise ValueError(
+                "this checkpoint's chat template needs jinja2, which is "
+                "not installed; pass a chat_template dict instead"
+            )
+        compiled = _JINJA_CACHE.get(jinja)
+        try:
+            if compiled is None:
+                env = jinja2.Environment()  # noqa: S701 — text templating
+                env.globals["raise_exception"] = _jinja_raise
+                compiled = env.from_string(jinja)
+                _JINJA_CACHE.clear() if len(_JINJA_CACHE) > 8 else None
+                _JINJA_CACHE[jinja] = compiled
+            prompt = compiled.render(
+                messages=list(messages),
+                add_generation_prompt=True,
+                bos_token="",
+                eos_token="",
+            )
+        except jinja2.TemplateError as e:
+            raise ValueError(f"chat template error: {e}") from e
         # generation halts at the model's own EoT; no textual stop needed
         return prompt, ""
     t = dict(DEFAULT_CHAT_TEMPLATE)
@@ -173,6 +194,9 @@ def render_chat(messages, template=None, jinja=None) -> tuple[str, str]:
         parts.append(fmt.format(content=m.get("content", "")))
     parts.append(t["generation_prefix"])
     return "".join(parts), t["stop"]
+
+
+_JINJA_CACHE: dict = {}  # compiled template per source text
 
 
 def _jinja_raise(message):
@@ -489,6 +513,12 @@ class LlmServer:
         the caller as exceptions, not escape a half-started generator),
         then return the (fragment, done, reason) iterator."""
         prompt = body.get("prompt", "")
+        if getattr(self.loop.engine, "requires_device_sampler", False) \
+                and body.get("temperature") is None \
+                and not body.get("sampler"):
+            # sampled speculative engines need a device sampler for every
+            # request; an omitted temperature means the OpenAI default 1.0
+            body = dict(body, temperature=1.0)
         temp = body.get("temperature")
         if getattr(self.loop.engine, "greedy_only", False) and \
                 temp is not None and float(temp) <= 0.0 and \

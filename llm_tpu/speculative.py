@@ -454,11 +454,11 @@ class SpeculativeEngine(Engine):
             raise ValueError("SpeculativeEngine serves greedy streams only")
         return super().submit(request)
 
-    def _prefill_chunk(self, stream, slot):
-        # the draft cache prefills in lockstep with the target's
+    def _draft_prefill_chunk(self, slot: int, toks, pos: int) -> int:
+        """One n_batch chunk of DRAFT prefill for a slot; returns the new
+        position. The single copy of the chunk/bucket/window recipe shared
+        by lockstep prefill and the borrow-region replay."""
         spec_d = self.draft.spec
-        toks = stream.prefill_queue
-        pos = stream.prefill_pos
         chunk = toks[pos : pos + self.n_batch]
         bucket = (
             self.n_batch if pos + self.n_batch <= spec_d.n_ctx else len(chunk)
@@ -469,6 +469,12 @@ class SpeculativeEngine(Engine):
             spec_d, self.d_params, jnp.asarray(ids), jnp.int32(pos),
             slot, self.d_cache, window_bucket(pos, spec_d.n_ctx),
         )
+        return pos + len(chunk)
+
+    def _prefill_chunk(self, stream, slot):
+        # the draft cache prefills in lockstep with the target's
+        self._draft_prefill_chunk(slot, stream.prefill_queue,
+                                  stream.prefill_pos)
         super()._prefill_chunk(stream, slot)
 
     def step_multi(self, n_steps: int = 16):
@@ -814,24 +820,9 @@ class _PagedSpeculativeMixin:
         # its attention would read a previous occupant's stale KV there
         # (outputs stay correct via verification, but draft quality and
         # per-engine determinism would silently degrade)
-        spec_d = self.draft.spec
-        toks = stream.prefill_queue
         pos = 0
         while pos < stream.prefill_pos:
-            chunk = toks[pos : pos + self.n_batch]
-            bucket = (
-                self.n_batch
-                if pos + self.n_batch <= spec_d.n_ctx
-                else len(chunk)
-            )
-            ids = np.zeros(bucket, np.int32)
-            ids[: len(chunk)] = chunk
-            _, self.d_cache = _prefill_slot(
-                spec_d, self.d_params, jnp.asarray(ids),
-                jnp.int32(pos), slot, self.d_cache,
-                window_bucket(pos, spec_d.n_ctx),
-            )
-            pos += len(chunk)
+            pos = self._draft_prefill_chunk(slot, stream.prefill_queue, pos)
 
     def _adjusted_n_past(self, n_past):
         """Dummy rows have no write_mask in the paged forward: park a

@@ -486,8 +486,8 @@ def test_paged_step_multi_device_logprobs(model):
     for e in data:
         assert e["logprob"] <= 0.0
         assert len(e["top_logprobs"]) == 2
-        # the sampled (greedy) token IS the top-1 alternative
-        assert max(e["top_logprobs"].values()) == max(
-            e["top_logprobs"].values()
-        )
+        # the sampled (greedy) token IS the top-1 alternative: present in
+        # the top list with a logprob equal to the sampled token's
+        assert e["token"] in e["top_logprobs"]
+        assert abs(e["top_logprobs"][e["token"]] - e["logprob"]) < 1e-5
         assert abs(max(e["top_logprobs"].values()) - e["logprob"]) < 1e-5

@@ -180,8 +180,9 @@ def test_prefix_cache_step_multi(model):
 def test_prefix_cache_unit():
     c = PrefixCache()
     toks = list(range(1, 40))
-    c.register(toks, 0, 8, 5)
-    c.register(toks, 1, 8, 6)
+    d = PrefixCache.digests(toks, 8, 2)
+    c.register(d[0], 5)
+    c.register(d[1], 6)
     # strict-prefix cap: a 9-token prompt can only borrow page 0 (one token
     # must remain to prefill); 17 tokens reach both pages
     assert c.match(toks[:9], 8) == [5]
@@ -190,14 +191,61 @@ def test_prefix_cache_unit():
     c.dec(5)
     c.dec(6)
     # duplicate registration of a taken key is a no-op
-    c.register(toks, 0, 8, 9)
-    assert c.by_key[PrefixCache.key(toks, 8)] == 5
+    c.register(d[0], 9)
+    assert c.by_key[d[0]] == 5
     # divergent prompt: no match
     other = [99] + toks[1:]
     assert c.match(other, 8) == []
+    # digests are ROLLING: identical page-1 tokens under a different
+    # page-0 prefix must NOT match page 1
+    other2 = [99] + toks[1:8] + toks[8:]
+    assert PrefixCache.digests(other2, 8, 2)[1] != d[1]
     # eviction order is release order
     assert c.refs == {5: 1, 6: 1}
     c.dec(5)
     c.dec(6)
     assert c.evict(1) == [5]
     assert c.match(toks, 8) == []  # chain broken at page 0
+
+
+def test_step_multi_block_never_writes_prefilling_slots_pages(model):
+    """Regression: the paged BLOCK decode path has no write mask, so a
+    mid-prefill slot's dummy rows must park at its frontier — previously
+    they wrote garbage at positions 0..n_steps-1 into the slot's real
+    page 0 (and, with prefix caching, into a borrowed SHARED page)."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    def run(interleaved: bool):
+        # n_batch=2: B's 4-token tail after the borrow takes TWO chunks,
+        # so at least one block dispatch runs while B is mid-prefill
+        engine = PagedEngine(
+            model, max_streams=2, page_size=8, kv_dtype=jnp.float32,
+            n_batch=2, prefix_cache=True,
+        )
+        # warm the prefix cache so admission borrows pages 0-1
+        engine.generate_all(
+            [GenerationRequest(prompt=PROMPT, max_tokens=2,
+                               sampler=DeterministicSampler(),
+                               device_sampler=DeviceSampler.greedy())],
+            n_steps=4,
+        )
+        reqs = []
+        if interleaved:
+            # A decodes blocks while B borrows + prefills
+            a = engine.submit(GenerationRequest(
+                prompt="<t9><t4>", max_tokens=16,
+                sampler=DeterministicSampler(),
+                device_sampler=DeviceSampler.greedy()))
+            engine.step_multi(4)
+            engine.step_multi(4)
+        b = engine.submit(GenerationRequest(
+            prompt=PROMPT, max_tokens=8,
+            sampler=DeterministicSampler(),
+            device_sampler=DeviceSampler.greedy()))
+        while engine.has_work():
+            engine.step_multi(4)
+        return "".join(engine.finished[b].text)
+
+    # reference: B alone (no decodable stream -> no block runs while B
+    # prefills, so its pages stay clean by construction)
+    assert run(True) == run(False)
