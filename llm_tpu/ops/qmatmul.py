@@ -119,12 +119,33 @@ def _k_step(fmt: QFormat, packed: bool, Kp: int) -> int:
     return step if step <= Kp else Kp
 
 
+def _x_resident(Mp: int, Kp: int) -> bool:
+    """Whether to keep the WHOLE activation block VMEM-resident.
+
+    With the default per-k-tile x BlockSpec the x block index changes every
+    grid step, so Mosaic re-streams the full [Mp, Kp] activation from HBM
+    once per R tile — at decode shapes that is 13-25% of the kernel's HBM
+    traffic on top of the packed planes (e.g. M=8, K=4096, R=11008,
+    tile_r=512: 22 r-tiles x 64 KB). Passing x as [n_k, Mp, tile_k] under a
+    CONSTANT index map makes the copy happen once (consecutive equal block
+    indices are elided) and the kernel selects the k-slice in VMEM.
+    Gated by a VMEM budget (~16 MB/core total): 2 MB covers every
+    decode/serve shape (M<=64 at K<=11008 is 1.4 MB) and leaves prefill
+    (M=512: 4.2-11.3 MB) on the streaming path. LLM_TPU_X_RES_MB overrides
+    (0 disables). Default OFF until the in-kernel dynamic leading-dim
+    slice is Mosaic-verified on chip (interpret mode proves semantics,
+    not lowering; flip the default to "2" once the A/B runs)."""
+    budget = float(os.environ.get("LLM_TPU_X_RES_MB", "0")) * 1e6
+    return Mp * Kp * 2 <= budget
+
+
 def _make_kernel(
     fmt: QFormat,
     n_k: int,
     out_dtype,
     stacked: bool = False,
     scale_packed: bool = False,
+    x_resident: bool = False,
 ):
     """Build the kernel body for a given static format.
 
@@ -133,6 +154,9 @@ def _make_kernel(
     scalar layer index (unused in the body).
     `scale_packed`: scale/bias planes hold two f16 values per uint32 lane;
     expanded in-register with integer ops (Mosaic has no f16).
+    `x_resident`: the x ref is the whole [n_k, Mp, tile_k] activation under
+    a constant index map (one HBM copy total); the body indexes out the
+    current k-block instead of receiving a per-step streamed tile.
     """
 
     def kernel(*refs):
@@ -190,7 +214,7 @@ def _make_kernel(
             w = w + _expand_groups(S(bias_ref), fmt.gsize)
         w = w.astype(jnp.bfloat16)
 
-        x = x_ref[:].astype(jnp.bfloat16)
+        x = (x_ref[k] if x_resident else x_ref[:]).astype(jnp.bfloat16)
         acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
         @pl.when(k == n_k - 1)
@@ -224,14 +248,26 @@ def _qmatmul_pallas(
     Mp = _round_up(max(M, 8), 8)
     if x.shape != (Mp, Kp):
         x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
+    # the kernel feeds the MXU in bf16 either way; casting the operand
+    # outside halves x HBM traffic with bit-identical results
+    x = x.astype(jnp.bfloat16)
 
     n_r, n_k = Rp // tile_r, Kp // tile_k
     g = fmt.gsize
 
-    in_specs = [
-        pl.BlockSpec((Mp, tile_k), lambda r, k: (0, k)),  # x
-    ]
-    operands = [x]
+    x_res = _x_resident(Mp, Kp)
+    if x_res:
+        # [n_k, Mp, tile_k] under a constant index map: one HBM copy total,
+        # the kernel indexes the k-block in VMEM
+        in_specs = [
+            pl.BlockSpec((n_k, Mp, tile_k), lambda r, k: (0, 0, 0)),
+        ]
+        operands = [x.reshape(Mp, n_k, tile_k).swapaxes(0, 1)]
+    else:
+        in_specs = [
+            pl.BlockSpec((Mp, tile_k), lambda r, k: (0, k)),  # x
+        ]
+        operands = [x]
     if fmt.lo_bits == 8:
         in_specs.append(pl.BlockSpec((tile_k, tile_r), lambda r, k: (k, r)))
     else:
@@ -249,7 +285,9 @@ def _qmatmul_pallas(
         operands.append(qt.bias)
 
     out_dtype = jnp.float32
-    kernel = _make_kernel(fmt, n_k, out_dtype, scale_packed=packed)
+    kernel = _make_kernel(
+        fmt, n_k, out_dtype, scale_packed=packed, x_resident=x_res
+    )
 
     flops = 2 * Mp * Kp * Rp
     bytes_accessed = (
@@ -257,7 +295,7 @@ def _qmatmul_pallas(
         + (qt.hi.size * 4 if qt.hi is not None else 0)
         + qt.scale.size * qt.scale.dtype.itemsize
         + (qt.bias.size * qt.bias.dtype.itemsize if qt.bias is not None else 0)
-        + x.size * 4
+        + x.size * 2 * (1 if x_res else n_r)
         + Mp * Rp * 4
     )
 
@@ -309,14 +347,22 @@ def _qmatmul_pallas_stacked(
     Mp = _round_up(max(M, 8), 8)
     if x.shape != (Mp, Kp):
         x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
+    x = x.astype(jnp.bfloat16)  # the kernel dots in bf16 either way
 
     n_r, n_k = Rp // tile_r, Kp // tile_k
 
+    x_res = _x_resident(Mp, Kp)
     # index maps receive the scalar-prefetch ref first
-    in_specs = [
-        pl.BlockSpec((Mp, tile_k), lambda r, k, l: (0, k)),  # x
-    ]
-    operands = [x]
+    if x_res:
+        in_specs = [
+            pl.BlockSpec((n_k, Mp, tile_k), lambda r, k, l: (0, 0, 0)),
+        ]
+        operands = [x.reshape(Mp, n_k, tile_k).swapaxes(0, 1)]
+    else:
+        in_specs = [
+            pl.BlockSpec((Mp, tile_k), lambda r, k, l: (0, k)),  # x
+        ]
+        operands = [x]
     if fmt.lo_bits == 8:
         in_specs.append(
             pl.BlockSpec((1, tile_k, tile_r), lambda r, k, l: (l[0], k, r))
@@ -344,13 +390,16 @@ def _qmatmul_pallas_stacked(
         operands.append(qt.bias)
 
     out_dtype = jnp.float32
-    kernel = _make_kernel(fmt, n_k, out_dtype, stacked=True, scale_packed=packed)
+    kernel = _make_kernel(
+        fmt, n_k, out_dtype, stacked=True, scale_packed=packed,
+        x_resident=x_res,
+    )
 
     flops = 2 * Mp * Kp * Rp
     bytes_accessed = (
         qt.lo.size // qt.lo.shape[0] * qt.lo.dtype.itemsize
         + qt.scale.size // qt.scale.shape[0] * qt.scale.dtype.itemsize
-        + x.size * 4
+        + x.size * 2 * (1 if x_res else n_r)
         + Mp * Rp * 4
     )
 

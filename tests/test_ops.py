@@ -118,6 +118,72 @@ def test_qmatmul_pallas_interpret_matches_xla(t):
     np.testing.assert_allclose(np.asarray(y_pal), y_ref, atol=1e-5 * max(scale, 1.0), rtol=1e-5)
 
 
+@pytest.mark.parametrize("t", [GgmlType.Q4_0, GgmlType.Q5_1, GgmlType.Q4_K])
+def test_qmatmul_x_resident_matches_streaming(t, monkeypatch):
+    """The VMEM-resident x path (constant block index, in-kernel k-slice)
+    must be BIT-identical to the per-tile streamed x path — both feed the
+    same bf16 blocks to the same dot; only the DMA schedule differs."""
+    from llm_tpu.ops.qmatmul import _qmatmul_pallas, _qmatmul_pallas_stacked
+
+    rng = np.random.default_rng(11)
+    K, R, M, L = 512, 256, 8, 3
+    raw = _random_raw(rng, t, K, R)
+    qt = pack_ggml(t, raw, (K, R))
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+
+    def set_mode(mb):
+        # the env var is read at TRACE time: drop cached traces so the
+        # flip actually takes effect for identical call signatures
+        monkeypatch.setenv("LLM_TPU_X_RES_MB", mb)
+        _qmatmul_pallas.clear_cache()
+        _qmatmul_pallas_stacked.clear_cache()
+
+    set_mode("0")  # force streaming
+    y_stream = np.asarray(
+        _qmatmul_pallas(x, qt, tile_r=128, tile_k=128, interpret=True)
+    )
+    set_mode("64")  # force resident
+    y_res = np.asarray(
+        _qmatmul_pallas(x, qt, tile_r=128, tile_k=128, interpret=True)
+    )
+    np.testing.assert_array_equal(y_stream, y_res)
+
+    # stacked (scalar-prefetch layer select) variant, both x modes
+    qts = [pack_ggml(t, _random_raw(rng, t, K, R), (K, R)) for _ in range(L)]
+    stacked = type(qt)(
+        qt.fmt_name, K, R,
+        jnp.stack([q.lo for q in qts]),
+        jnp.stack([q.hi for q in qts]) if qts[0].hi is not None else None,
+        jnp.stack([q.scale for q in qts]),
+        jnp.stack([q.bias for q in qts]) if qts[0].bias is not None else None,
+    )
+    for layer in (0, L - 1):
+        set_mode("0")
+        ys = np.asarray(
+            _qmatmul_pallas_stacked(
+                x, stacked, jnp.int32(layer), tile_r=128, tile_k=128,
+                interpret=True,
+            )
+        )
+        set_mode("64")
+        yr = np.asarray(
+            _qmatmul_pallas_stacked(
+                x, stacked, jnp.int32(layer), tile_r=128, tile_k=128,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(ys, yr)
+        ref = np.asarray(
+            jax.lax.dot_general(
+                x.astype(jnp.bfloat16),
+                dequant_jnp(qts[layer]).astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(yr, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_rows_lookup():
     rng = np.random.default_rng(2)
     K, R = 64, 160
