@@ -40,6 +40,8 @@ __all__ = [
     "PagedSpeculativeEngine",
     "PagedSampledSpeculativeEngine",
     "LlmServer",
+    "write_engine",
+    "read_engine",
 ]
 
 
@@ -105,4 +107,8 @@ def __getattr__(name):
         from llm_tpu.server import LlmServer
 
         return LlmServer
+    if name in ("write_engine", "read_engine"):
+        import llm_tpu.engine_snapshot as m
+
+        return getattr(m, name)
     raise AttributeError(f"module 'llm_tpu' has no attribute {name!r}")

@@ -1,0 +1,416 @@
+"""Serving-engine checkpoint/resume: pause a continuous-batching engine
+mid-flight and restore it, KV state and all, in a new process.
+
+The reference persists single-session inference state (tokens + raw KV
+bytes, binaries/llm-cli/src/snapshot.rs:15,47-62); llm_tpu/snapshot.py is
+that surface. This module extends the idea to the SERVING layer — the
+aux-subsystem SURVEY §5 names for the TPU build ("serialize sharded paged
+KV + stream state per host"): the whole Engine/PagedEngine — page pool or
+dense slot cache, page tables, allocator free list, prefix cache, every
+in-flight stream's tokens / sampler state (mirostat mu included) / RNG /
+UTF-8 buffer / chunked-prefill cursor, and the pending queue — round-trips
+through one file. Draining is NOT required: a stream checkpointed halfway
+through its prompt resumes at the same chunk boundary.
+
+Format mirrors the session snapshot: MAGIC + version + JSON header +
+concatenated raw array bytes, zstd/zlib-compressed (pickle-free — the
+header is inspectable and the format has no code-execution surface).
+
+Callbacks (`GenerationRequest.on_token`) are process-local and are NOT
+serialized; `read_engine(..., on_token=...)` re-attaches one.
+Engines under a TP mesh restore through `jax.device_put` onto the fresh
+engine's shardings, so a checkpoint taken on one mesh layout can resume
+on another (pages are host-gathered into the file either way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from llm_tpu.session import SnapshotError
+from llm_tpu.snapshot import _compress, _decompress
+
+MAGIC = b"LTEN"
+VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# sampler (de)serialization — the built-in samplers are flat dataclasses
+# (including mutable state like mirostat's mu), so a name + field dict
+# round-trips them exactly; custom classes are rejected with a clear error.
+
+
+def _sampler_spec(s) -> Optional[dict]:
+    import llm_tpu.samplers as S
+    from llm_tpu.ops.sampling import BatchedDeviceSampler, DeviceSampler
+
+    if s is None:
+        return None
+    if isinstance(s, S.SamplerChain):
+        return {
+            "kind": "chain",
+            "transforms": [_sampler_spec(t) for t in s.transforms],
+            "terminal": _sampler_spec(s.terminal),
+        }
+    if isinstance(s, (S.GreedySampler, S.DeterministicSampler)):
+        return {"kind": "host", "cls": type(s).__name__, "kw": {}}
+    if isinstance(s, DeviceSampler):
+        return {"kind": "device", "kw": dataclasses.asdict(s)}
+    if isinstance(s, BatchedDeviceSampler):
+        raise SnapshotError(
+            "BatchedDeviceSampler is derived per-dispatch; checkpoint the "
+            "per-stream DeviceSamplers instead"
+        )
+    if dataclasses.is_dataclass(s) and type(s).__name__ in dir(S):
+        return {"kind": "host", "cls": type(s).__name__,
+                "kw": dataclasses.asdict(s)}
+    raise SnapshotError(
+        f"sampler {type(s).__name__} is not checkpointable (not a built-in "
+        "sampler dataclass); retire the stream or swap its sampler first"
+    )
+
+
+def _sampler_from(spec: Optional[dict]):
+    import llm_tpu.samplers as S
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    if spec is None:
+        return None
+    if spec["kind"] == "chain":
+        return S.SamplerChain(
+            [_sampler_from(t) for t in spec["transforms"]],
+            _sampler_from(spec["terminal"]),
+        )
+    if spec["kind"] == "device":
+        kw = dict(spec["kw"])
+        kw["bias"] = tuple((int(t), float(b)) for t, b in kw.get("bias", ()))
+        return DeviceSampler(**kw)
+    cls = getattr(S, spec["cls"])
+    return cls(**spec["kw"])
+
+
+# ---------------------------------------------------------------------------
+# stream (de)serialization
+
+
+def _dump_prompt(p):
+    from llm_tpu.tokenizer import Prompt
+
+    if isinstance(p, str):
+        return {"text": p}
+    if isinstance(p, Prompt):
+        return {"text": p.text} if p.text is not None else {
+            "tokens": [int(t) for t in (p.tokens or [])]
+        }
+    return {"tokens": [int(t) for t in p]}
+
+
+def _load_prompt(d):
+    return d["text"] if "text" in d else d["tokens"]
+
+
+def _dump_stream(s, slot: Optional[int], arrays: dict) -> dict:
+    req = s.request
+    d = {
+        "slot": slot,
+        "request_id": s.request_id,
+        "prompt": _dump_prompt(req.prompt),
+        "max_tokens": req.max_tokens,
+        "seed": req.seed,
+        "logprobs": req.logprobs,
+        "sampler": _sampler_spec(s.sampler),
+        "device_sampler": _sampler_spec(req.device_sampler),
+        "rng": s.rng.bit_generator.state,
+        "tokens": [int(t) for t in s.tokens],
+        "generated": s.generated,
+        "n_past": s.n_past,
+        "utf8": s.utf8.buffer.hex(),
+        "decoded_len": s.decoded_len,
+        "text": list(s.text),
+        "logprob_data": s.logprob_data,
+        "prefilling": s.prefilling,
+        "prefill_pos": s.prefill_pos,
+        "prefill_queue": (
+            [int(t) for t in s.prefill_queue]
+            if s.prefill_queue is not None
+            else None
+        ),
+        "kv_wait": s.kv_wait,
+    }
+    if s.last_logits is not None:
+        arrays[f"stream{s.request_id}.last_logits"] = np.asarray(
+            s.last_logits, np.float32
+        )
+        d["has_logits"] = True
+    return d
+
+
+def _load_stream(d: dict, arrays: dict, on_token):
+    from llm_tpu.serve import GenerationRequest, _Stream
+    from llm_tpu.tokenizer import TokenUtf8Buffer
+
+    req = GenerationRequest(
+        prompt=_load_prompt(d["prompt"]),
+        max_tokens=d["max_tokens"],
+        sampler=None,  # the live (possibly stateful) copy sits on the stream
+        seed=d["seed"],
+        on_token=on_token,
+        device_sampler=_sampler_from(d["device_sampler"]),
+        logprobs=d["logprobs"],
+    )
+    rng = np.random.default_rng(d["seed"])
+    rng.bit_generator.state = d["rng"]
+    s = _Stream(
+        request_id=d["request_id"],
+        request=req,
+        sampler=_sampler_from(d["sampler"]),
+        rng=rng,
+        tokens=list(d["tokens"]),
+        generated=d["generated"],
+        n_past=d["n_past"],
+        last_logits=(
+            # copy: frombuffer views of the payload are read-only
+            arrays[f"stream{d['request_id']}.last_logits"].copy()
+            if d.get("has_logits")
+            else None
+        ),
+        utf8=TokenUtf8Buffer(bytearray(bytes.fromhex(d["utf8"]))),
+        decoded_len=d["decoded_len"],
+        text=list(d["text"]),
+        logprob_data=list(d["logprob_data"]),
+        prefilling=d["prefilling"],
+        prefill_pos=d["prefill_pos"],
+        prefill_queue=(
+            list(d["prefill_queue"]) if d["prefill_queue"] is not None else None
+        ),
+        kv_wait=d["kv_wait"],
+    )
+    req.sampler = s.sampler
+    return s
+
+
+# ---------------------------------------------------------------------------
+# engine (de)serialization
+
+
+def _kv_arrays(engine) -> dict:
+    from llm_tpu.paged import PagedEngine
+
+    out = {}
+    if isinstance(engine, PagedEngine):
+        pool = engine.pool
+        out["pool.k"], out["pool.v"] = pool.k, pool.v
+        if pool.quantized:
+            out["pool.k_scale"], out["pool.v_scale"] = (
+                pool.k_scale, pool.v_scale,
+            )
+    else:
+        c = engine.cache
+        out["cache.k"], out["cache.v"] = c.k, c.v
+        if c.k_scale is not None:
+            out["cache.k_scale"], out["cache.v_scale"] = c.k_scale, c.v_scale
+    return out
+
+
+def _spec_fingerprint(spec) -> dict:
+    return {
+        "arch": spec.arch,
+        "n_vocab": spec.n_vocab,
+        "n_embd": spec.n_embd,
+        "n_head": spec.n_head,
+        "n_head_kv": spec.n_head_kv,
+        "n_layer": spec.n_layer,
+        "n_ctx": spec.n_ctx,
+    }
+
+
+def write_engine(engine, path: str | Path) -> None:
+    """Checkpoint a (quiesced) Engine/PagedEngine: call between step()s."""
+    from llm_tpu.paged import PagedEngine
+    from llm_tpu.serve import Engine
+
+    if not isinstance(engine, (Engine, PagedEngine)):
+        raise SnapshotError(f"cannot checkpoint {type(engine).__name__}")
+    if engine._retired_events:
+        raise SnapshotError(
+            "undrained retirement events; finish the current step first"
+        )
+
+    arrays = _kv_arrays(engine)
+    streams = []
+    for slot, s in enumerate(engine.slots):
+        if s is not None:
+            streams.append(_dump_stream(s, slot, arrays))
+    for s in engine.pending:
+        streams.append(_dump_stream(s, None, arrays))
+
+    header = {
+        "engine": "PagedEngine" if isinstance(engine, PagedEngine) else "Engine",
+        "spec": _spec_fingerprint(engine.spec),
+        "max_streams": engine.max_streams,
+        "n_batch": engine.n_batch,
+        "next_id": engine._next_id,
+        "streams": streams,
+    }
+    if isinstance(engine, PagedEngine):
+        pc = engine.prefix_cache
+        header["paged"] = {
+            "page_size": engine.page_size,
+            "n_pages": engine.pool.n_pages,
+            "tables": engine.tables.tolist(),
+            "stream_pages": [
+                [int(p) for p in pages] for pages in engine.stream_pages
+            ],
+            "free": list(engine.allocator.free),
+            "prefix": (
+                {
+                    "by_key": [
+                        [k.hex(), pid] for k, pid in pc.by_key.items()
+                    ],
+                    "refs": {str(pid): n for pid, n in pc.refs.items()},
+                    "lru": list(pc.lru),
+                }
+                if pc is not None
+                else None
+            ),
+        }
+
+    names = sorted(arrays)
+    hosted = {n: np.asarray(arrays[n]) for n in names}
+    header["arrays"] = [
+        {"name": n, "dtype": str(hosted[n].dtype), "shape": list(hosted[n].shape)}
+        for n in names
+    ]
+    hb = json.dumps(header).encode()
+    payload, codec = _compress(b"".join(hosted[n].tobytes() for n in names))
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", VERSION))
+        f.write(struct.pack("<B", 1 if codec == "zstd" else 0))
+        f.write(struct.pack("<I", len(hb)))
+        f.write(hb)
+        f.write(payload)
+
+
+def read_engine(
+    engine,
+    path: str | Path,
+    on_token: Optional[Callable[[int, str], None]] = None,
+) -> None:
+    """Restore a checkpoint INTO a freshly constructed compatible engine
+    (same model geometry, engine class, max_streams, and — for paged —
+    page_size/n_pages). `on_token` is re-attached to every restored stream
+    (callbacks are process-local and never serialized)."""
+    import jax
+
+    from llm_tpu.paged import PagedEngine, PagedKVCache
+    from llm_tpu.serve import KVCache
+
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise SnapshotError(f"{path} is not an engine checkpoint")
+        (version,) = struct.unpack("<I", f.read(4))
+        if version != VERSION:
+            raise SnapshotError(f"unsupported engine checkpoint v{version}")
+        (codec_byte,) = struct.unpack("<B", f.read(1))
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen))
+        payload = _decompress(f.read(), "zstd" if codec_byte else "zlib")
+
+    want_cls = header["engine"]
+    is_paged = isinstance(engine, PagedEngine)
+    if ("PagedEngine" if is_paged else "Engine") != want_cls:
+        raise SnapshotError(
+            f"checkpoint is for {want_cls}, got {type(engine).__name__}"
+        )
+    if _spec_fingerprint(engine.spec) != header["spec"]:
+        raise SnapshotError(
+            f"model geometry mismatch: checkpoint {header['spec']}, "
+            f"engine {_spec_fingerprint(engine.spec)}"
+        )
+    if engine.max_streams != header["max_streams"]:
+        raise SnapshotError(
+            f"max_streams mismatch: checkpoint {header['max_streams']}, "
+            f"engine {engine.max_streams}"
+        )
+
+    arrays = {}
+    off = 0
+    for meta in header["arrays"]:
+        a = np.frombuffer(
+            payload, dtype=np.dtype(meta["dtype"]), offset=off,
+            count=int(np.prod(meta["shape"], dtype=np.int64)),
+        ).reshape(meta["shape"])
+        off += a.nbytes
+        arrays[meta["name"]] = a
+
+    def put(name: str, target):
+        a = arrays[name]
+        if a.shape != target.shape or str(a.dtype) != str(target.dtype):
+            raise SnapshotError(
+                f"{name}: checkpoint {a.dtype}{list(a.shape)} does not match "
+                f"engine {target.dtype}{list(target.shape)}"
+            )
+        return jax.device_put(a, target.sharding)
+
+    if is_paged:
+        p = header["paged"]
+        if (engine.page_size, engine.pool.n_pages) != (
+            p["page_size"], p["n_pages"],
+        ):
+            raise SnapshotError(
+                f"page geometry mismatch: checkpoint "
+                f"{p['page_size']}x{p['n_pages']}, engine "
+                f"{engine.page_size}x{engine.pool.n_pages}"
+            )
+        quant = "pool.k_scale" in arrays
+        if quant != engine.pool.quantized:
+            raise SnapshotError("KV dtype mismatch (int8 vs dense pool)")
+        engine.pool = PagedKVCache(
+            put("pool.k", engine.pool.k),
+            put("pool.v", engine.pool.v),
+            put("pool.k_scale", engine.pool.k_scale) if quant else None,
+            put("pool.v_scale", engine.pool.v_scale) if quant else None,
+        )
+        engine.tables = np.asarray(p["tables"], np.int32)
+        engine.stream_pages = [list(x) for x in p["stream_pages"]]
+        engine.allocator.free = list(p["free"])
+        if p["prefix"] is not None:
+            if engine.prefix_cache is None:
+                raise SnapshotError(
+                    "checkpoint has a prefix cache; construct the engine "
+                    "with prefix_cache=True"
+                )
+            pc = engine.prefix_cache
+            pc.by_key = {bytes.fromhex(k): pid for k, pid in p["prefix"]["by_key"]}
+            pc.key_of = {pid: k for k, pid in pc.by_key.items()}
+            pc.refs = {int(pid): n for pid, n in p["prefix"]["refs"].items()}
+            pc.lru = {int(pid): None for pid in p["prefix"]["lru"]}
+    else:
+        quant = "cache.k_scale" in arrays
+        if quant != (engine.cache.k_scale is not None):
+            raise SnapshotError("KV dtype mismatch (int8 vs dense cache)")
+        engine.cache = KVCache(
+            put("cache.k", engine.cache.k),
+            put("cache.v", engine.cache.v),
+            put("cache.k_scale", engine.cache.k_scale) if quant else None,
+            put("cache.v_scale", engine.cache.v_scale) if quant else None,
+        )
+
+    engine.slots = [None] * engine.max_streams
+    engine.pending = []
+    engine.finished = {}
+    engine._retired_events = []
+    engine._next_id = header["next_id"]
+    for d in header["streams"]:
+        s = _load_stream(d, arrays, on_token)
+        if d["slot"] is None:
+            engine.pending.append(s)
+        else:
+            engine.slots[d["slot"]] = s

@@ -1,0 +1,179 @@
+"""Engine checkpoint/resume: a serving engine checkpointed mid-flight and
+restored in a fresh engine must produce EXACTLY the generations the
+original would have (tokens, text, finish reasons, logprobs, RNG state,
+sampler state, chunked-prefill cursors, page tables)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_tpu.engine_snapshot import read_engine, write_engine
+from llm_tpu.loader import ModelParameters, load
+from llm_tpu.paged import PagedEngine
+from llm_tpu.samplers import (
+    DeterministicSampler,
+    Mirostat2,
+    SamplerChain,
+    Temperature,
+    TopK,
+)
+from llm_tpu.serve import Engine, GenerationRequest
+from llm_tpu.session import SnapshotError
+from llm_tpu.testing import make_tiny_file
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("esnap") / "llama.bin"
+    make_tiny_file("llama", path)
+    return load(path, "llama", params=ModelParameters(context_size=64))
+
+
+def _finished(engine):
+    return {
+        rid: (list(s.tokens), "".join(s.text), s.finish_reason)
+        for rid, s in engine.finished.items()
+    }
+
+
+def _run_to_completion(engine, max_iters=200):
+    for _ in range(max_iters):
+        if not engine.has_work():
+            return
+        engine.step()
+    raise AssertionError("engine did not drain")
+
+
+def _requests():
+    # stream 0: deterministic; stream 1: stateful stochastic chain
+    # (mirostat mu + RNG state must survive the checkpoint); stream 2:
+    # long prompt so the checkpoint lands mid-prefill (n_batch=4);
+    # stream 3: stays in the pending queue at checkpoint time
+    long_prompt = "".join(f"<t{i}>" for i in range(2, 22))
+    return [
+        GenerationRequest(prompt="<t2><t3>", max_tokens=8,
+                          sampler=DeterministicSampler(), logprobs=2),
+        GenerationRequest(
+            prompt="<t9><t4>", max_tokens=8, seed=7,
+            sampler=SamplerChain([TopK(k=5), Temperature(temperature=0.7)],
+                                 Mirostat2(tau=3.0, eta=0.3)),
+        ),
+        GenerationRequest(prompt=long_prompt, max_tokens=5,
+                          sampler=DeterministicSampler()),
+        GenerationRequest(prompt="<t7><t8>", max_tokens=6,
+                          sampler=DeterministicSampler()),
+    ]
+
+
+def _checkpoint_equivalence(make_engine, tmp_path, steps=3):
+    a = make_engine()
+    for r in _requests():
+        a.submit(r)
+    for _ in range(steps):
+        a.step()
+    path = tmp_path / "engine.ckpt"
+    write_engine(a, path)
+
+    # restored engine must be byte-equivalent in behavior
+    b = make_engine()
+    read_engine(b, path)
+    assert b._next_id == a._next_id
+    _run_to_completion(a)
+    _run_to_completion(b)
+    assert _finished(b) == _finished(a)
+    # logprob records survive too
+    la = [s.logprob_data for s in a.finished.values() if s.logprob_data]
+    lb = [s.logprob_data for s in b.finished.values() if s.logprob_data]
+    assert la == lb
+
+
+def test_dense_engine_roundtrip(model, tmp_path):
+    _checkpoint_equivalence(
+        lambda: Engine(model, max_streams=3, kv_dtype=jnp.float32, n_batch=4),
+        tmp_path,
+    )
+
+
+def test_paged_engine_roundtrip(model, tmp_path):
+    _checkpoint_equivalence(
+        lambda: PagedEngine(
+            model, max_streams=3, page_size=16, kv_dtype="int8", n_batch=4,
+            prefix_cache=True,
+        ),
+        tmp_path,
+    )
+
+
+def test_paged_state_restored_exactly(model, tmp_path):
+    eng = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                      n_batch=4, prefix_cache=True)
+    for r in _requests()[:2]:
+        eng.submit(r)
+    for _ in range(4):
+        eng.step()
+    path = tmp_path / "paged.ckpt"
+    write_engine(eng, path)
+
+    fresh = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                        n_batch=4, prefix_cache=True)
+    read_engine(fresh, path)
+    assert np.array_equal(fresh.tables, eng.tables)
+    assert fresh.stream_pages == eng.stream_pages
+    assert fresh.allocator.free == eng.allocator.free
+    assert fresh.prefix_cache.by_key == eng.prefix_cache.by_key
+    assert fresh.prefix_cache.refs == eng.prefix_cache.refs
+    assert np.array_equal(np.asarray(fresh.pool.k), np.asarray(eng.pool.k))
+    assert np.array_equal(
+        np.asarray(fresh.pool.k_scale), np.asarray(eng.pool.k_scale)
+    )
+
+
+def test_geometry_mismatch_rejected(model, tmp_path):
+    eng = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8")
+    path = tmp_path / "geom.ckpt"
+    write_engine(eng, path)
+
+    with pytest.raises(SnapshotError, match="page geometry"):
+        read_engine(
+            PagedEngine(model, max_streams=2, page_size=32, kv_dtype="int8"),
+            path,
+        )
+    with pytest.raises(SnapshotError, match="max_streams"):
+        read_engine(
+            PagedEngine(model, max_streams=4, page_size=16, kv_dtype="int8"),
+            path,
+        )
+    with pytest.raises(SnapshotError, match="checkpoint is for"):
+        read_engine(Engine(model, max_streams=2), path)
+
+
+def test_on_token_reattached(model, tmp_path):
+    eng = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    eng.submit(GenerationRequest(prompt="<t2><t3>", max_tokens=6,
+                                 sampler=DeterministicSampler()))
+    eng.step()
+    path = tmp_path / "cb.ckpt"
+    write_engine(eng, path)
+
+    got = []
+    fresh = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    read_engine(fresh, path, on_token=lambda rid, txt: got.append((rid, txt)))
+    _run_to_completion(fresh)
+    text = "".join(fresh.finished[0].text)
+    # callback saw every fragment emitted AFTER the restore point
+    assert "".join(t for _, t in got) != ""
+    assert text.endswith("".join(t for _, t in got))
+
+
+def test_custom_sampler_rejected(model, tmp_path):
+    class Weird:
+        def sample(self, logits, prev, rng):
+            return 2
+
+    eng = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    eng.submit(GenerationRequest(prompt="<t2>", max_tokens=4, sampler=Weird()))
+    eng.step()
+    with pytest.raises(SnapshotError, match="not checkpointable"):
+        write_engine(eng, tmp_path / "weird.ckpt")
