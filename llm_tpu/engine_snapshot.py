@@ -21,6 +21,15 @@ serialized; `read_engine(..., on_token=...)` re-attaches one.
 Engines under a TP mesh restore through `jax.device_put` onto the fresh
 engine's shardings, so a checkpoint taken on one mesh layout can resume
 on another (pages are host-gathered into the file either way).
+
+Multi-host engines (MultiHostEngine / MultiHostPagedEngine) checkpoint
+PER HOST: every process calls `write_engine` with its own path and saves
+exactly its addressable slice of the global KV (its `data`-shard rows /
+its local page pool) plus its host-local streams, tables, and allocator
+— no collective, no cross-host traffic. Restore runs on the same process
+layout (same process_count/index, global_streams, TP head split): each
+host reads its own file and the global arrays are reassembled with
+`jax.make_array_from_callback` from purely local blocks.
 """
 
 from __future__ import annotations
@@ -203,7 +212,7 @@ def _kv_arrays(engine) -> dict:
     from llm_tpu.paged import PagedEngine
 
     out = {}
-    if isinstance(engine, PagedEngine):
+    if isinstance(engine, PagedEngine) or _is_mh_paged(engine):
         pool = engine.pool
         out["pool.k"], out["pool.v"] = pool.k, pool.v
         if pool.quantized:
@@ -218,6 +227,80 @@ def _kv_arrays(engine) -> dict:
     return out
 
 
+def _is_mh(engine) -> bool:
+    from llm_tpu.parallel.multihost import MultiHostEngine
+
+    return isinstance(engine, MultiHostEngine)
+
+
+def _is_mh_paged(engine) -> bool:
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+
+    return isinstance(engine, MultiHostPagedEngine)
+
+
+# -- multi-host local-block plumbing: each host saves/restores exactly its
+# addressable slice of the global KV along the `data`-sharded axis (axis 1
+# for both the batched dense cache [L, B, S, H, D] and the page pool
+# [L, P, H, page, D]). Other axes may be TP-sharded over `model`, which is
+# intra-host, so the host's shards cover them fully.
+
+_MH_AXIS = 1
+
+
+def _addressable_extent(arr) -> tuple[int, int]:
+    starts, stops = [], []
+    for sh in arr.addressable_shards:
+        s = sh.index[_MH_AXIS]
+        starts.append(s.start or 0)
+        stops.append(s.stop if s.stop is not None else arr.shape[_MH_AXIS])
+    return min(starts), max(stops) - min(starts)
+
+
+def _local_block(arr) -> "np.ndarray":
+    """Assemble this host's contiguous addressable block along _MH_AXIS."""
+    start, size = _addressable_extent(arr)
+    shape = list(arr.shape)
+    shape[_MH_AXIS] = size
+    out = np.zeros(shape, arr.dtype)
+    covered = np.zeros(size, bool)
+    for sh in arr.addressable_shards:
+        idx = list(sh.index)
+        s = idx[_MH_AXIS]
+        s0 = s.start or 0
+        s1 = s.stop if s.stop is not None else arr.shape[_MH_AXIS]
+        idx[_MH_AXIS] = slice(s0 - start, s1 - start)
+        out[tuple(idx)] = np.asarray(sh.data)
+        covered[s0 - start: s1 - start] = True
+    if not covered.all():
+        raise SnapshotError("non-contiguous addressable KV shards")
+    return out
+
+
+def _make_global(target, block: "np.ndarray"):
+    """Rebuild a global array shaped/sharded like `target` from this host's
+    local block (every host calls this with its own block; the callback is
+    only consulted for locally-addressable shards)."""
+    import jax
+
+    start, size = _addressable_extent(target)
+    if block.shape[_MH_AXIS] != size or str(block.dtype) != str(target.dtype):
+        raise SnapshotError(
+            f"checkpoint block {block.dtype}{list(block.shape)} does not "
+            f"match engine shard {target.dtype} extent {size}"
+        )
+
+    def cb(index):
+        idx = list(index)
+        s = idx[_MH_AXIS]
+        s0 = s.start or 0
+        s1 = s.stop if s.stop is not None else target.shape[_MH_AXIS]
+        idx[_MH_AXIS] = slice(s0 - start, s1 - start)
+        return block[tuple(idx)]
+
+    return jax.make_array_from_callback(target.shape, target.sharding, cb)
+
+
 def _spec_fingerprint(spec) -> dict:
     return {
         "arch": spec.arch,
@@ -230,8 +313,22 @@ def _spec_fingerprint(spec) -> dict:
     }
 
 
+def _engine_kind(engine) -> str:
+    from llm_tpu.paged import PagedEngine
+
+    if _is_mh_paged(engine):
+        return "MultiHostPagedEngine"
+    if _is_mh(engine):
+        return "MultiHostEngine"
+    if isinstance(engine, PagedEngine):
+        return "PagedEngine"
+    return "Engine"
+
+
 def write_engine(engine, path: str | Path) -> None:
-    """Checkpoint a (quiesced) Engine/PagedEngine: call between step()s."""
+    """Checkpoint a (quiesced) engine: call between step()s. Multi-host
+    engines checkpoint per host — every process calls this with its OWN
+    path (no collective)."""
     from llm_tpu.paged import PagedEngine
     from llm_tpu.serve import Engine
 
@@ -242,7 +339,11 @@ def write_engine(engine, path: str | Path) -> None:
             "undrained retirement events; finish the current step first"
         )
 
-    arrays = _kv_arrays(engine)
+    multihost = _is_mh(engine)
+    raw = _kv_arrays(engine)
+    arrays = (
+        {n: _local_block(a) for n, a in raw.items()} if multihost else raw
+    )
     streams = []
     for slot, s in enumerate(engine.slots):
         if s is not None:
@@ -251,14 +352,38 @@ def write_engine(engine, path: str | Path) -> None:
         streams.append(_dump_stream(s, None, arrays))
 
     header = {
-        "engine": "PagedEngine" if isinstance(engine, PagedEngine) else "Engine",
+        "engine": _engine_kind(engine),
         "spec": _spec_fingerprint(engine.spec),
         "max_streams": engine.max_streams,
         "n_batch": engine.n_batch,
         "next_id": engine._next_id,
         "streams": streams,
     }
-    if isinstance(engine, PagedEngine):
+    loop_key = getattr(engine, "_loop_key", None)
+    if loop_key is not None:
+        header["loop_key"] = np.asarray(loop_key).tolist()
+    if multihost:
+        import jax
+
+        header["multihost"] = {
+            "process_index": jax.process_index(),
+            "process_count": jax.process_count(),
+            "row0": engine._row0,
+            "global_streams": engine.global_streams,
+            "steps": engine._steps,
+        }
+    if _is_mh_paged(engine):
+        header["paged"] = {
+            "page_size": engine.page_size,
+            "n_pages": engine.pool.n_pages,
+            "tables": engine.tables.tolist(),
+            "stream_pages": [
+                [int(p) for p in pages] for pages in engine.stream_pages
+            ],
+            "free": list(engine.allocator.free),
+            "prefix": None,
+        }
+    elif isinstance(engine, PagedEngine):
         pc = engine.prefix_cache
         header["paged"] = {
             "page_size": engine.page_size,
@@ -324,11 +449,26 @@ def read_engine(
         payload = _decompress(f.read(), "zstd" if codec_byte else "zlib")
 
     want_cls = header["engine"]
-    is_paged = isinstance(engine, PagedEngine)
-    if ("PagedEngine" if is_paged else "Engine") != want_cls:
+    is_paged = isinstance(engine, PagedEngine) or _is_mh_paged(engine)
+    multihost = _is_mh(engine)
+    if _engine_kind(engine) != want_cls:
         raise SnapshotError(
             f"checkpoint is for {want_cls}, got {type(engine).__name__}"
         )
+    if multihost:
+        mh = header["multihost"]
+        got = {
+            "process_index": jax.process_index(),
+            "process_count": jax.process_count(),
+            "row0": engine._row0,
+            "global_streams": engine.global_streams,
+        }
+        want = {k: mh[k] for k in got}
+        if got != want:
+            raise SnapshotError(
+                f"process layout mismatch: checkpoint {want}, engine {got}"
+            )
+        engine._steps = mh["steps"]
     if _spec_fingerprint(engine.spec) != header["spec"]:
         raise SnapshotError(
             f"model geometry mismatch: checkpoint {header['spec']}, "
@@ -352,12 +492,21 @@ def read_engine(
 
     def put(name: str, target):
         a = arrays[name]
+        if multihost:
+            # per-host file: `a` is this host's local block of the global
+            # array; reassemble in place from purely local data
+            return _make_global(target, a)
         if a.shape != target.shape or str(a.dtype) != str(target.dtype):
             raise SnapshotError(
                 f"{name}: checkpoint {a.dtype}{list(a.shape)} does not match "
                 f"engine {target.dtype}{list(target.shape)}"
             )
         return jax.device_put(a, target.sharding)
+
+    if "loop_key" in header:
+        import jax.numpy as jnp
+
+        engine._loop_key = jnp.asarray(header["loop_key"], jnp.uint32)
 
     if is_paged:
         p = header["paged"]

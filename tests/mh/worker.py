@@ -97,6 +97,40 @@ texts3 = engine3.generate_all(
 )
 paged = {str(i): t for i, t in enumerate(texts3.values())}
 
+# phase 5: per-host engine checkpoint/resume — a MultiHostPagedEngine is
+# checkpointed mid-flight (each host writes ONLY its addressable pool
+# slice + local streams to its own file, no collective), restored into a
+# fresh engine on the same layout, and must finish with exactly the
+# phase-3 texts. Genuinely distributed: each host's local block here is a
+# PARTIAL row range of the global pool.
+from llm_tpu.engine_snapshot import read_engine, write_engine
+
+engine5 = MultiHostPagedEngine(
+    model, mesh, global_streams=2 * nproc, kv_dtype=jnp.bfloat16,
+    n_batch=4, page_size=8,
+)
+for p in prompts:
+    engine5.submit(
+        GenerationRequest(prompt=p, max_tokens=8,
+                          sampler=DeterministicSampler())
+    )
+for _ in range(3):  # both hosts step in lockstep, then quiesce
+    engine5.step()
+ckpt_path = os.path.join(tempfile.mkdtemp(), f"host{pid}.ckpt")
+write_engine(engine5, ckpt_path)
+
+engine6 = MultiHostPagedEngine(
+    model, mesh, global_streams=2 * nproc, kv_dtype=jnp.bfloat16,
+    n_batch=4, page_size=8,
+)
+read_engine(engine6, ckpt_path)
+while engine6.has_work_global():
+    engine6.step()
+ckpt = {
+    str(i): "".join(engine6.finished[r].text)
+    for i, r in enumerate(sorted(engine6.finished))
+}
+
 # phase 4: HTTP front-end per host over the cross-host engine — each host
 # binds its own port and serves its own clients, while the collective
 # per-host loop (server._MultiHostEngineLoop) keeps every host stepping
@@ -132,5 +166,5 @@ srv.httpd.shutdown()
 
 with open(out_path, "w") as f:
     json.dump({"pid": pid, "texts": out, "multi": multi, "paged": paged,
-               "http": http_out}, f)
+               "ckpt": ckpt, "http": http_out}, f)
 print(f"[{pid}] done", flush=True)

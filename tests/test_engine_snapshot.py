@@ -167,6 +167,65 @@ def test_on_token_reattached(model, tmp_path):
     assert text.endswith("".join(t for _, t in got))
 
 
+def test_multihost_dense_roundtrip(model, tmp_path):
+    """Per-host checkpoint of the cross-host engine (single-process 2x4
+    mesh: the host owns every `data` row, so the local block is the whole
+    cache — the same code path 2-process hosts take with partial rows;
+    tests/mh/worker.py phase 5 covers the genuinely-distributed case)."""
+    from llm_tpu.parallel.multihost import MultiHostEngine
+    from llm_tpu.parallel.sharding import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    _checkpoint_equivalence(
+        lambda: MultiHostEngine(model, mesh, global_streams=4,
+                                kv_dtype=jnp.float32, n_batch=4),
+        tmp_path,
+    )
+
+
+def test_multihost_paged_roundtrip(model, tmp_path):
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+    from llm_tpu.parallel.sharding import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=1))
+    _checkpoint_equivalence(
+        lambda: MultiHostPagedEngine(model, mesh, global_streams=4,
+                                     kv_dtype="int8", n_batch=4, page_size=8),
+        tmp_path,
+    )
+
+
+def test_loop_key_survives_for_stochastic_step_multi(model, tmp_path):
+    """The block-decode PRNG chain (Engine._loop_key) is engine state: a
+    restored engine must draw the SAME keys the original would have, so
+    stochastic on-device multi-token decode reproduces exactly."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    def make():
+        return Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=4)
+
+    def submit(e):
+        for p in ("<t2><t3>", "<t9><t4>"):
+            e.submit(GenerationRequest(
+                prompt=p, max_tokens=12,
+                device_sampler=DeviceSampler.top_k_temperature(5, 0.7),
+            ))
+
+    a = make()
+    submit(a)
+    a.step_multi(4)  # advances _loop_key past PRNGKey(0)
+    path = tmp_path / "lk.ckpt"
+    write_engine(a, path)
+
+    b = make()
+    read_engine(b, path)
+    while a.has_work():
+        a.step_multi(4)
+    while b.has_work():
+        b.step_multi(4)
+    assert _finished(b) == _finished(a)
+
+
 def test_custom_sampler_rejected(model, tmp_path):
     class Weird:
         def sample(self, logits, prev, rng):

@@ -132,6 +132,10 @@ def test_multihost_two_processes(model, tmp_path):
         )
         gpaged = [results[pid]["paged"][str(i)] for i in range(2)]
         assert gpaged == [prefs[0], prefs[1]], f"host {pid} paged: {gpaged}"
+        # the checkpoint/resume phase (per-host files carrying PARTIAL
+        # global-pool rows, restored mid-flight) must also match
+        gckpt = [results[pid]["ckpt"][str(i)] for i in range(2)]
+        assert gckpt == [prefs[0], prefs[1]], f"host {pid} ckpt: {gckpt}"
         # the HTTP phase (per-host LlmServer over the cross-host engine,
         # temperature=0 -> argmax) must match the greedy references
         ghttp = [results[pid]["http"][str(i)] for i in range(2)]
