@@ -667,6 +667,7 @@ def cmd_serve(args) -> None:
             draft_sampled=args.draft_sampled,
             multihost=args.multihost,
             model_parallel=args.model_parallel,
+            engine_snapshot=args.engine_snapshot,
         )
     except KeyboardInterrupt:
         pass
@@ -857,6 +858,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-parallel", type=int, default=None,
                    help="TP width (default: local device count, so TP "
                    "collectives stay on ICI)")
+    p.add_argument("--engine-snapshot", default=None,
+                   help="engine checkpoint/resume path: restored at "
+                   "startup if present, written on graceful shutdown, and "
+                   "snapshottable live via POST /admin/checkpoint "
+                   "(multi-host: one .host<N> file per process)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")

@@ -29,6 +29,7 @@ so a stop string split across token fragments never leaks to the client.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 import time
@@ -252,10 +253,12 @@ class _Ticket:
 class _EngineLoop(threading.Thread):
     """The single thread that owns the Engine."""
 
-    def __init__(self, engine: Engine, multi_step: int = 0):
+    def __init__(self, engine: Engine, multi_step: int = 0,
+                 snapshot_path=None):
         super().__init__(daemon=True, name="llm-tpu-engine")
         self.engine = engine
         self.multi_step = multi_step
+        self.snapshot_path = snapshot_path  # final checkpoint on shutdown
         self.inbox: "queue.Queue" = queue.Queue()
         self.tickets: dict[int, _Ticket] = {}
         self.stopping = False
@@ -302,9 +305,33 @@ class _EngineLoop(threading.Thread):
                     out_q.put(("ok", self._embed(inputs)))
                 except Exception as e:  # noqa: BLE001
                     out_q.put(("error", str(e)))
+            elif kind == "checkpoint":
+                path, out_q = payload
+                out_q.put(self._checkpoint(path))
             elif kind == "stop":
                 self.stopping = True
                 return
+
+    def _checkpoint(self, path) -> tuple[str, str]:
+        """Write an engine checkpoint between steps (we ARE the engine
+        thread, so the engine is quiesced by construction)."""
+        from llm_tpu.engine_snapshot import write_engine
+
+        path = path or self.snapshot_path
+        if not path:
+            return ("error", "no snapshot path configured")
+        try:
+            self._dispatch(self.engine._drain_retired())
+            write_engine(self.engine, path)
+            return ("ok", str(path))
+        except Exception as e:  # noqa: BLE001 — e.g. a custom sampler
+            return ("error", str(e))
+
+    def checkpoint(self, path=None, timeout: float = 600.0):
+        """Called from handler threads: checkpoint without downtime."""
+        out_q: "queue.Queue" = queue.Queue()
+        self.inbox.put(("checkpoint", (path, out_q)))
+        return out_q.get(timeout=timeout)
 
     def _embed(self, inputs):
         """Final-token hidden-state embeddings (the embeddings.rs analog),
@@ -386,6 +413,10 @@ class _EngineLoop(threading.Thread):
                 tickets, self.tickets = self.tickets, {}
                 for t in tickets.values():
                     t.events.put(("", True, "error: engine step failed", None))
+        if self.snapshot_path:
+            status, info = self._checkpoint(self.snapshot_path)
+            print(f"engine checkpoint on shutdown: {status} {info}",
+                  flush=True)
 
     def _tick(self) -> None:
         self._drain_inbox(block=not self.engine.has_work())
@@ -458,12 +489,35 @@ class LlmServer:
 
     def __init__(self, model, engine: Engine, host: str = "127.0.0.1",
                  port: int = 8080, multi_step: int = 0,
-                 default_max_tokens: int = 256):
+                 default_max_tokens: int = 256, engine_snapshot=None):
+        """`engine_snapshot`: path for engine checkpoint/resume — restored
+        at construction if the file exists (in-flight streams resume and
+        complete headless: their HTTP clients died with the old process,
+        but their work and KV/prefix-cache state are preserved), written
+        on graceful shutdown, and exposed at POST /admin/checkpoint for
+        zero-downtime snapshots. Multi-host engines with >1 process get a
+        `.host<N>` suffix automatically (per-host files)."""
         self.model = model
         self.model_id = getattr(model, "name", None) or "llm-tpu"
+        if engine_snapshot is not None and hasattr(engine, "global_streams"):
+            import jax
+
+            if jax.process_count() > 1:
+                engine_snapshot = (
+                    f"{engine_snapshot}.host{jax.process_index()}"
+                )
+        self.engine_snapshot = engine_snapshot
+        if engine_snapshot is not None and os.path.exists(engine_snapshot):
+            from llm_tpu.engine_snapshot import read_engine
+
+            read_engine(engine, engine_snapshot)
+            print(f"restored engine state from {engine_snapshot} "
+                  f"({engine.active} streams in flight, "
+                  f"{len(engine.pending)} pending)", flush=True)
         loop_cls = (_MultiHostEngineLoop if hasattr(engine, "has_work_global")
                     else _EngineLoop)
-        self.loop = loop_cls(engine, multi_step=multi_step)
+        self.loop = loop_cls(engine, multi_step=multi_step,
+                             snapshot_path=engine_snapshot)
         self.default_max_tokens = default_max_tokens
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
@@ -633,6 +687,19 @@ def _make_handler(server: LlmServer):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
+            if self.path == "/admin/checkpoint":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._json(400, {"error": "invalid JSON body"})
+                    return
+                status, info = server.loop.checkpoint(body.get("path"))
+                code = 200 if status == "ok" else 409
+                self._json(code, {"status": status,
+                                  ("path" if status == "ok" else "error"):
+                                  info})
+                return
             chat = self.path in ("/v1/chat/completions", "/chat/completions")
             embed = self.path in ("/v1/embeddings", "/embeddings")
             if not (chat or embed) and self.path not in ("/v1/completions",
@@ -762,7 +829,7 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
                   n_pages=None, multi_step=0, warmup=True,
                   draft=None, draft_k=4, draft_sampled=False,
                   multihost=False, model_parallel=None,
-                  prefix_cache=False) -> None:
+                  prefix_cache=False, engine_snapshot=None) -> None:
     """CLI entry: build the engine and serve until interrupted."""
     import jax.numpy as jnp
 
@@ -819,7 +886,7 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
         engine = Engine(model, max_streams=max_streams, kv_dtype=kv_dtype,
                         n_batch=n_batch)
     srv = LlmServer(model, engine, host=host, port=port,
-                    multi_step=multi_step)
+                    multi_step=multi_step, engine_snapshot=engine_snapshot)
     srv.loop.start()
     if warmup:
         print("warming up (compiling prefill/decode)...", flush=True)
@@ -828,4 +895,11 @@ def serve_forever(model, host="127.0.0.1", port=8080, max_streams=8,
         print(f"warmup done in {time.monotonic() - t0:.1f}s", flush=True)
     print(f"llm-tpu serving {srv.model_id} on http://{host}:{port} "
           f"({'paged' if paged else 'dense'} KV, {max_streams} streams)")
-    srv.httpd.serve_forever()
+    try:
+        srv.httpd.serve_forever()
+    finally:
+        if engine_snapshot is not None:
+            # graceful exit (SIGINT): drain the loop so the final engine
+            # checkpoint lands before the process dies
+            srv.loop.shutdown()
+            srv.loop.join(timeout=600)

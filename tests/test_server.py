@@ -617,3 +617,69 @@ def test_gguf_chat_template_loads(tmp_path):
         assert data["choices"][0]["message"]["content"]
     finally:
         srv.httpd.shutdown()
+
+
+def test_engine_snapshot_lifecycle(model, tmp_path):
+    """serve --engine-snapshot: live /admin/checkpoint, final checkpoint
+    on loop shutdown, restore at startup with headless completion of the
+    in-flight streams."""
+    import os
+
+    path = str(tmp_path / "serve.ckpt")
+
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0,
+                    engine_snapshot=path)
+    srv.start()
+    try:
+        status, body = _post(srv, {
+            "prompt": "<t5><t7>", "max_tokens": 6, "temperature": 0,
+        })
+        assert status == 200
+        # zero-downtime checkpoint from a handler thread
+        status, body = _post(srv, {}, path="/admin/checkpoint")
+        assert status == 200 and body["status"] == "ok"
+        assert os.path.exists(path)
+        os.remove(path)
+    finally:
+        srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=120)
+    # the loop wrote a final checkpoint on shutdown
+    assert os.path.exists(path)
+
+    # seed a checkpoint with work in flight, then start a server on it:
+    # the restored streams complete headless (their clients are gone)
+    from llm_tpu.engine_snapshot import write_engine
+
+    eng2 = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    rid = eng2.submit(GenerationRequest(prompt="<t2><t3>", max_tokens=6,
+                                        sampler=DeterministicSampler()))
+    eng2.step()
+    write_engine(eng2, path)
+    while eng2.has_work():
+        eng2.step()
+    expect = "".join(eng2.finished[rid].text)
+
+    eng3 = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    srv2 = LlmServer(model, eng3, host="127.0.0.1", port=0,
+                     engine_snapshot=path)
+    assert eng3.active == 1  # restored before the loop starts
+    srv2.start()
+    try:
+        for _ in range(200):
+            if rid in eng3.finished:
+                break
+            import time
+
+            time.sleep(0.05)
+        assert "".join(eng3.finished[rid].text) == expect
+        # and the server still serves new requests normally
+        status, body = _post(srv2, {
+            "prompt": "<t5>", "max_tokens": 4, "temperature": 0,
+        })
+        assert status == 200
+    finally:
+        srv2.httpd.shutdown()
+        srv2.loop.shutdown()
+        srv2.loop.join(timeout=120)
