@@ -224,6 +224,13 @@ def _kv_arrays(engine) -> dict:
         out["cache.k"], out["cache.v"] = c.k, c.v
         if c.k_scale is not None:
             out["cache.k_scale"], out["cache.v_scale"] = c.k_scale, c.v_scale
+    d = getattr(engine, "d_cache", None)  # speculative engines: draft KV
+    if d is not None:
+        out["d_cache.k"], out["d_cache.v"] = d.k, d.v
+        if d.k_scale is not None:
+            out["d_cache.k_scale"], out["d_cache.v_scale"] = (
+                d.k_scale, d.v_scale,
+            )
     return out
 
 
@@ -313,9 +320,17 @@ def _spec_fingerprint(spec) -> dict:
     }
 
 
+_SPEC_ENGINES = (
+    "SpeculativeEngine", "SampledSpeculativeEngine",
+    "PagedSpeculativeEngine", "PagedSampledSpeculativeEngine",
+)
+
+
 def _engine_kind(engine) -> str:
     from llm_tpu.paged import PagedEngine
 
+    if type(engine).__name__ in _SPEC_ENGINES:
+        return type(engine).__name__
     if _is_mh_paged(engine):
         return "MultiHostPagedEngine"
     if _is_mh(engine):
@@ -362,6 +377,16 @@ def write_engine(engine, path: str | Path) -> None:
     loop_key = getattr(engine, "_loop_key", None)
     if loop_key is not None:
         header["loop_key"] = np.asarray(loop_key).tolist()
+    if hasattr(engine, "d_cache"):  # speculative family
+        sp = {
+            "k": engine.k,
+            "draft_spec": _spec_fingerprint(engine.draft.spec),
+            "accepted": engine.accepted,
+            "drafted": engine.drafted,
+        }
+        if getattr(engine, "_key", None) is not None:
+            sp["key"] = np.asarray(engine._key).tolist()
+        header["speculative"] = sp
     if multihost:
         import jax
 
@@ -507,6 +532,33 @@ def read_engine(
         import jax.numpy as jnp
 
         engine._loop_key = jnp.asarray(header["loop_key"], jnp.uint32)
+
+    if "speculative" in header:
+        import jax.numpy as jnp
+
+        sp = header["speculative"]
+        if sp["draft_spec"] != _spec_fingerprint(engine.draft.spec):
+            raise SnapshotError(
+                f"draft geometry mismatch: checkpoint {sp['draft_spec']}, "
+                f"engine {_spec_fingerprint(engine.draft.spec)}"
+            )
+        if sp["k"] != engine.k:
+            raise SnapshotError(
+                f"draft k mismatch: checkpoint {sp['k']}, engine {engine.k}"
+            )
+        quant = "d_cache.k_scale" in arrays
+        if quant != (engine.d_cache.k_scale is not None):
+            raise SnapshotError("draft KV dtype mismatch")
+        engine.d_cache = KVCache(
+            put("d_cache.k", engine.d_cache.k),
+            put("d_cache.v", engine.d_cache.v),
+            put("d_cache.k_scale", engine.d_cache.k_scale) if quant else None,
+            put("d_cache.v_scale", engine.d_cache.v_scale) if quant else None,
+        )
+        engine.accepted = sp["accepted"]
+        engine.drafted = sp["drafted"]
+        if "key" in sp:
+            engine._key = jnp.asarray(sp["key"], jnp.uint32)
 
     if is_paged:
         p = header["paged"]

@@ -226,6 +226,99 @@ def test_loop_key_survives_for_stochastic_step_multi(model, tmp_path):
     assert _finished(b) == _finished(a)
 
 
+def test_speculative_engine_roundtrip(model, tmp_path, tmp_path_factory):
+    """Speculative engines carry EXTRA device state (the draft's [L, B]
+    cache, acceptance counters, and — sampled — the proposal PRNG chain);
+    a checkpoint must carry it so the restored engine resumes with the
+    same acceptance behavior, and cross-class restores are rejected."""
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.speculative import (
+        SampledSpeculativeEngine,
+        SpeculativeEngine,
+    )
+
+    dr = tmp_path_factory.mktemp("esnap_draft") / "draft.bin"
+    make_tiny_file("llama", dr, seed=7, n_layer=1)
+    draft = load(dr, "llama", params=ModelParameters(context_size=64))
+
+    def make():
+        return SpeculativeEngine(model, draft, k=3, max_streams=2,
+                                 kv_dtype=jnp.float32, n_batch=4)
+
+    a = make()
+    for p in ("<t2><t3>", "<t9><t4>"):
+        a.submit(GenerationRequest(prompt=p, max_tokens=10))
+    for _ in range(3):
+        a.step()
+    path = tmp_path / "spec.ckpt"
+    write_engine(a, path)
+
+    b = make()
+    read_engine(b, path)
+    assert (b.accepted, b.drafted) == (a.accepted, a.drafted)
+    assert np.array_equal(np.asarray(b.d_cache.k), np.asarray(a.d_cache.k))
+    _run_to_completion(a)
+    _run_to_completion(b)
+    assert _finished(b) == _finished(a)
+
+    # a speculative checkpoint must not restore into a plain Engine
+    with pytest.raises(SnapshotError, match="checkpoint is for"):
+        read_engine(Engine(model, max_streams=2, kv_dtype=jnp.float32,
+                           n_batch=4), path)
+
+    # sampled variant: the proposal PRNG chain (_key) must survive
+    def make_s():
+        return SampledSpeculativeEngine(model, draft, k=3, max_streams=2,
+                                        kv_dtype=jnp.float32, n_batch=4)
+
+    sa = make_s()
+    for p in ("<t2><t3>", "<t9><t4>"):
+        sa.submit(GenerationRequest(
+            prompt=p, max_tokens=10,
+            device_sampler=DeviceSampler.top_k_temperature(5, 0.7),
+        ))
+    for _ in range(3):
+        sa.step()
+    spath = tmp_path / "sspec.ckpt"
+    write_engine(sa, spath)
+    sb = make_s()
+    read_engine(sb, spath)
+    _run_to_completion(sa)
+    _run_to_completion(sb)
+    assert _finished(sb) == _finished(sa)
+
+
+def test_paged_speculative_engine_roundtrip(model, tmp_path,
+                                            tmp_path_factory):
+    """Paged speculative composes both checkpoint branches: target page
+    pool + tables/allocator AND the draft's dense cache."""
+    from llm_tpu.speculative import PagedSpeculativeEngine
+
+    dr = tmp_path_factory.mktemp("esnap_pdraft") / "draft.bin"
+    make_tiny_file("llama", dr, seed=7, n_layer=1)
+    draft = load(dr, "llama", params=ModelParameters(context_size=64))
+
+    def make():
+        return PagedSpeculativeEngine(
+            model, draft, k=3, max_streams=2, kv_dtype="int8",
+            page_size=16, n_batch=4,
+        )
+
+    a = make()
+    for p in ("<t2><t3>", "<t9><t4>"):
+        a.submit(GenerationRequest(prompt=p, max_tokens=10))
+    for _ in range(3):
+        a.step()
+    path = tmp_path / "pspec.ckpt"
+    write_engine(a, path)
+    b = make()
+    read_engine(b, path)
+    assert np.array_equal(b.tables, a.tables)
+    _run_to_completion(a)
+    _run_to_completion(b)
+    assert _finished(b) == _finished(a)
+
+
 def test_custom_sampler_rejected(model, tmp_path):
     class Weird:
         def sample(self, logits, prev, rng):
