@@ -79,6 +79,10 @@ def _tile_prefs(Mp: int, tile_r: Optional[int], tile_k: Optional[int]):
     er = os.environ.get("LLM_TPU_TILE_R")
     if Mp <= 64:  # decode blocks: 141 -> 235 GB/s
         dk, dr = 2048, 512
+        if os.environ.get("LLM_TPU_SUB_K"):
+            # sub-sliced body keeps intermediates small: take the whole K
+            # per tile (fewest grid steps; full-K is always divisor-legal)
+            dk = 1 << 30
     elif Mp <= 512:  # prefill chunks: +7% measured; x tile 4 MB fits
         dk, dr = 2048, 256
     else:  # large-M calls: keep the x tile and intermediates small
@@ -146,6 +150,7 @@ def _make_kernel(
     stacked: bool = False,
     scale_packed: bool = False,
     x_resident: bool = False,
+    sub_slices: int = 1,
 ):
     """Build the kernel body for a given static format.
 
@@ -157,6 +162,12 @@ def _make_kernel(
     `x_resident`: the x ref is the whole [n_k, Mp, tile_k] activation under
     a constant index map (one HBM copy total); the body indexes out the
     current k-block instead of receiving a per-step streamed tile.
+    `sub_slices`: unpack/dequant/dot the K tile in this many sequential
+    sub-slices, so the int32/f32/bf16 dequant intermediates occupy
+    tile_k/sub_slices rows of VMEM while the DMA block (and grid-step
+    count) stays sized by the FULL tile — on chip the measured kernel
+    rate is grid-step-bound (141→235 GB/s from 344→44 steps at fixed
+    work), and VMEM intermediates are what capped tile_k growth.
     """
 
     def kernel(*refs):
@@ -188,40 +199,76 @@ def _make_kernel(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        if fmt.lo_bits == 8:
-            q = W(lo_ref).astype(jnp.int32)
-        else:
-            q = unpack_plane(W(lo_ref), fmt.lo_bits)
-            if hi_ref is not None:
-                q = q | (unpack_plane(W(hi_ref), fmt.hi_bits) << fmt.lo_bits)
+        def sub(a, s):
+            """Rows of sub-slice s (static slice; a's leading dim divides
+            evenly by construction in the caller)."""
+            rows = a.shape[0] // sub_slices
+            return a[s * rows: (s + 1) * rows] if sub_slices > 1 else a
 
         def S(ref):
             x = W(ref)
             return expand_f16x2(x) if scale_packed else x.astype(jnp.float32)
 
-        # Dequant stays in f32 lanes; two measured NEGATIVE results on chip
-        # keep it this way (do not re-try without new Mosaic evidence):
-        # - bf16-lane dequant (int->bf16 cvt + bf16 mul): 206 vs 235 GB/s —
-        #   Mosaic does not 2x-pack bf16 VPU ops, and it rounds f16 scales.
-        # - group-blocked dot (scale mul hoisted out of the hot loop into a
-        #   [G,M,R] contraction, batched K=32 MXU dots): 230 GB/s / 58.9
-        #   tok/s vs 234 / 62.8 — the batched small-K dots cost more than
-        #   the saved per-element multiply+cast.
-        w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
-            S(scale_ref), fmt.gsize
-        )
-        if bias_ref is not None:
-            w = w + _expand_groups(S(bias_ref), fmt.gsize)
-        w = w.astype(jnp.bfloat16)
+        lo = W(lo_ref)
+        hi = W(hi_ref) if hi_ref is not None else None
+        scale = S(scale_ref)
+        bias = S(bias_ref) if bias_ref is not None else None
+        xk = x_ref[k] if x_resident else x_ref[:]
+        sub_k = xk.shape[-1] // sub_slices
 
-        x = (x_ref[k] if x_resident else x_ref[:]).astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+        acc = jnp.zeros_like(acc_ref)
+        for s in range(sub_slices):
+            if fmt.lo_bits == 8:
+                q = sub(lo, s).astype(jnp.int32)
+            else:
+                q = unpack_plane(sub(lo, s), fmt.lo_bits)
+                if hi is not None:
+                    q = q | (unpack_plane(sub(hi, s), fmt.hi_bits)
+                             << fmt.lo_bits)
+
+            # Dequant stays in f32 lanes; two measured NEGATIVE results on
+            # chip keep it this way (do not re-try without new Mosaic
+            # evidence):
+            # - bf16-lane dequant (int->bf16 cvt + bf16 mul): 206 vs 235
+            #   GB/s — Mosaic does not 2x-pack bf16 VPU ops, and it rounds
+            #   f16 scales.
+            # - group-blocked dot (scale mul hoisted out of the hot loop
+            #   into a [G,M,R] contraction, batched K=32 MXU dots): 230
+            #   GB/s / 58.9 tok/s vs 234 / 62.8 — the batched small-K dots
+            #   cost more than the saved per-element multiply+cast.
+            w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
+                sub(scale, s), fmt.gsize
+            )
+            if bias is not None:
+                w = w + _expand_groups(sub(bias, s), fmt.gsize)
+            w = w.astype(jnp.bfloat16)
+
+            x = xk[:, s * sub_k: (s + 1) * sub_k].astype(jnp.bfloat16)
+            acc = acc + jnp.dot(x, w, preferred_element_type=jnp.float32)
+        acc_ref[:] += acc
 
         @pl.when(k == n_k - 1)
         def _():
             out_ref[:] = acc_ref[:].astype(out_dtype)
 
     return kernel
+
+
+def _pick_sub_slices(fmt: QFormat, packed: bool, tile_k: int,
+                     g_rows: int) -> int:
+    """Number of K sub-slices for the kernel body (env LLM_TPU_SUB_K =
+    target elements per slice; 0/unset = off). Every plane's sliced row
+    count must stay a whole multiple of the 8-sublane granularity, so the
+    slice count is walked down until tile_k/n respects the same k_step
+    rule as the tile itself and g_rows divides evenly."""
+    target = int(os.environ.get("LLM_TPU_SUB_K", "0") or 0)
+    if target <= 0 or tile_k <= target:
+        return 1
+    step = _k_step(fmt, packed, tile_k)
+    for n in range(tile_k // target, 1, -1):
+        if tile_k % n == 0 and (tile_k // n) % step == 0 and g_rows % n == 0:
+            return n
+    return 1
 
 
 @partial(jax.jit, static_argnames=("tile_r", "tile_k", "interpret"))
@@ -286,7 +333,8 @@ def _qmatmul_pallas(
 
     out_dtype = jnp.float32
     kernel = _make_kernel(
-        fmt, n_k, out_dtype, scale_packed=packed, x_resident=x_res
+        fmt, n_k, out_dtype, scale_packed=packed, x_resident=x_res,
+        sub_slices=_pick_sub_slices(fmt, packed, tile_k, g_rows),
     )
 
     flops = 2 * Mp * Kp * Rp
@@ -393,6 +441,7 @@ def _qmatmul_pallas_stacked(
     kernel = _make_kernel(
         fmt, n_k, out_dtype, stacked=True, scale_packed=packed,
         x_resident=x_res,
+        sub_slices=_pick_sub_slices(fmt, packed, tile_k, g_rows),
     )
 
     flops = 2 * Mp * Kp * Rp

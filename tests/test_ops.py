@@ -184,6 +184,81 @@ def test_qmatmul_x_resident_matches_streaming(t, monkeypatch):
         np.testing.assert_allclose(yr, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "t", [GgmlType.Q4_0, GgmlType.Q5_1, GgmlType.Q4_K, GgmlType.Q8_0,
+          GgmlType.Q6_K]
+)
+def test_qmatmul_sub_k_matches_whole_tile(t, monkeypatch):
+    """The sub-sliced kernel body (LLM_TPU_SUB_K: unpack/dequant/dot the K
+    tile in VMEM-sized sub-slices while the DMA block stays whole-tile)
+    computes the same bf16-weights/f32-accumulation math; only the f32
+    accumulation ORDER differs (one partial sum per sub-slice, exactly
+    like the k-tile loop across tiles), so compare at f32 rounding
+    tolerance relative to the output scale."""
+    from llm_tpu.ops.qmatmul import _qmatmul_pallas, _qmatmul_pallas_stacked
+
+    rng = np.random.default_rng(13)
+    K, R, M, L = 512, 256, 8, 2
+    raw = _random_raw(rng, t, K, R)
+    qt = pack_ggml(t, raw, (K, R))
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+
+    def set_mode(sub):
+        monkeypatch.setenv("LLM_TPU_SUB_K", sub)
+        _qmatmul_pallas.clear_cache()
+        _qmatmul_pallas_stacked.clear_cache()
+
+    set_mode("0")
+    y_whole = np.asarray(
+        _qmatmul_pallas(x, qt, tile_r=128, tile_k=512, interpret=True)
+    )
+    ref = np.asarray(
+        jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            dequant_jnp(qt).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    tol = 1e-5 * max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(y_whole, ref, atol=tol, rtol=1e-4)
+    for sub in ("128", "256"):
+        set_mode(sub)
+        y_sub = np.asarray(
+            _qmatmul_pallas(x, qt, tile_r=128, tile_k=512, interpret=True)
+        )
+        np.testing.assert_allclose(y_sub, ref, atol=tol, rtol=1e-4)
+
+    # stacked variant
+    qts = [pack_ggml(t, _random_raw(rng, t, K, R), (K, R)) for _ in range(L)]
+    stacked = type(qt)(
+        qt.fmt_name, K, R,
+        jnp.stack([q.lo for q in qts]),
+        jnp.stack([q.hi for q in qts]) if qts[0].hi is not None else None,
+        jnp.stack([q.scale for q in qts]),
+        jnp.stack([q.bias for q in qts]) if qts[0].bias is not None else None,
+    )
+    set_mode("128")
+    for layer in (0, L - 1):
+        y = np.asarray(
+            _qmatmul_pallas_stacked(
+                x, stacked, jnp.int32(layer), tile_r=128, tile_k=512,
+                interpret=True,
+            )
+        )
+        ref_l = np.asarray(
+            jax.lax.dot_general(
+                x.astype(jnp.bfloat16),
+                dequant_jnp(qts[layer]).astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(
+            y, ref_l, atol=1e-5 * max(np.abs(ref_l).max(), 1.0), rtol=1e-4
+        )
+
+
 def test_rows_lookup():
     rng = np.random.default_rng(2)
     K, R = 64, 160
