@@ -57,6 +57,44 @@ def stack(qt: QuantTensor) -> QuantTensor:
                        st(qt.scale), st(qt.bias))
 
 
+def stacked_rate(name: str, reps_scale: int = 4) -> float:
+    """Packed-plane streaming rate (bytes/s) of the stacked chained-scan
+    decode probe for one format — the A/B primitive for kernel env knobs
+    (LLM_TPU_X_RES_MB, LLM_TPU_SUB_K, tile overrides read at trace time).
+    Dispatches are chained + host-synced (axon timing rules)."""
+    from llm_tpu.ggml.types import GgmlType
+
+    t = GgmlType[name.upper()]
+    qt = build(t)
+    sq = stack(qt)
+    reps = REPS * reps_scale  # amortize the ~28 ms dispatch RTT
+    os.environ["LLM_TPU_KERNELS"] = KMODE
+
+    @jax.jit
+    def chain(x):
+        def body(h, i):
+            y = qmatmul(h, sq, layer=i % L)
+            h = h + y[:, :K] * 1e-6
+            h = h / (jnp.max(jnp.abs(h)) + 1.0)
+            return h, None
+
+        h, _ = jax.lax.scan(body, x, jnp.arange(L * reps, dtype=jnp.int32))
+        return h
+
+    x8 = jnp.ones((8, K), jnp.float32)
+    float(chain(x8)[0, 0])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(x8)[0, 0])
+        times.append(time.perf_counter() - t0)
+    os.environ.pop("LLM_TPU_KERNELS", None)
+    nbytes = (qt.lo.nbytes + qt.scale.nbytes
+              + (qt.hi.nbytes if qt.hi is not None else 0)
+              + (qt.bias.nbytes if qt.bias is not None else 0))
+    return reps * L * nbytes / min(times)
+
+
 def check(name: str) -> bool:
     from llm_tpu.ggml.types import GgmlType
 
