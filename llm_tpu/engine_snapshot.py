@@ -43,7 +43,19 @@ from typing import Callable, Optional
 import numpy as np
 
 from llm_tpu.session import SnapshotError
-from llm_tpu.snapshot import _compress, _decompress
+
+
+def _decompress(data: bytes, codec: str) -> bytes:
+    """Streaming-frame decompress (the writer uses compressobj, whose zstd
+    frames carry no content-size header, so the one-shot decompressor in
+    snapshot.py cannot read them)."""
+    if codec == "zstd":
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompressobj().decompress(data)
+    import zlib
+
+    return zlib.decompress(data)
 
 MAGIC = b"LTEN"
 VERSION = 1
@@ -76,7 +88,12 @@ def _sampler_spec(s) -> Optional[dict]:
             "BatchedDeviceSampler is derived per-dispatch; checkpoint the "
             "per-stream DeviceSamplers instead"
         )
-    if dataclasses.is_dataclass(s) and type(s).__name__ in dir(S):
+    # identity, not name: a user-defined dataclass that happens to shadow a
+    # built-in's name must be REJECTED, not silently restored as the
+    # built-in with different semantics
+    if dataclasses.is_dataclass(s) and type(s) is getattr(
+        S, type(s).__name__, None
+    ):
         return {"kind": "host", "cls": type(s).__name__,
                 "kw": dataclasses.asdict(s)}
     raise SnapshotError(
@@ -432,20 +449,50 @@ def write_engine(engine, path: str | Path) -> None:
         }
 
     names = sorted(arrays)
-    hosted = {n: np.asarray(arrays[n]) for n in names}
     header["arrays"] = [
-        {"name": n, "dtype": str(hosted[n].dtype), "shape": list(hosted[n].shape)}
+        {"name": n, "dtype": str(arrays[n].dtype),
+         "shape": list(arrays[n].shape)}
         for n in names
     ]
     hb = json.dumps(header).encode()
-    payload, codec = _compress(b"".join(hosted[n].tobytes() for n in names))
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<I", VERSION))
-        f.write(struct.pack("<B", 1 if codec == "zstd" else 0))
-        f.write(struct.pack("<I", len(hb)))
-        f.write(hb)
-        f.write(payload)
+
+    # Atomic + streaming: write into a sibling temp file and os.replace()
+    # so a crash mid-write never destroys the previous good checkpoint,
+    # and compress one array at a time so peak host memory is one plane
+    # (not the whole pool twice).
+    import os
+    import zlib
+
+    try:
+        import zstandard
+
+        comp = zstandard.ZstdCompressor(level=1).compressobj()
+        codec_byte = 1
+    except ImportError:
+        comp = zlib.compressobj(1)
+        codec_byte = 0
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<I", VERSION))
+            f.write(struct.pack("<B", codec_byte))
+            f.write(struct.pack("<I", len(hb)))
+            f.write(hb)
+            for n in names:
+                a = np.ascontiguousarray(np.asarray(arrays[n]))
+                out = comp.compress(a.reshape(-1).view(np.uint8).data)
+                if out:
+                    f.write(out)
+                del a
+            f.write(comp.flush())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def read_engine(
@@ -493,7 +540,6 @@ def read_engine(
             raise SnapshotError(
                 f"process layout mismatch: checkpoint {want}, engine {got}"
             )
-        engine._steps = mh["steps"]
     if _spec_fingerprint(engine.spec) != header["spec"]:
         raise SnapshotError(
             f"model geometry mismatch: checkpoint {header['spec']}, "
@@ -528,14 +574,16 @@ def read_engine(
             )
         return jax.device_put(a, target.sharding)
 
-    if "loop_key" in header:
-        import jax.numpy as jnp
+    # ---- phase 1: validate everything and BUILD all new state without
+    # touching the engine, so a SnapshotError leaves it exactly as
+    # constructed (no half-restored allocator/pool/stream mix)
+    import jax.numpy as jnp
 
-        engine._loop_key = jnp.asarray(header["loop_key"], jnp.uint32)
+    new: dict = {}
+    if "loop_key" in header:
+        new["_loop_key"] = jnp.asarray(header["loop_key"], jnp.uint32)
 
     if "speculative" in header:
-        import jax.numpy as jnp
-
         sp = header["speculative"]
         if sp["draft_spec"] != _spec_fingerprint(engine.draft.spec):
             raise SnapshotError(
@@ -549,17 +597,18 @@ def read_engine(
         quant = "d_cache.k_scale" in arrays
         if quant != (engine.d_cache.k_scale is not None):
             raise SnapshotError("draft KV dtype mismatch")
-        engine.d_cache = KVCache(
+        new["d_cache"] = KVCache(
             put("d_cache.k", engine.d_cache.k),
             put("d_cache.v", engine.d_cache.v),
             put("d_cache.k_scale", engine.d_cache.k_scale) if quant else None,
             put("d_cache.v_scale", engine.d_cache.v_scale) if quant else None,
         )
-        engine.accepted = sp["accepted"]
-        engine.drafted = sp["drafted"]
+        new["accepted"] = sp["accepted"]
+        new["drafted"] = sp["drafted"]
         if "key" in sp:
-            engine._key = jnp.asarray(sp["key"], jnp.uint32)
+            new["_key"] = jnp.asarray(sp["key"], jnp.uint32)
 
+    prefix_state = None
     if is_paged:
         p = header["paged"]
         if (engine.page_size, engine.pool.n_pages) != (
@@ -573,45 +622,65 @@ def read_engine(
         quant = "pool.k_scale" in arrays
         if quant != engine.pool.quantized:
             raise SnapshotError("KV dtype mismatch (int8 vs dense pool)")
-        engine.pool = PagedKVCache(
+        if p["prefix"] is not None and engine.prefix_cache is None:
+            raise SnapshotError(
+                "checkpoint has a prefix cache; construct the engine "
+                "with prefix_cache=True"
+            )
+        new["pool"] = PagedKVCache(
             put("pool.k", engine.pool.k),
             put("pool.v", engine.pool.v),
             put("pool.k_scale", engine.pool.k_scale) if quant else None,
             put("pool.v_scale", engine.pool.v_scale) if quant else None,
         )
-        engine.tables = np.asarray(p["tables"], np.int32)
-        engine.stream_pages = [list(x) for x in p["stream_pages"]]
-        engine.allocator.free = list(p["free"])
+        new["tables"] = np.asarray(p["tables"], np.int32)
+        new["stream_pages"] = [list(x) for x in p["stream_pages"]]
         if p["prefix"] is not None:
-            if engine.prefix_cache is None:
-                raise SnapshotError(
-                    "checkpoint has a prefix cache; construct the engine "
-                    "with prefix_cache=True"
-                )
-            pc = engine.prefix_cache
-            pc.by_key = {bytes.fromhex(k): pid for k, pid in p["prefix"]["by_key"]}
-            pc.key_of = {pid: k for k, pid in pc.by_key.items()}
-            pc.refs = {int(pid): n for pid, n in p["prefix"]["refs"].items()}
-            pc.lru = {int(pid): None for pid in p["prefix"]["lru"]}
+            prefix_state = {
+                "by_key": {
+                    bytes.fromhex(k): pid for k, pid in p["prefix"]["by_key"]
+                },
+                "refs": {
+                    int(pid): n for pid, n in p["prefix"]["refs"].items()
+                },
+                "lru": {int(pid): None for pid in p["prefix"]["lru"]},
+            }
     else:
         quant = "cache.k_scale" in arrays
         if quant != (engine.cache.k_scale is not None):
             raise SnapshotError("KV dtype mismatch (int8 vs dense cache)")
-        engine.cache = KVCache(
+        new["cache"] = KVCache(
             put("cache.k", engine.cache.k),
             put("cache.v", engine.cache.v),
             put("cache.k_scale", engine.cache.k_scale) if quant else None,
             put("cache.v_scale", engine.cache.v_scale) if quant else None,
         )
 
-    engine.slots = [None] * engine.max_streams
-    engine.pending = []
-    engine.finished = {}
-    engine._retired_events = []
-    engine._next_id = header["next_id"]
+    slots = [None] * engine.max_streams
+    pending = []
     for d in header["streams"]:
         s = _load_stream(d, arrays, on_token)
         if d["slot"] is None:
-            engine.pending.append(s)
+            pending.append(s)
         else:
-            engine.slots[d["slot"]] = s
+            slots[d["slot"]] = s
+
+    # ---- phase 2: commit
+    if multihost:
+        engine._steps = header["multihost"]["steps"]
+    for attr, val in new.items():
+        setattr(engine, attr, val)
+    if is_paged:
+        engine.allocator.free = list(header["paged"]["free"])
+        if prefix_state is not None:
+            pc = engine.prefix_cache
+            pc.by_key = prefix_state["by_key"]
+            pc.key_of = {pid: k for k, pid in pc.by_key.items()}
+            pc.refs = prefix_state["refs"]
+            pc.lru = prefix_state["lru"]
+
+    engine.slots = slots
+    engine.pending = pending
+    engine.finished = {}
+    engine._retired_events = []
+    engine._next_id = header["next_id"]

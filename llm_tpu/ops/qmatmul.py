@@ -79,10 +79,6 @@ def _tile_prefs(Mp: int, tile_r: Optional[int], tile_k: Optional[int]):
     er = os.environ.get("LLM_TPU_TILE_R")
     if Mp <= 64:  # decode blocks: 141 -> 235 GB/s
         dk, dr = 2048, 512
-        if os.environ.get("LLM_TPU_SUB_K"):
-            # sub-sliced body keeps intermediates small: take the whole K
-            # per tile (fewest grid steps; full-K is always divisor-legal)
-            dk = 1 << 30
     elif Mp <= 512:  # prefill chunks: +7% measured; x tile 4 MB fits
         dk, dr = 2048, 256
     else:  # large-M calls: keep the x tile and intermediates small
@@ -254,6 +250,10 @@ def _make_kernel(
     return kernel
 
 
+def _sub_k_target() -> int:
+    return int(os.environ.get("LLM_TPU_SUB_K", "0") or 0)
+
+
 def _pick_sub_slices(fmt: QFormat, packed: bool, tile_k: int,
                      g_rows: int) -> int:
     """Number of K sub-slices for the kernel body (env LLM_TPU_SUB_K =
@@ -261,7 +261,7 @@ def _pick_sub_slices(fmt: QFormat, packed: bool, tile_k: int,
     count must stay a whole multiple of the 8-sublane granularity, so the
     slice count is walked down until tile_k/n respects the same k_step
     rule as the tile itself and g_rows divides evenly."""
-    target = int(os.environ.get("LLM_TPU_SUB_K", "0") or 0)
+    target = _sub_k_target()
     if target <= 0 or tile_k <= target:
         return 1
     step = _k_step(fmt, packed, tile_k)
@@ -269,6 +269,25 @@ def _pick_sub_slices(fmt: QFormat, packed: bool, tile_k: int,
         if tile_k % n == 0 and (tile_k // n) % step == 0 and g_rows % n == 0:
             return n
     return 1
+
+
+def _maybe_full_k(fmt: QFormat, packed: bool, Kp: int, Mp: int,
+                  tile_k: int) -> tuple[int, int]:
+    """(tile_k, sub_slices): upgrade a decode-shaped call to a whole-K
+    tile ONLY when the sub-sliced body actually engages there with a
+    bounded slice (<= max(2048, target) elements) — otherwise a lone
+    whole-K slice would materialize the exact VMEM-sized intermediates
+    the tile caps exist to avoid (e.g. Kp=11008 with step=512 admits no
+    legal slicing). Prefill shapes keep their tiles: their [Mp, tile_k]
+    x block is the VMEM constraint, not the dequant intermediates."""
+    target = _sub_k_target()
+    if target > 0 and Mp <= 64 and Kp > tile_k:
+        g_rows_full = Kp // fmt.gsize // (2 if packed else 1)
+        n = _pick_sub_slices(fmt, packed, Kp, g_rows_full)
+        if n > 1 and Kp // n <= max(2048, target):
+            return Kp, n
+    g_rows = tile_k // fmt.gsize // (2 if packed else 1)
+    return tile_k, _pick_sub_slices(fmt, packed, tile_k, g_rows)
 
 
 @partial(jax.jit, static_argnames=("tile_r", "tile_k", "interpret"))
@@ -285,14 +304,14 @@ def _qmatmul_pallas(
     Kp, Rp = qt.k_padded, qt.r_padded
     packed = qt.scale_packed
     k_step = _k_step(fmt, packed, Kp)
-    tile_r, tile_k = _tile_prefs(_round_up(max(x.shape[0], 8), 8), tile_r, tile_k)
-    tile_r = _pick_tile(Rp, tile_r, 128)
-    tile_k = _pick_tile(Kp, tile_k, k_step)
-    assert Rp % tile_r == 0 and Kp % tile_k == 0, (Rp, tile_r, Kp, tile_k)
-    g_rows = tile_k // fmt.gsize // (2 if packed else 1)
-
     M = x.shape[0]
     Mp = _round_up(max(M, 8), 8)
+    tile_r, tile_k = _tile_prefs(Mp, tile_r, tile_k)
+    tile_r = _pick_tile(Rp, tile_r, 128)
+    tile_k = _pick_tile(Kp, tile_k, k_step)
+    tile_k, n_sub = _maybe_full_k(fmt, packed, Kp, Mp, tile_k)
+    assert Rp % tile_r == 0 and Kp % tile_k == 0, (Rp, tile_r, Kp, tile_k)
+    g_rows = tile_k // fmt.gsize // (2 if packed else 1)
     if x.shape != (Mp, Kp):
         x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
     # the kernel feeds the MXU in bf16 either way; casting the operand
@@ -334,7 +353,7 @@ def _qmatmul_pallas(
     out_dtype = jnp.float32
     kernel = _make_kernel(
         fmt, n_k, out_dtype, scale_packed=packed, x_resident=x_res,
-        sub_slices=_pick_sub_slices(fmt, packed, tile_k, g_rows),
+        sub_slices=n_sub,
     )
 
     flops = 2 * Mp * Kp * Rp
@@ -386,13 +405,13 @@ def _qmatmul_pallas_stacked(
     Kp = qt.scale.shape[-2] * g * (2 if packed else 1)
     Rp = qt.scale.shape[-1]
     k_step = _k_step(fmt, packed, Kp)
-    tile_r, tile_k = _tile_prefs(_round_up(max(x.shape[0], 8), 8), tile_r, tile_k)
-    tile_r = _pick_tile(Rp, tile_r, 128)
-    tile_k = _pick_tile(Kp, tile_k, k_step)
-    g_rows = tile_k // g // (2 if packed else 1)
-
     M = x.shape[0]
     Mp = _round_up(max(M, 8), 8)
+    tile_r, tile_k = _tile_prefs(Mp, tile_r, tile_k)
+    tile_r = _pick_tile(Rp, tile_r, 128)
+    tile_k = _pick_tile(Kp, tile_k, k_step)
+    tile_k, n_sub = _maybe_full_k(fmt, packed, Kp, Mp, tile_k)
+    g_rows = tile_k // g // (2 if packed else 1)
     if x.shape != (Mp, Kp):
         x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
     x = x.astype(jnp.bfloat16)  # the kernel dots in bf16 either way
@@ -440,8 +459,7 @@ def _qmatmul_pallas_stacked(
     out_dtype = jnp.float32
     kernel = _make_kernel(
         fmt, n_k, out_dtype, stacked=True, scale_packed=packed,
-        x_resident=x_res,
-        sub_slices=_pick_sub_slices(fmt, packed, tile_k, g_rows),
+        x_resident=x_res, sub_slices=n_sub,
     )
 
     flops = 2 * Mp * Kp * Rp

@@ -288,6 +288,14 @@ class _EngineLoop(threading.Thread):
                 return
             block = False
             if kind == "submit":
+                if self.stopping:
+                    # a submit racing shutdown must fail fast, not hang
+                    # its handler on a loop that will never step again
+                    payload.request_id = -1
+                    payload.events.put(("", True, "error: server stopping",
+                                        None))
+                    payload.ready.set()
+                    continue
                 try:
                     payload.request_id = self.engine.submit(payload.request)
                     self.tickets[payload.request_id] = payload
@@ -307,19 +315,35 @@ class _EngineLoop(threading.Thread):
                     out_q.put(("error", str(e)))
             elif kind == "checkpoint":
                 path, out_q = payload
-                out_q.put(self._checkpoint(path))
+                out_q.put(self._checkpoint(path, client=True))
             elif kind == "stop":
+                # keep draining: a checkpoint/submit racing shutdown must
+                # still get an answer instead of dangling in the queue
                 self.stopping = True
-                return
 
-    def _checkpoint(self, path) -> tuple[str, str]:
+    def _checkpoint(self, path, client: bool = False) -> tuple[str, str]:
         """Write an engine checkpoint between steps (we ARE the engine
-        thread, so the engine is quiesced by construction)."""
+        thread, so the engine is quiesced by construction). `client`
+        marks HTTP-supplied paths, which are confined to the configured
+        snapshot's directory — /admin/checkpoint must not be an
+        arbitrary-path file-write primitive."""
+        import os as _os
+
         from llm_tpu.engine_snapshot import write_engine
 
-        path = path or self.snapshot_path
-        if not path:
+        if not self.snapshot_path:
             return ("error", "no snapshot path configured")
+        if path and client:
+            want_dir = _os.path.dirname(
+                _os.path.abspath(self.snapshot_path)
+            )
+            if _os.path.dirname(_os.path.abspath(path)) != want_dir:
+                return (
+                    "error",
+                    f"path must live in the configured snapshot "
+                    f"directory {want_dir}",
+                )
+        path = path or self.snapshot_path
         try:
             self._dispatch(self.engine._drain_retired())
             write_engine(self.engine, path)
@@ -331,7 +355,10 @@ class _EngineLoop(threading.Thread):
         """Called from handler threads: checkpoint without downtime."""
         out_q: "queue.Queue" = queue.Queue()
         self.inbox.put(("checkpoint", (path, out_q)))
-        return out_q.get(timeout=timeout)
+        try:
+            return out_q.get(timeout=timeout)
+        except queue.Empty:
+            return ("error", "engine loop did not respond (shutting down?)")
 
     def _embed(self, inputs):
         """Final-token hidden-state embeddings (the embeddings.rs analog),
@@ -457,6 +484,21 @@ class _MultiHostEngineLoop(_EngineLoop):
 
     def _should_exit(self) -> bool:
         return getattr(self, "_exit_agreed", False)
+
+    def _checkpoint(self, path, client: bool = False) -> tuple[str, str]:
+        if client:
+            # a live checkpoint triggered on ONE host would write a torn
+            # set: the other hosts' files would be stale or from different
+            # collective steps (the PRNG chain seeds from the synchronized
+            # step counter). Only the coordinated shutdown checkpoint —
+            # all hosts exit after consensus at the same step — is safe.
+            return (
+                "error",
+                "live /admin/checkpoint is not supported on multi-host "
+                "serving; stop all hosts gracefully for a consistent "
+                "per-host checkpoint set",
+            )
+        return super()._checkpoint(path, client=client)
 
     def _tick(self) -> None:
         import jax
@@ -694,6 +736,9 @@ def _make_handler(server: LlmServer):
                 except (ValueError, json.JSONDecodeError):
                     self._json(400, {"error": "invalid JSON body"})
                     return
+                if not isinstance(body, dict):
+                    self._json(400, {"error": "body must be a JSON object"})
+                    return
                 status, info = server.loop.checkpoint(body.get("path"))
                 code = 200 if status == "ok" else 409
                 self._json(code, {"status": status,
@@ -711,6 +756,9 @@ def _make_handler(server: LlmServer):
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._json(400, {"error": "invalid JSON body"})
+                return
+            if not isinstance(body, dict):
+                self._json(400, {"error": "body must be a JSON object"})
                 return
             if embed:
                 inputs = body.get("input", [])

@@ -329,3 +329,56 @@ def test_custom_sampler_rejected(model, tmp_path):
     eng.step()
     with pytest.raises(SnapshotError, match="not checkpointable"):
         write_engine(eng, tmp_path / "weird.ckpt")
+    # a failed write must not leave a partial file behind (atomic temp +
+    # rename), nor clobber an existing good checkpoint
+    assert not (tmp_path / "weird.ckpt").exists()
+
+
+def test_shadowing_sampler_dataclass_rejected(model, tmp_path):
+    """A user-defined dataclass that shadows a built-in sampler's NAME must
+    be rejected, not silently restored as the built-in (identity check,
+    not name lookup)."""
+
+    @dataclasses.dataclass
+    class TopK:  # same name as llm_tpu.samplers.TopK, different semantics
+        k: int = 5
+
+        def sample(self, logits, prev, rng):
+            return 2
+
+        def apply(self, logits, prev, rng):
+            return logits
+
+    eng = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    eng.submit(GenerationRequest(prompt="<t2>", max_tokens=4, sampler=TopK()))
+    eng.step()
+    with pytest.raises(SnapshotError, match="not checkpointable"):
+        write_engine(eng, tmp_path / "shadow.ckpt")
+
+
+def test_failed_restore_leaves_engine_intact(model, tmp_path):
+    """read_engine validates and builds everything BEFORE mutating the
+    target: a rejected restore (prefix-cache checkpoint into a cache-less
+    engine) must leave the fresh engine fully functional — allocator,
+    tables, and pool untouched."""
+    src = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                      n_batch=4, prefix_cache=True)
+    rid = src.submit(GenerationRequest(prompt="<t2><t3>" * 8, max_tokens=4,
+                                       sampler=DeterministicSampler()))
+    while src.has_work():
+        src.step()
+    path = tmp_path / "pfx.ckpt"
+    write_engine(src, path)
+
+    eng = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                      n_batch=4)  # no prefix cache
+    free_before = list(eng.allocator.free)
+    tables_before = eng.tables.copy()
+    with pytest.raises(SnapshotError, match="prefix cache"):
+        read_engine(eng, path)
+    assert eng.allocator.free == free_before
+    assert np.array_equal(eng.tables, tables_before)
+    # and the engine still serves
+    out = eng.generate_all([GenerationRequest(
+        prompt="<t5>", max_tokens=4, sampler=DeterministicSampler())])
+    assert out[0]
