@@ -309,3 +309,60 @@ def test_expand_f16x2_edge_values():
     packed = _pack_f16x2_np(f16)
     out = np.asarray(expand_f16x2(packed))
     np.testing.assert_array_equal(out, f16)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize(
+    "fname", ["q4_0", "q5_1", "q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"]
+)
+def test_tile_selection_invariants_real_geometries(fname, packed,
+                                                   monkeypatch):
+    """Pure-host guard over the kernel's shape-dependent tile selection at
+    REAL model geometries (GPT-2 768, LLaMA 4096/11008, 13B 5120/13824,
+    Falcon-40B 8192): for every (format, K, M, SUB_K) combination the
+    chosen tiles must divide, every plane's sliced row count must respect
+    the 8-sublane step, and the sub-sliced full-K upgrade must never
+    produce an unsliced whole-K body (the VMEM blowup the caps exist to
+    avoid)."""
+    from llm_tpu.ops.packing import _BY_NAME
+    from llm_tpu.ops.qmatmul import (
+        _k_step,
+        _maybe_full_k,
+        _pick_tile,
+        _tile_prefs,
+    )
+
+    _, fmt = _BY_NAME[fname]
+    if packed and fmt.gsize * 2 > 32:
+        pass  # packed scales halve scale rows; still legal for all formats
+    for Kp in (768, 2048, 2560, 4096, 5120, 8192, 11008, 13824):
+        step = _k_step(fmt, packed, Kp)
+        if Kp % step and step != Kp:
+            continue  # geometry this format would have K-padded away
+        for Mp in (8, 64, 512):
+            for sub_env in ("", "0", "1024", "2048"):
+                if sub_env:
+                    monkeypatch.setenv("LLM_TPU_SUB_K", sub_env)
+                else:
+                    monkeypatch.delenv("LLM_TPU_SUB_K", raising=False)
+                tile_r, tile_k = _tile_prefs(Mp, None, None)
+                tile_k = _pick_tile(Kp, tile_k, step)
+                assert Kp % tile_k == 0, (fname, Kp, tile_k)
+                tile_k2, n_sub = _maybe_full_k(fmt, packed, Kp, Mp, tile_k)
+                assert Kp % tile_k2 == 0
+                assert tile_k2 % n_sub == 0
+                slice_k = tile_k2 // n_sub
+                # every plane's sliced rows stay sublane-aligned
+                assert slice_k % _k_step(fmt, packed, tile_k2) == 0 or \
+                    n_sub == 1
+                g_rows = tile_k2 // fmt.gsize // (2 if packed else 1)
+                assert g_rows % n_sub == 0
+                target = int(sub_env or 0)
+                if target <= 0:
+                    assert n_sub == 1 and tile_k2 == tile_k
+                else:
+                    # the full-K upgrade must keep slices bounded; a
+                    # geometry with no legal slicing keeps its capped tile
+                    if tile_k2 > tile_k:
+                        assert n_sub > 1
+                        assert slice_k <= max(2048, target)
