@@ -54,8 +54,27 @@ def _read(f: BinaryIO, fmt: str, size: int):
     return struct.unpack(fmt, b)[0]
 
 
+def _remaining(f: BinaryIO) -> int:
+    pos = f.tell()
+    end = f.seek(0, 2)
+    f.seek(pos)
+    return end - pos
+
+
+def _check_count(f: BinaryIO, n: int, unit: int, what: str) -> int:
+    """Counts and lengths come from the (untrusted) file: bound them by
+    the bytes actually present so a corrupt/hostile header can neither
+    allocation-bomb the process (MemoryError on f.read(2**60)) nor spin a
+    near-infinite parse loop — it fails as a clean FormatError instead."""
+    if n < 0 or unit and n > _remaining(f) // unit:
+        raise FormatError(
+            f"GGUF {what} count {n} exceeds the bytes present in the file"
+        )
+    return n
+
+
 def _read_string(f: BinaryIO) -> bytes:
-    n = _read(f, "<Q", 8)
+    n = _check_count(f, _read(f, "<Q", 8), 1, "string length")
     b = f.read(n)
     if len(b) != n:
         raise FormatError("unexpected end of GGUF string")
@@ -74,12 +93,14 @@ def _read_value(f: BinaryIO, t: int) -> Any:
         n = _read(f, "<Q", 8)
         if et in _SCALARS:
             fmt, size = _SCALARS[et]
+            _check_count(f, n, size, "array")
             raw = f.read(n * size)
             if len(raw) != n * size:
                 raise FormatError("unexpected end of GGUF array")
             vals = list(struct.unpack(f"<{n}{fmt[-1]}", raw))
             return [bool(v) for v in vals] if et == 7 else vals
         if et == _T_STRING:
+            _check_count(f, n, 8, "string array")
             return [_read_string(f) for _ in range(n)]
         raise FormatError(f"unsupported GGUF array element type {et}")
     raise FormatError(f"unsupported GGUF value type {t}")
@@ -289,9 +310,13 @@ class GgufReader:
             self.container = ContainerType("gguf", version)
             n_tensors = _read(f, "<Q", 8)
             n_kv = _read(f, "<Q", 8)
+            # a KV entry is >= 12 bytes, a tensor record >= 24: bound both
+            # counts by the file so corrupt headers fail cleanly
+            _check_count(f, n_kv, 12, "metadata")
+            _check_count(f, n_tensors, 24, "tensor")
 
             for _ in range(n_kv):
-                key = _read_string(f).decode("utf-8")
+                key = _read_string(f).decode("utf-8", errors="replace")
                 t = _read(f, "<I", 4)
                 self.metadata[key] = _read_value(f, t)
 
@@ -304,8 +329,12 @@ class GgufReader:
 
             infos = []
             for _ in range(n_tensors):
-                name = _read_string(f).decode("utf-8")
+                name = _read_string(f).decode("utf-8", errors="replace")
                 n_dims = _read(f, "<I", 4)
+                if n_dims > 4:  # ggml tensors are at most 4-D
+                    raise FormatError(
+                        f"tensor {name!r} claims {n_dims} dimensions"
+                    )
                 dims = [int(_read(f, "<Q", 8)) for _ in range(n_dims)]
                 ftype_raw = _read(f, "<I", 4)
                 offset = _read(f, "<Q", 8)

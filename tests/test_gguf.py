@@ -388,3 +388,41 @@ def test_gguf_convert_embeds_chat_template(tmp_path):
         [{"role": "user", "content": "<t5>"}], None, m.chat_template
     )
     assert prompt == "<t2><t5><t3>"
+
+
+def test_corrupt_gguf_fails_cleanly(tmp_path):
+    """Counts and lengths in a GGUF header are untrusted: any corruption
+    (truncation, bit flips in the header or body) must raise a clean
+    typed error — never a MemoryError allocation bomb from a forged
+    2^60 string/array length, an OverflowError, or a near-infinite
+    parse loop (seeded sample of the fuzz that originally found both)."""
+    import random
+
+    from llm_tpu.ggml.gguf import FormatError, convert_ggml_to_gguf
+
+    src = tmp_path / "m.bin"
+    make_tiny_file("llama", src)
+    gguf = tmp_path / "m.gguf"
+    convert_ggml_to_gguf(src, gguf, "llama")
+    data = gguf.read_bytes()
+
+    rng = random.Random(0)
+    p = tmp_path / "fuzz.gguf"
+    for trial in range(60):
+        buf = bytearray(data)
+        mode = trial % 3
+        if mode == 0:
+            buf = buf[: rng.randrange(0, len(buf))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 8)):
+                i = rng.randrange(0, min(len(buf), 512))
+                buf[i] = rng.randrange(256)
+        else:
+            for _ in range(rng.randrange(1, 8)):
+                i = rng.randrange(0, len(buf))
+                buf[i] = rng.randrange(256)
+        p.write_bytes(bytes(buf))
+        try:
+            GgufReader(p).load("llama")
+        except (FormatError, ValueError, KeyError):
+            pass  # clean typed failure (or the flip was harmless)
