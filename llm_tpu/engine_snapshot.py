@@ -509,16 +509,24 @@ def read_engine(
     from llm_tpu.paged import PagedEngine, PagedKVCache
     from llm_tpu.serve import KVCache
 
-    with open(path, "rb") as f:
-        if f.read(4) != MAGIC:
-            raise SnapshotError(f"{path} is not an engine checkpoint")
-        (version,) = struct.unpack("<I", f.read(4))
-        if version != VERSION:
-            raise SnapshotError(f"unsupported engine checkpoint v{version}")
-        (codec_byte,) = struct.unpack("<B", f.read(1))
-        (hlen,) = struct.unpack("<I", f.read(4))
-        header = json.loads(f.read(hlen))
-        payload = _decompress(f.read(), "zstd" if codec_byte else "zlib")
+    try:
+        with open(path, "rb") as f:
+            if f.read(4) != MAGIC:
+                raise SnapshotError(f"{path} is not an engine checkpoint")
+            (version,) = struct.unpack("<I", f.read(4))
+            if version != VERSION:
+                raise SnapshotError(
+                    f"unsupported engine checkpoint v{version}"
+                )
+            (codec_byte,) = struct.unpack("<B", f.read(1))
+            (hlen,) = struct.unpack("<I", f.read(4))
+            header = json.loads(f.read(hlen))
+            payload = _decompress(f.read(), "zstd" if codec_byte else "zlib")
+    except SnapshotError:
+        raise
+    except Exception as e:  # truncated/corrupt file: struct, json, zstd/
+        # zlib errors all mean the same thing to the caller
+        raise SnapshotError(f"corrupt engine checkpoint {path}: {e}") from e
 
     want_cls = header["engine"]
     is_paged = isinstance(engine, PagedEngine) or _is_mh_paged(engine)

@@ -551,11 +551,22 @@ class LlmServer:
         self.engine_snapshot = engine_snapshot
         if engine_snapshot is not None and os.path.exists(engine_snapshot):
             from llm_tpu.engine_snapshot import read_engine
+            from llm_tpu.session import SnapshotError
 
-            read_engine(engine, engine_snapshot)
-            print(f"restored engine state from {engine_snapshot} "
-                  f"({engine.active} streams in flight, "
-                  f"{len(engine.pending)} pending)", flush=True)
+            try:
+                read_engine(engine, engine_snapshot)
+                print(f"restored engine state from {engine_snapshot} "
+                      f"({engine.active} streams in flight, "
+                      f"{len(engine.pending)} pending)", flush=True)
+            except SnapshotError as e:
+                # a corrupt/incompatible checkpoint must not brick the
+                # server: quarantine it (keep the evidence) and serve
+                # fresh — loudly, since in-flight state is being dropped
+                quarantine = f"{engine_snapshot}.corrupt"
+                os.replace(engine_snapshot, quarantine)
+                print(f"WARNING: engine checkpoint rejected ({e}); moved "
+                      f"to {quarantine}, serving with a fresh engine",
+                      flush=True)
         loop_cls = (_MultiHostEngineLoop if hasattr(engine, "has_work_global")
                     else _EngineLoop)
         self.loop = loop_cls(engine, multi_step=multi_step,

@@ -683,3 +683,41 @@ def test_engine_snapshot_lifecycle(model, tmp_path):
         srv2.httpd.shutdown()
         srv2.loop.shutdown()
         srv2.loop.join(timeout=120)
+
+
+def test_corrupt_engine_snapshot_quarantined(model, tmp_path):
+    """A corrupt/truncated checkpoint must not brick startup: it is moved
+    to PATH.corrupt (evidence kept) and the server boots fresh."""
+    import os
+    import random
+
+    from llm_tpu.engine_snapshot import write_engine
+
+    path = str(tmp_path / "corrupt.ckpt")
+    eng = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    eng.submit(GenerationRequest(prompt="<t2>", max_tokens=4,
+                                 sampler=DeterministicSampler()))
+    eng.step()
+    write_engine(eng, path)
+    data = bytearray(open(path, "rb").read())
+    rng = random.Random(3)
+    for _ in range(64):  # trash the payload
+        data[rng.randrange(9, len(data))] = rng.randrange(256)
+    open(path, "wb").write(bytes(data[: len(data) * 2 // 3]))
+
+    fresh = Engine(model, max_streams=2, kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, fresh, host="127.0.0.1", port=0,
+                    engine_snapshot=path)
+    assert not os.path.exists(path)
+    assert os.path.exists(path + ".corrupt")
+    assert fresh.active == 0
+    srv.start()
+    try:
+        status, body = _post(srv, {
+            "prompt": "<t5>", "max_tokens": 4, "temperature": 0,
+        })
+        assert status == 200
+    finally:
+        srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=120)
