@@ -31,6 +31,8 @@ def server(model):
     srv.start()
     yield srv
     srv.httpd.shutdown()
+    srv.loop.shutdown()
+    srv.loop.join(timeout=60)
 
 
 def _url(server, path):
@@ -185,6 +187,8 @@ def test_server_paged_engine(model):
         assert body["choices"][0]["text"] == ref
     finally:
         srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
 
 
 def test_server_multi_step_device_sampling(model):
@@ -200,6 +204,8 @@ def test_server_multi_step_device_sampling(model):
         assert body["choices"][0]["text"] == ref
     finally:
         srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
 
 
 # vicuna-style role prefixes rendered with the tiny synthetic vocab's
@@ -342,6 +348,8 @@ def test_metrics_endpoint(model):
         assert m1["ttft_ms_p50"] is not None
     finally:
         srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
 
 
 def test_embeddings_endpoint(server, model):
@@ -410,6 +418,8 @@ def test_client_disconnect_cancels_stream(model):
         assert engine.active == 0
     finally:
         srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
 
 
 def test_server_speculative_engine(model, tmp_path):
@@ -443,6 +453,8 @@ def test_server_speculative_engine(model, tmp_path):
         assert body["choices"][0]["text"]
     finally:
         srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
 
 
 def test_cli_serve_multihost_single_process(tmp_path):
@@ -556,6 +568,8 @@ def test_logit_bias_device_path(model):
         assert data["choices"][0]["text"] == "<t9>" * 4
     finally:
         srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
 
 
 def test_chat_template_jinja_render():
@@ -617,6 +631,8 @@ def test_gguf_chat_template_loads(tmp_path):
         assert data["choices"][0]["message"]["content"]
     finally:
         srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
 
 
 def test_engine_snapshot_lifecycle(model, tmp_path):
