@@ -61,7 +61,8 @@ def kernel_ok(spec, T: int, page: int) -> bool:
 
 
 def _make_kernel(
-    nw: int, kq_scale: float, quantized: bool, has_alibi: bool, pps: int
+    nw: int, kq_scale: float, quantized: bool, has_alibi: bool, pps: int,
+    hc: int,
 ):
     def kernel(*refs):
         # scalar prefetch: tables [B, P], n_past [B], layer [1]
@@ -91,48 +92,62 @@ def _make_kernel(
 
         npv = npast_ref[b]
         page = k_refs[0].shape[3]
-        qh = q_ref[0].astype(jnp.float32)  # [Hkv, rep, D]
+        hkv = q_ref.shape[1]
 
-        # scores per page of the group (kept per-page so the broadcast
-        # [Hkv, rep, page, D] intermediate stays ~4 MB regardless of pps)
-        s_parts, valid_parts = [], []
+        # per-page position masks are head-independent: compute once
+        pos_ok = []
         for o in range(pps):
-            ko = k_refs[o][0, 0].astype(jnp.float32)  # [Hkv, page, D]
-            so = (qh[:, :, None, :] * ko[:, None, :, :]).sum(-1) * kq_scale
-            if quantized:
-                # dequant folded around the dot: k scale scales the SCORES
-                # per key position; v scale scales the probabilities
-                so = so * ks_refs[o][0, 0][:, None, :]
             pos = (j * pps + o) * page + lax.broadcasted_iota(
                 jnp.int32, (1, 1, page), 2
             )
-            if has_alibi:
-                so = so + slopes_ref[...][:, :, None] * pos.astype(jnp.float32)
-            ok = pos < npv  # clamped duplicate pages mask out here
-            s_parts.append(jnp.where(ok, so, NEG_INF))
-            valid_parts.append(ok)
-        s = s_parts[0] if pps == 1 else jnp.concatenate(s_parts, axis=-1)
-        valid = (
-            valid_parts[0] if pps == 1
-            else jnp.concatenate(valid_parts, axis=-1)
-        )  # [1, 1, span]
+            pos_ok.append((pos, pos < npv))  # clamped dup pages mask out
 
-        m_prev = m_s[...]  # [Hkv, rep, 1]
-        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Hkv, rep, span]
-        corr = jnp.exp(m_prev - m_new)
-        m_s[...] = m_new
-        l_s[...] = l_s[...] * corr + p.sum(axis=-1, keepdims=True)
+        # The per-page f32 intermediates (pool block converted to f32 plus
+        # the broadcast q*k / p*v products) are [heads, page, D] buffers —
+        # at big-page geometries (MPT 8K: 32 heads x 256 x 128 = 4 MB each)
+        # several live at once and blow the ~16 MB scoped-VMEM stack. The
+        # online-softmax state is independent per head, so the body chunks
+        # the kv heads: every intermediate is capped at [hc, page, D].
+        for h0 in range(0, hkv, hc):
+            h1 = min(h0 + hc, hkv)
+            qh = q_ref[0, h0:h1].astype(jnp.float32)  # [hc, rep, D]
 
-        pv = None
-        for o in range(pps):
-            vh = v_refs[o][0, 0].astype(jnp.float32)  # [Hkv, page, D]
-            po = p[:, :, o * page : (o + 1) * page]
-            if quantized:
-                po = po * vs_refs[o][0, 0][:, None, :]
-            part = (po[:, :, :, None] * vh[:, None, :, :]).sum(2)
-            pv = part if pv is None else pv + part
-        acc_s[...] = acc_s[...] * corr + pv
+            s_parts, valid_parts = [], []
+            for o in range(pps):
+                ko = k_refs[o][0, 0, h0:h1].astype(jnp.float32)
+                so = (qh[:, :, None, :] * ko[:, None, :, :]).sum(-1) * kq_scale
+                if quantized:
+                    # dequant folded around the dot: k scale scales the
+                    # SCORES per key position; v scale the probabilities
+                    so = so * ks_refs[o][0, 0, h0:h1][:, None, :]
+                pos, ok = pos_ok[o]
+                if has_alibi:
+                    so = so + (slopes_ref[h0:h1][:, :, None]
+                               * pos.astype(jnp.float32))
+                s_parts.append(jnp.where(ok, so, NEG_INF))
+                valid_parts.append(ok)
+            s = s_parts[0] if pps == 1 else jnp.concatenate(s_parts, axis=-1)
+            valid = (
+                valid_parts[0] if pps == 1
+                else jnp.concatenate(valid_parts, axis=-1)
+            )  # [1, 1, span]
+
+            m_prev = m_s[h0:h1]  # [hc, rep, 1]
+            m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [hc, rep, span]
+            corr = jnp.exp(m_prev - m_new)
+            m_s[h0:h1] = m_new
+            l_s[h0:h1] = l_s[h0:h1] * corr + p.sum(axis=-1, keepdims=True)
+
+            pv = None
+            for o in range(pps):
+                vh = v_refs[o][0, 0, h0:h1].astype(jnp.float32)
+                po = p[:, :, o * page : (o + 1) * page]
+                if quantized:
+                    po = po * vs_refs[o][0, 0, h0:h1][:, None, :]
+                part = (po[:, :, :, None] * vh[:, None, :, :]).sum(2)
+                pv = part if pv is None else pv + part
+            acc_s[h0:h1] = acc_s[h0:h1] * corr + pv
 
         @pl.when(j == nw - 1)
         def _():
@@ -159,7 +174,8 @@ def _paged_attention_call(
     has_alibi = slopes is not None
     nw = -(-window_pages // pps)  # page-GROUPS in the grid's minor dim
 
-    kernel = _make_kernel(nw, kq_scale, quantized, has_alibi, pps)
+    kernel = _make_kernel(nw, kq_scale, quantized, has_alibi, pps,
+                          _head_chunk(hkv, page, d))
 
     P = tables.shape[1]
 
@@ -284,6 +300,19 @@ def paged_attention_pass(
         pps=_pages_per_step(pool_k, pool_v, window_pages),
     )
     return m[:, None], l[:, None], acc[:, None]
+
+
+def _head_chunk(hkv: int, page: int, d: int) -> int:
+    """kv-heads processed per body iteration: cap each [hc, page, D] f32
+    intermediate at ~1 MiB so the kernel's scoped-VMEM stack stays bounded
+    at big-page geometries (env LLM_TPU_PAGED_HC overrides). Small pages
+    (7B llama serve: 16-32 rows) keep hc=hkv — a single unchunked pass."""
+    import os
+
+    env = os.environ.get("LLM_TPU_PAGED_HC")
+    if env:
+        return max(1, min(int(env), hkv))
+    return max(1, min(hkv, (1 << 20) // (page * d * 4)))
 
 
 def _pages_per_step(pool_k, pool_v, window_pages: int) -> int:

@@ -329,6 +329,32 @@ def test_paged_kernel_pages_per_step_remainder(tmp_path, monkeypatch):
     assert got == ref
 
 
+def test_paged_kernel_head_chunked_matches_xla(tmp_path, monkeypatch):
+    """The kv-head-chunked kernel body (hc < Hkv, the bounded-VMEM path big
+    pages engage at MPT-8K geometry) must match the jnp page-scan pass —
+    pinned to hc=1 and hc=3 (ragged final chunk on 4 kv heads), int8+ALiBi
+    so the quantized scale slices are exercised too."""
+    path = tmp_path / "mpt128.bin"
+    make_tiny_file("mpt", path, n_embd=512)  # 4 heads -> D = 128
+    model = load(path, "mpt", params=ModelParameters(context_size=64))
+
+    def run():
+        engine = PagedEngine(model, max_streams=2, page_size=16,
+                             kv_dtype="int8", n_batch=8)
+        return engine.generate_all(
+            [GenerationRequest(prompt=[2, 3, 4] * 12, max_tokens=8,
+                               sampler=DeterministicSampler())]
+        )[0]
+
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+    for hc in ("1", "3"):
+        monkeypatch.setenv("LLM_TPU_PAGED_HC", hc)
+        assert run() == ref, f"hc={hc}"
+    monkeypatch.delenv("LLM_TPU_PAGED_HC")
+
+
 def test_paged_admission_interleaves_with_decode(model):
     """Paged: chunked admission interleaves with decode and the B=1 prefill
     leaves the running stream's pages intact."""
