@@ -673,6 +673,21 @@ def cmd_serve(args) -> None:
         pass
 
 
+def cmd_convert_hf(args) -> None:
+    from llm_tpu.convert_hf import convert_hf
+
+    arch = convert_hf(
+        args.source,
+        args.destination,
+        architecture=args.model_architecture,
+        ftype=args.ftype,
+        gguf=args.gguf,
+        tokenizer_json=args.tokenizer_json,
+        progress=lambda name: print(f"  {name}", file=sys.stderr),
+    )
+    print(f"wrote {args.destination} ({arch}, {args.ftype})", file=sys.stderr)
+
+
 def cmd_quantize(args) -> None:
     from llm_tpu.ggml.types import ContainerType, GgmlType
     from llm_tpu.quantize import QuantizeError, quantize
@@ -864,6 +879,22 @@ def build_parser() -> argparse.ArgumentParser:
                    "snapshottable live via POST /admin/checkpoint "
                    "(multi-host: one .host<N> file per process)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "convert-hf",
+        help="convert a HuggingFace checkpoint directory to GGML/GGUF",
+    )
+    p.add_argument("source", help="HF model directory (from_pretrained path)")
+    p.add_argument("destination", help="output checkpoint path")
+    p.add_argument("-a", "--model-architecture", default=None,
+                   help="override the architecture detected from config.json")
+    p.add_argument("--ftype", choices=["f32", "f16"], default="f16",
+                   help="storage type for 2-D weights (default f16)")
+    p.add_argument("--gguf", action="store_true",
+                   help="write GGUF v3 instead of classic GGJT v3")
+    p.add_argument("--tokenizer-json", default=None,
+                   help="tokenizer.json to embed BPE merges from (GGUF only)")
+    p.set_defaults(fn=cmd_convert_hf)
 
     p = sub.add_parser("quantize", help="quantize a model to a block format")
     p.add_argument("-a", "--model-architecture", default=None,

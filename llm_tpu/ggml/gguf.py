@@ -641,6 +641,7 @@ def convert_ggml_to_gguf(
     architecture: str = "llama",
     tokenizer_json: "Optional[str | Path]" = None,
     chat_template: "Optional[str]" = None,
+    extra_metadata: "Optional[dict]" = None,
 ) -> None:
     """Convert a classic GGML/GGJT checkpoint into GGUF v3 (all 7 archs)."""
     from llm_tpu.ggml.reader import GgmlReader
@@ -676,6 +677,10 @@ def convert_ggml_to_gguf(
                 md["tokenizer.ggml.merges"] = merges
         if chat_template:
             md["tokenizer.chat_template"] = chat_template
+        if extra_metadata:
+            # caller-known values the classic container cannot carry
+            # (e.g. llama GQA head_count_kv from an HF config)
+            md.update(extra_metadata)
         for k, v in md.items():
             w.add_metadata(k, v)
         for name, info in reader.tensors.items():
