@@ -93,7 +93,7 @@ def _permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
     )
 
 
-def _is_tied(model, head_attr: str, emb_attr: str) -> bool:
+def _is_tied(model) -> bool:
     try:
         head = model.get_output_embeddings()
         emb = model.get_input_embeddings()
@@ -115,7 +115,7 @@ def _conv_gpt2(model, cfg) -> tuple[Hyperparameters, Iterator]:
         yield "model/wpe", _np(sd["transformer.wpe.weight"])
         yield "model/ln_f/g", _np(sd["transformer.ln_f.weight"])
         yield "model/ln_f/b", _np(sd["transformer.ln_f.bias"])
-        if not _is_tied(model, "lm_head", "wte"):
+        if not _is_tied(model):
             yield "model/lm_head", _np(sd["lm_head.weight"])
         for i in range(cfg.n_layer):
             hf, g = f"transformer.h.{i}", f"model/h{i}"
@@ -335,7 +335,19 @@ def _conv_falcon(model, cfg) -> tuple[Hyperparameters, Iterator]:
     if new_arch:
         kv = cfg.num_kv_heads
     else:
-        kv = 1 if getattr(cfg, "multi_query", True) else n_head
+        if not getattr(cfg, "multi_query", True):
+            # Old-architecture MHA falcon (e.g. falcon-rw-1b): HF packs the
+            # fused qkv per head [head, {q,k,v}, hd] (bloom-style), NOT the
+            # contiguous [q x H, k, v] this graph consumes — and the loader
+            # keys the 40B dual-LN residual off n_head_kv != 1, so the
+            # converted file would produce silently wrong logits.
+            raise ConvertError(
+                "falcon with new_decoder_architecture=False and "
+                "multi_query=False (RefinedWeb MHA layout, e.g. "
+                "falcon-rw-1b) is not convertible: the graph only supports "
+                "the 7B MQA and 40B group-packed qkv layouts"
+            )
+        kv = 1
 
     def reorder40(w: np.ndarray) -> np.ndarray:
         # HF per-kv-group [q x H/kv, k, v] -> [q x H, k x kv, v x kv]
@@ -350,7 +362,7 @@ def _conv_falcon(model, cfg) -> tuple[Hyperparameters, Iterator]:
                _np(sd["transformer.word_embeddings.weight"]))
         yield "transformer.ln_f.weight", _np(sd["transformer.ln_f.weight"])
         yield "transformer.ln_f.bias", _np(sd["transformer.ln_f.bias"])
-        if _is_tied(model, "lm_head", "word_embeddings"):
+        if _is_tied(model):
             yield ("lm_head.weight",
                    _np(sd["transformer.word_embeddings.weight"]))
         else:
@@ -404,19 +416,61 @@ def placeholder_vocab(n_vocab: int) -> list[tuple[bytes, float]]:
     return [(f"<unused{i}>".encode(), 0.0) for i in range(n_vocab)]
 
 
-def vocab_from_tokenizer(tok, n_vocab: int) -> list[tuple[bytes, float]]:
-    """Embedded scored vocab from an HF tokenizer: token strings by id,
-    score 0.0 (fast tokenizers do not expose SentencePiece scores)."""
+def vocab_from_tokenizer(
+    tok, n_vocab: int, *, surface: bool = False
+) -> list[tuple[bytes, float]]:
+    """Embedded scored vocab from an HF tokenizer, score 0.0 (fast
+    tokenizers do not expose SentencePiece scores).
+
+    By default tokens are mapped back to the RAW BYTES the embedded
+    tokenizer emits on decode (the classic-container vocab is
+    byte-oriented), mirroring the llama.cpp converters: byte-level BPE
+    vocabularies (gpt2 family, surface forms like 'Ġhello') run through
+    the gpt2 byte-decoder; SentencePiece-style vocabularies replace the
+    U+2581 word-boundary marker with a space and decode literal '<0xNN>'
+    byte tokens. Without this, converted classic checkpoints decode to
+    mojibake (Ġ/▁ characters, literal '<0xNA>' text).
+
+    ``surface=True`` keeps the tokenizer's surface forms verbatim — the
+    GGUF convention (tokenizer.ggml.tokens stores mapped/marked forms;
+    the loader's BPE/SentencePiece paths undo them at load time)."""
+    import re
+
+    from llm_tpu.tokenizer.bpe import _U2B
+
     by_id: dict[int, str] = {}
     try:
         for s, i in tok.get_vocab().items():
             by_id[int(i)] = s
     except Exception:
         return placeholder_vocab(n_vocab)
+
+    # Decide the surface-form family GLOBALLY (per-token guessing would
+    # mis-map latin-1-looking SentencePiece tokens like 'é' through the
+    # byte alphabet): 'Ġ' (U+0120, byte-mapped space) marks byte-level
+    # BPE; '▁' (U+2581) marks SentencePiece.
+    vals = by_id.values()
+    byte_level = any("Ġ" in s for s in vals) and not any(
+        "▁" in s for s in vals
+    )
+    byte_tok = re.compile(r"^<0x([0-9A-Fa-f]{2})>$")
+
+    def to_bytes(s: str) -> bytes:
+        if surface:
+            return s.encode()
+        if byte_level:
+            if all(ch in _U2B for ch in s):
+                return bytes(_U2B[ch] for ch in s)
+            return s.encode()  # added special tokens live outside the alphabet
+        m = byte_tok.match(s)
+        if m:
+            return bytes([int(m.group(1), 16)])
+        return s.replace("▁", " ").encode()
+
     out = []
     for i in range(n_vocab):
         s = by_id.get(i)
-        out.append(((s.encode() if s is not None else f"<unused{i}>".encode()),
+        out.append((to_bytes(s) if s is not None else f"<unused{i}>".encode(),
                     0.0))
     return out
 
@@ -459,7 +513,24 @@ def convert_hf(
             f" (architectures: {sorted(_CONVERTERS)})"
         )
     hparams, tensors = _CONVERTERS[arch](model, cfg)
-    vocab = (vocab_from_tokenizer(tokenizer, hparams.n_vocab)
+    if (
+        not gguf
+        and arch != "falcon"  # falcon's classic codec carries n_head_kv
+        and hparams.n_head_kv
+        and hparams.n_head_kv != hparams.n_head
+        and not (arch == "llama" and hparams.n_layer >= 80)
+    ):
+        # Classic hparams cannot encode GQA: the loader would assume
+        # n_head_kv == n_head and produce garbage logits. (The --n-gqa
+        # load-time escape hatch only applies to llama with n_layer >= 80,
+        # matching the reference's 70B assert, lib.rs:107-117.)
+        raise ConvertError(
+            f"{arch} checkpoint has grouped-query attention "
+            f"(n_head_kv={hparams.n_head_kv} != n_head={hparams.n_head}), "
+            "which the classic GGJT container cannot encode — convert with "
+            "gguf=True (CLI: --gguf) instead"
+        )
+    vocab = (vocab_from_tokenizer(tokenizer, hparams.n_vocab, surface=gguf)
              if tokenizer is not None
              else placeholder_vocab(hparams.n_vocab))
 

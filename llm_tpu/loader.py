@@ -100,6 +100,18 @@ def find_all_model_files(path: Path) -> list[Path]:
     return [path]
 
 
+_GGUF_BYTE_TOKEN = re.compile(rb"^<0x([0-9A-Fa-f]{2})>$")
+
+
+def _gguf_sp_token_bytes(tok: bytes) -> bytes:
+    """GGUF SentencePiece surface form -> raw bytes: '▁' (U+2581) is the
+    word boundary (space), '<0xNN>' tokens are single bytes."""
+    m = _GGUF_BYTE_TOKEN.match(tok)
+    if m:
+        return bytes([int(m.group(1), 16)])
+    return tok.replace("▁".encode(), b" ")
+
+
 class Model:
     """A loaded model: static spec + packed device params + tokenizer.
 
@@ -223,9 +235,24 @@ def load(
         else:
             from llm_tpu.tokenizer.embedded import EmbeddedTokenizer
 
+            toks = reader.vocabulary.tokens
+            if "tokenizer.ggml.tokens" in md:
+                # GGUF stores SentencePiece SURFACE forms ('▁hello',
+                # literal '<0xNN>' byte tokens); the embedded tokenizer is
+                # byte-oriented, so map them here (classic containers
+                # already store raw bytes). Control tokens (type 3) keep
+                # their verbatim text. The reader's vocabulary is left
+                # untouched so GGUF→GGUF rewrites pass surface forms through.
+                types = md.get("tokenizer.ggml.token_type") or []
+                toks = [
+                    _gguf_sp_token_bytes(t)
+                    if (i >= len(types) or types[i] != 3)
+                    else t
+                    for i, t in enumerate(toks)
+                ]
             emb = EmbeddedTokenizer()
             for i, (tok, score) in enumerate(
-                zip(reader.vocabulary.tokens, reader.vocabulary.scores)
+                zip(toks, reader.vocabulary.scores)
             ):
                 emb.push_token(i, tok, score)
             tokenizer = Tokenizer(emb)

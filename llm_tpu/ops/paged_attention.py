@@ -161,12 +161,13 @@ def _make_kernel(
 @partial(
     jax.jit,
     static_argnames=(
-        "window_pages", "kq_scale", "interpret", "hkv", "rep", "d", "pps"
+        "window_pages", "kq_scale", "interpret", "hkv", "rep", "d", "pps",
+        "hc",
     ),
 )
 def _paged_attention_call(
     pool_k, pool_v, ks, vs, tables, n_past, slopes, layer, q,
-    *, window_pages, kq_scale, interpret, hkv, rep, d, pps=1,
+    *, window_pages, kq_scale, interpret, hkv, rep, d, pps=1, hc=None,
 ):
     B = q.shape[0]
     page = pool_k.shape[3]
@@ -174,8 +175,10 @@ def _paged_attention_call(
     has_alibi = slopes is not None
     nw = -(-window_pages // pps)  # page-GROUPS in the grid's minor dim
 
+    # hc is static so callers (and the LLM_TPU_PAGED_HC override, resolved
+    # OUTSIDE jit in paged_attention_pass) retrigger compilation on change.
     kernel = _make_kernel(nw, kq_scale, quantized, has_alibi, pps,
-                          _head_chunk(hkv, page, d))
+                          hc if hc is not None else _head_chunk(hkv, page, d))
 
     P = tables.shape[1]
 
@@ -298,6 +301,7 @@ def paged_attention_pass(
         interpret=(_backend_mode() == "interpret"),
         hkv=Hkv, rep=rep, d=D,
         pps=_pages_per_step(pool_k, pool_v, window_pages),
+        hc=_head_chunk(Hkv, pool_k.shape[3], D),
     )
     return m[:, None], l[:, None], acc[:, None]
 
@@ -311,7 +315,10 @@ def _head_chunk(hkv: int, page: int, d: int) -> int:
 
     env = os.environ.get("LLM_TPU_PAGED_HC")
     if env:
-        return max(1, min(int(env), hkv))
+        try:
+            return max(1, min(int(env), hkv))
+        except ValueError:
+            pass  # malformed override: fall through to the computed default
     return max(1, min(hkv, (1 << 20) // (page * d * 4)))
 
 
@@ -327,7 +334,10 @@ def _pages_per_step(pool_k, pool_v, window_pages: int) -> int:
 
     env = os.environ.get("LLM_TPU_PAGED_PPS")
     if env:
-        return max(1, min(int(env), window_pages))
+        try:
+            return max(1, min(int(env), window_pages))
+        except ValueError:
+            pass
     hkv, page, d = pool_k.shape[2], pool_k.shape[3], pool_k.shape[4]
     per_page = hkv * page * d * (pool_k.dtype.itemsize + pool_v.dtype.itemsize)
     return max(1, min(window_pages, (4 << 20) // per_page, 8))

@@ -132,6 +132,94 @@ def test_convert_falcon40_layout(tmp_path):
     _assert_parity(path, "falcon", hf)
 
 
+def test_convert_llama_gqa_classic_raises(tmp_path):
+    """GQA to the classic container (no --gguf) must be an explicit
+    ConvertError: classic llama hparams cannot carry n_head_kv and the
+    --n-gqa escape hatch only applies at n_layer >= 80, so the file would
+    load with garbage logits."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from llm_tpu.convert_hf import ConvertError
+
+    cfg = LlamaConfig(
+        vocab_size=V, hidden_size=E, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=2,
+        tie_word_embeddings=False, max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(cfg).eval()
+    with pytest.raises(ConvertError, match="gguf"):
+        convert_hf(hf, tmp_path / "llama_gqa.bin", ftype="f32")
+
+
+def test_convert_falcon_old_arch_mha_raises(tmp_path):
+    """Old-architecture non-MQA falcon (falcon-rw family): HF interleaves
+    the fused qkv per head and the loader would pick the 40B residual — a
+    silently-wrong conversion, so it must raise."""
+    from transformers import FalconConfig, FalconForCausalLM
+
+    from llm_tpu.convert_hf import ConvertError
+
+    cfg = FalconConfig(
+        vocab_size=V, hidden_size=E, num_hidden_layers=L,
+        num_attention_heads=H, multi_query=False,
+        new_decoder_architecture=False, parallel_attn=True, bias=False,
+        alibi=False, hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = FalconForCausalLM(cfg).eval()
+    with pytest.raises(ConvertError, match="multi_query"):
+        convert_hf(hf, tmp_path / "falcon_rw.bin", ftype="f32")
+
+
+class _FakeTok:
+    def __init__(self, vocab):
+        self._v = vocab
+
+    def get_vocab(self):
+        return self._v
+
+
+def test_vocab_byte_mapping_bpe():
+    """Byte-level BPE surface forms map through the gpt2 byte-decoder for
+    classic files ('Ġhello' -> b' hello'); surface=True keeps them (GGUF)."""
+    from llm_tpu.convert_hf import vocab_from_tokenizer
+
+    tok = _FakeTok({"Ġhello": 0, "hello": 1, "Ċ": 2, "<|endoftext|>": 3})
+    vocab = vocab_from_tokenizer(tok, 5)
+    assert vocab[0][0] == b" hello"
+    assert vocab[1][0] == b"hello"
+    assert vocab[2][0] == b"\n"
+    assert vocab[3][0] == b"<|endoftext|>"  # special: outside the alphabet
+    assert vocab[4][0] == b"<unused4>"
+    surf = vocab_from_tokenizer(tok, 5, surface=True)
+    assert surf[0][0] == "Ġhello".encode()
+
+
+def test_vocab_byte_mapping_sentencepiece():
+    """SentencePiece surface forms: '▁' -> space, '<0xNN>' -> single byte;
+    latin-1-looking tokens must NOT run through the byte alphabet."""
+    from llm_tpu.convert_hf import vocab_from_tokenizer
+
+    tok = _FakeTok({"▁hello": 0, "<0x0A>": 1, "é": 2, "</s>": 3})
+    vocab = vocab_from_tokenizer(tok, 4)
+    assert vocab[0][0] == b" hello"
+    assert vocab[1][0] == b"\n"
+    assert vocab[2][0] == "é".encode("utf-8")
+    assert vocab[3][0] == b"</s>"
+
+
+def test_gguf_sp_vocab_decodes_to_text(tmp_path):
+    """A GGUF file carrying SentencePiece surface forms (what llama.cpp
+    writes) must tokenize/decode to clean text through the embedded
+    tokenizer: the loader maps '▁'/'<0xNN>' at load time."""
+    from llm_tpu.loader import _gguf_sp_token_bytes
+
+    assert _gguf_sp_token_bytes("▁hello".encode()) == b" hello"
+    assert _gguf_sp_token_bytes(b"<0x0A>") == b"\n"
+    assert _gguf_sp_token_bytes(b"plain") == b"plain"
+
+
 def test_convert_from_directory_cli(tmp_path):
     """Path-based entry (the CLI route): save_pretrained a tiny model, run
     `llm_tpu convert-hf <dir> <out>`, then quantize the result and infer."""
