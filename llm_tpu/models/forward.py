@@ -1034,53 +1034,52 @@ def write_cache_batched(
     write_mask: Optional[jnp.ndarray],  # [B] bool | None (= all write)
 ) -> KVCache:
     """Per-stream dynamic_update_slice of the new K/V rows at each stream's
-    own n_past (vmap over the batch axis 1 of both cache and update)."""
+    own n_past.
+
+    B is static, so this unrolls a Python loop over streams: each write is
+    a plain DUS with a STATIC batch index and one dynamic (seq) start,
+    which XLA chains in place on the donated cache buffers. The obvious
+    alternative — vmap of DUS over the batch axis — lowers to an XLA
+    scatter, which the TPU backend executes as a full copy of the
+    [L, B, S, H, D] cache every step (~4.3 GB at 7B/B=8 ⇒ +19 ms/step,
+    measured); the unrolled DUS chain writes only the touched rows."""
     quantized = cache.k_scale is not None
     B = cache.k.shape[1]
-    if write_mask is None:
-        # static fast path: plain per-stream DUS, no predication read
-        def write(c, new, p, en):  # c [L, S, H, D], new [L, T, H, D]
-            return lax.dynamic_update_slice(c, new, (0, p, 0, 0))
+    wm = None if write_mask is None else jnp.asarray(write_mask)
 
-        def write_scale(c, new, p, en):  # c [L, S, H], new [L, T, H]
-            return lax.dynamic_update_slice(c, new, (0, p, 0))
-
-        wm = jnp.ones((B,), jnp.bool_)
-    else:
-        wm = jnp.asarray(write_mask)
-
-        def write(c, new, p, en):  # c [L, S, H, D], new [L, T, H, D]
+    def write_b(c, new, b, p, en):  # c [L, B, S, ...], new [L, B, T, ...]
+        upd = lax.slice_in_dim(new, b, b + 1, axis=1)  # [L, 1, T, ...]
+        if en is not None:
             # masked streams re-write their OWN current values (read-
-            # modify no-op) instead of `new` — a per-stream predicated DUS
+            # modify no-op) instead of `new` — per-stream predicated DUS
             cur = lax.dynamic_slice(
-                c, (0, p, 0, 0), (c.shape[0],) + new.shape[1:]
+                c,
+                (0, b, p) + (0,) * (c.ndim - 3),
+                upd.shape,
             )
-            return lax.dynamic_update_slice(
-                c, jnp.where(en, new, cur), (0, p, 0, 0)
-            )
+            upd = jnp.where(en, upd, cur)
+        return lax.dynamic_update_slice(
+            c, upd, (0, b, p) + (0,) * (c.ndim - 3)
+        )
 
-        def write_scale(c, new, p, en):  # c [L, S, H], new [L, T, H]
-            cur = lax.dynamic_slice(
-                c, (0, p, 0), (c.shape[0],) + new.shape[1:]
-            )
-            return lax.dynamic_update_slice(
-                c, jnp.where(en, new, cur), (0, p, 0)
-            )
+    def write_all(c, new):
+        new = new.astype(c.dtype)
+        for b in range(B):
+            c = write_b(c, new, b, n_past[b], None if wm is None else wm[b])
+        return c
 
-    vwrite = jax.vmap(write, in_axes=(1, 1, 0, 0), out_axes=1)
     if quantized:
         kq, ks = k_news  # attention already emits (codes, scales)
         vq, vs = v_news
-        vwrite_s = jax.vmap(write_scale, in_axes=(1, 1, 0, 0), out_axes=1)
         return KVCache(
-            vwrite(cache.k, kq, n_past, wm),
-            vwrite(cache.v, vq, n_past, wm),
-            vwrite_s(cache.k_scale, ks, n_past, wm),
-            vwrite_s(cache.v_scale, vs, n_past, wm),
+            write_all(cache.k, kq),
+            write_all(cache.v, vq),
+            write_all(cache.k_scale, ks),
+            write_all(cache.v_scale, vs),
         )
     return KVCache(
-        vwrite(cache.k, k_news.astype(cache.k.dtype), n_past, wm),
-        vwrite(cache.v, v_news.astype(cache.v.dtype), n_past, wm),
+        write_all(cache.k, k_news),
+        write_all(cache.v, v_news),
     )
 
 
