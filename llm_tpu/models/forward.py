@@ -1003,10 +1003,43 @@ def scan_layers_batched(
     """lax.scan the layer stack over `h`. The layer count comes from the
     CACHE leading axis (not spec.n_layer) so a pipeline stage can run its
     local slice of the stack. Returns (h, (k_news, v_news)) with k_news
-    stacked [n, B, T, ...] (code/scale tuples when the cache is int8)."""
+    stacked [n, B, T, ...] (code/scale tuples when the cache is int8).
+
+    Decode steps (T=1) on TPU route the cached-KV attention through the
+    dense Pallas kernel (ops/dense_attention.py): the FULL stacked cache
+    is closed over and the layer index selects the slice inside the
+    kernel's BlockSpec index map, so no per-layer windowed-cache slice is
+    ever materialized (the jnp fallback's xs slices + dequant copies
+    measured +19 ms/step at 7B B=8 int8, several times the read cost)."""
+    from llm_tpu.ops import dense_attention
+
     quantized = cache.k_scale is not None
+    B, T, _ = h.shape
+    use_kernel = T == 1 and dense_attention.kernel_ok(
+        spec, T, W, cache.k.shape[2]
+    )
+    slopes = (
+        alibi_slopes(spec.n_head, spec.alibi_bias_max).reshape(
+            spec.n_head_kv, spec.n_head // spec.n_head_kv
+        )
+        if spec.alibi_bias_max > 0.0
+        else None
+    )
 
     def body(carry, xs):
+        if use_kernel:
+            (l,) = xs
+            online = partial(
+                dense_attention.dense_attention_pass,
+                spec, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                n_past, W, l, slopes=slopes,
+            )
+            layer = _LayerView(layers, l)
+            hh, k_new, v_new = _layer_batched(
+                spec, carry, layer, positions, n_past, (None, None),
+                (None, None), online_pass=online, quantize_kv=quantized,
+            )
+            return hh, (k_new, v_new)
         if quantized:
             l, k_l, v_l, ks_l, vs_l = xs
             kc, vc = (k_l[:, :W], ks_l[:, :W]), (v_l[:, :W], vs_l[:, :W])
@@ -1020,9 +1053,11 @@ def scan_layers_batched(
         return hh, (k_new, v_new)
 
     n = cache.k.shape[0]
-    xs = (jnp.arange(n, dtype=jnp.int32), cache.k, cache.v)
-    if quantized:
-        xs = xs + (cache.k_scale, cache.v_scale)
+    xs = (jnp.arange(n, dtype=jnp.int32),)
+    if not use_kernel:
+        xs = xs + (cache.k, cache.v)
+        if quantized:
+            xs = xs + (cache.k_scale, cache.v_scale)
     return lax.scan(body, h, xs)
 
 

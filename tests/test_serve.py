@@ -141,3 +141,53 @@ def test_admission_interleaves_with_decode(model):
                                               sampler=DeterministicSampler())])
     assert "".join(engine.finished[a].text) == ra[0]
     assert "".join(engine.finished[b].text) == rb[0]
+
+
+def test_dense_kernel_interpret_matches_xla(tmp_path, monkeypatch):
+    """The Pallas dense-cache decode-attention kernel (interpret mode) must
+    reproduce the jnp paths exactly on kernel-eligible geometry (D=128,
+    window >= 128) for both f32 and int8 caches."""
+    path = tmp_path / "llama128.bin"
+    make_tiny_file("llama", path, n_embd=512)  # 4 heads -> D = 128
+    model = load(path, "llama", params=ModelParameters(context_size=128))
+    assert model.spec.head_dim == 128
+
+    prompts = ["<t2><t3>", "<t9><t4><t5><t6>"]
+
+    def run(kv):
+        engine = Engine(model, max_streams=2, kv_dtype=kv)
+        return engine.generate_all(
+            [GenerationRequest(prompt=p, max_tokens=8,
+                               sampler=DeterministicSampler())
+             for p in prompts]
+        )
+
+    for kv in (jnp.float32, "int8"):
+        monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+        ref = run(kv)
+        monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+        got = run(kv)
+        assert got == ref, kv
+
+
+def test_dense_kernel_interpret_alibi_gqa(tmp_path, monkeypatch):
+    """Kernel path with ALiBi (MPT) and with GQA (falcon MQA rep>1)."""
+    for arch, kwargs in (("mpt", {}), ("falcon", {})):
+        path = tmp_path / f"{arch}128.bin"
+        make_tiny_file(arch, path, n_embd=512)
+        model = load(path, arch, params=ModelParameters(context_size=128))
+        if model.spec.head_dim != 128:
+            continue
+
+        def run():
+            engine = Engine(model, max_streams=2, kv_dtype="int8")
+            return engine.generate_all(
+                [GenerationRequest(prompt="<t2><t3><t4>", max_tokens=6,
+                                   sampler=DeterministicSampler())]
+            )[0]
+
+        monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+        ref = run()
+        monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+        got = run()
+        assert got == ref, arch
