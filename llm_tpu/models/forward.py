@@ -708,33 +708,35 @@ def window_bucket(n_past: int, n_ctx: int, granule: int = 512) -> int:
 def _online_cache_pass_batched(
     spec: ModelSpec,
     qf: jnp.ndarray,  # [B, T, Hkv, rep, D] f32
-    k_cache,  # (codes [B, S, Hkv, D], scale [B, S, Hkv] | None)
+    k_cache,  # (codes [B, Hkv, S, D], scale [B, Hkv, S] | None)
     v_cache,
     n_past,  # [B] int32
     slopes,  # [Hkv, rep] | None
     block: int,
 ):
     """Batched flash-style pass over the cached keys (see
-    _online_cache_pass); per-stream n_past masks."""
+    _online_cache_pass); per-stream n_past masks. The batched cache is
+    HEAD-MAJOR [B, Hkv, S, D] (the dense-attention kernel's native block
+    orientation)."""
     kcod, kscl = k_cache
     vcod, vscl = v_cache
-    B, S = kcod.shape[0], kcod.shape[1]
+    B, S = kcod.shape[0], kcod.shape[2]
     nb = S // block
     _, T, Hkv, rep, D = qf.shape
 
     # scan over key blocks: move the block axis to the front
-    def blocks(x, extra_dims):
+    def blocks(x, tail):
         return jnp.moveaxis(
-            x.reshape((B, nb, block) + extra_dims), 1, 0
-        )  # [nb, B, block, ...]
+            x.reshape((B, Hkv, nb, block) + tail), 2, 0
+        )  # [nb, B, Hkv, block, ...]
 
     xs = [
         jnp.arange(nb, dtype=jnp.int32),
-        blocks(kcod, (Hkv, D)),
-        blocks(vcod, (Hkv, D)),
+        blocks(kcod, (D,)),
+        blocks(vcod, (D,)),
     ]
     if kscl is not None:
-        xs += [blocks(kscl, (Hkv,)), blocks(vscl, (Hkv,))]
+        xs += [blocks(kscl, ()), blocks(vscl, ())]
 
     def body(carry, x):
         m, l, acc = carry
@@ -748,7 +750,7 @@ def _online_cache_pass_batched(
             vf = vblk.astype(jnp.float32)
         pos = bi * block + jnp.arange(block, dtype=jnp.int32)  # [block]
         s = (
-            jnp.einsum("bthrd,bshd->bthrs", qf, kf,
+            jnp.einsum("bthrd,bhsd->bthrs", qf, kf,
                        preferred_element_type=jnp.float32)
             * spec.kq_scale
         )
@@ -766,7 +768,7 @@ def _online_cache_pass_batched(
         corr = jnp.exp(m - m_new)
         l = l * corr + p.sum(axis=-1)
         acc = acc * corr[..., None] + jnp.einsum(
-            "bthrs,bshd->bthrd", p, vf, preferred_element_type=jnp.float32
+            "bthrs,bhsd->bthrd", p, vf, preferred_element_type=jnp.float32
         )
         return (m_new, l, acc), None
 
@@ -785,7 +787,7 @@ def _attention_batched(
     a: jnp.ndarray,  # [B, T, E] normed input
     positions: jnp.ndarray,  # [B, T] absolute
     n_past: jnp.ndarray,  # [B]
-    k_cache,  # ([B, S, H_kv, D] codes, [B, S, H_kv] scale | None)
+    k_cache,  # ([B, H_kv, S, D] codes, [B, H_kv, S] scale | None)
     v_cache,
     online_pass=None,  # callable qf -> (m, l, acc): external cached-KV
     #                    attention (paged pools); replaces the dense cache
@@ -793,7 +795,7 @@ def _attention_batched(
     #                    defaults to "cache carries scales"
 ):
     B, T, E = a.shape
-    S = k_cache[0].shape[1] if k_cache[0] is not None else 0
+    S = k_cache[0].shape[2] if k_cache[0] is not None else 0
     H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
     rep = H // Hkv
     if quantize_kv is None:
@@ -872,9 +874,9 @@ def _attention_batched(
         )
         out = (acc / l[..., None]).reshape(B * T, H * D)
     else:
-        kc = _dequant_kv(*k_cache)
+        kc = _dequant_kv(*k_cache)  # [B, H_kv, S, D] f32
         vc = _dequant_kv(*v_cache)
-        sc = jnp.einsum("bthrd,bshd->bthrs", qf, kc,
+        sc = jnp.einsum("bthrd,bhsd->bthrs", qf, kc,
                         preferred_element_type=jnp.float32)
         sn = jnp.einsum("bthrd,buhd->bthru", qf, kf,
                         preferred_element_type=jnp.float32)
@@ -898,7 +900,7 @@ def _attention_batched(
 
         probs = jax.nn.softmax(scores, axis=-1)
         pc, pn = probs[..., :S], probs[..., S:]
-        out = jnp.einsum("bthrs,bshd->bthrd", pc, vc,
+        out = jnp.einsum("bthrs,bhsd->bthrd", pc, vc,
                          preferred_element_type=jnp.float32)
         out = out + jnp.einsum("bthru,buhd->bthrd", pn, vf,
                                preferred_element_type=jnp.float32)
@@ -948,10 +950,16 @@ def _layer_batched(spec, h, layer, positions, n_past, k_cache, v_cache,
 
 
 def init_cache_batched(spec: ModelSpec, batch: int, dtype=jnp.bfloat16) -> KVCache:
-    """Batched cache, layer-major [L, B, S, H_kv, D] so the layer scan slices
-    axis 0 directly — a [B, L, ...] layout would force a full-cache transpose
-    (copy) on every step."""
-    shape = (spec.n_layer, batch, spec.n_ctx, spec.n_head_kv, spec.head_dim)
+    """Batched cache, layer-major HEAD-MAJOR [L, B, H_kv, S, D]:
+
+    - layer-major so the layer scan slices axis 0 directly (a [B, L, ...]
+      layout would force a full-cache transpose every step);
+    - heads before positions so a decode-attention kernel block
+      [hc, block, D] is contiguous in the kernel's natural heads-major
+      score orientation — measured on chip (7B B=8 W=1024 int8,
+      all-layers): 4.8 ms/step vs 9.0 ms for position-major blocks
+      (in-VMEM relayout) and vs the 4.3 ms pure-DMA ceiling."""
+    shape = (spec.n_layer, batch, spec.n_head_kv, spec.n_ctx, spec.head_dim)
     if dtype in (jnp.int8, "int8"):
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
@@ -997,7 +1005,7 @@ def scan_layers_batched(
     h: jnp.ndarray,  # [B, T, E]
     positions: jnp.ndarray,  # [B, T]
     n_past: jnp.ndarray,  # [B]
-    cache: KVCache,  # [n, B, S, H_kv, D]
+    cache: KVCache,  # [n, B, H_kv, S, D]
     W: int,
 ):
     """lax.scan the layer stack over `h`. The layer count comes from the
@@ -1016,7 +1024,7 @@ def scan_layers_batched(
     quantized = cache.k_scale is not None
     B, T, _ = h.shape
     use_kernel = T == 1 and dense_attention.kernel_ok(
-        spec, T, W, cache.k.shape[2]
+        spec, T, W, cache.k.shape[3]
     )
     slopes = (
         alibi_slopes(spec.n_head, spec.alibi_bias_max).reshape(
@@ -1041,11 +1049,12 @@ def scan_layers_batched(
             )
             return hh, (k_new, v_new)
         if quantized:
-            l, k_l, v_l, ks_l, vs_l = xs
-            kc, vc = (k_l[:, :W], ks_l[:, :W]), (v_l[:, :W], vs_l[:, :W])
+            l, k_l, v_l, ks_l, vs_l = xs  # [B, H_kv, S(, D)]
+            kc = (k_l[:, :, :W], ks_l[:, :, :W])
+            vc = (v_l[:, :, :W], vs_l[:, :, :W])
         else:
             l, k_l, v_l = xs
-            kc, vc = (k_l[:, :W], None), (v_l[:, :W], None)
+            kc, vc = (k_l[:, :, :W], None), (v_l[:, :, :W], None)
         layer = _LayerView(layers, l)
         hh, k_new, v_new = _layer_batched(
             spec, carry, layer, positions, n_past, kc, vc
@@ -1062,7 +1071,7 @@ def scan_layers_batched(
 
 
 def write_cache_batched(
-    cache: KVCache,  # [n, B, S, H_kv, D]
+    cache: KVCache,  # [n, B, H_kv, S, D]
     k_news,  # [n, B, T, H, D] (or (codes, scales) when int8)
     v_news,
     n_past: jnp.ndarray,  # [B]
@@ -1076,29 +1085,29 @@ def write_cache_batched(
     which XLA chains in place on the donated cache buffers. The obvious
     alternative — vmap of DUS over the batch axis — lowers to an XLA
     scatter, which the TPU backend executes as a full copy of the
-    [L, B, S, H, D] cache every step (~4.3 GB at 7B/B=8 ⇒ +19 ms/step,
-    measured); the unrolled DUS chain writes only the touched rows."""
+    multi-GB cache every step (~4.3 GB at 7B/B=8 ⇒ +19 ms/step,
+    measured); the unrolled DUS chain writes only the touched rows.
+
+    The new rows arrive position-major [n, B, T, H, D] (attention's
+    natural output order) and are transposed to the cache's head-major
+    [n, B, H, T, D] here — tiny at decode (T=1), and amortized over the
+    whole chunk at prefill."""
     quantized = cache.k_scale is not None
     B = cache.k.shape[1]
     wm = None if write_mask is None else jnp.asarray(write_mask)
 
-    def write_b(c, new, b, p, en):  # c [L, B, S, ...], new [L, B, T, ...]
-        upd = lax.slice_in_dim(new, b, b + 1, axis=1)  # [L, 1, T, ...]
+    def write_b(c, new, b, p, en):  # c [L,B,H,S,...], new [L,B,H,T,...]
+        upd = lax.slice_in_dim(new, b, b + 1, axis=1)  # [L, 1, H, T, ...]
+        start = (0, b, 0, p) + (0,) * (c.ndim - 4)
         if en is not None:
             # masked streams re-write their OWN current values (read-
             # modify no-op) instead of `new` — per-stream predicated DUS
-            cur = lax.dynamic_slice(
-                c,
-                (0, b, p) + (0,) * (c.ndim - 3),
-                upd.shape,
-            )
+            cur = lax.dynamic_slice(c, start, upd.shape)
             upd = jnp.where(en, upd, cur)
-        return lax.dynamic_update_slice(
-            c, upd, (0, b, p) + (0,) * (c.ndim - 3)
-        )
+        return lax.dynamic_update_slice(c, upd, start)
 
     def write_all(c, new):
-        new = new.astype(c.dtype)
+        new = new.swapaxes(2, 3).astype(c.dtype)  # [n,B,T,H,..]->[n,B,H,T,..]
         for b in range(B):
             c = write_b(c, new, b, n_past[b], None if wm is None else wm[b])
         return c
@@ -1123,7 +1132,7 @@ def forward_batched(
     params: ModelParams,
     ids: jnp.ndarray,  # [B, T] int32
     n_past: jnp.ndarray,  # [B] int32
-    cache: KVCache,  # [L, B, S, H_kv, D]
+    cache: KVCache,  # [L, B, H_kv, S, D]
     window: Optional[int] = None,
     write_mask: Optional[jnp.ndarray] = None,  # [B] bool
 ):
@@ -1143,7 +1152,7 @@ def forward_batched(
     positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     h = embed_batched(spec, params, ids, positions)
 
-    W = cache.k.shape[2] if window is None else min(window, cache.k.shape[2])
+    W = cache.k.shape[3] if window is None else min(window, cache.k.shape[3])
     h, (k_news, v_news) = scan_layers_batched(
         spec, params.layers, h, positions, n_past, cache, W
     )

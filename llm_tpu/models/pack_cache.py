@@ -98,7 +98,15 @@ def _load_node(spec: dict, base: Path):
     if t == "none":
         return None
     if t == "array":
-        a = np.load(base / spec["file"], mmap_mode="r")
+        # Eager read (not mmap): feeding a lazily-faulting memmap to
+        # jnp.asarray interleaves 4 KiB page faults with the host->device
+        # transfer — measured 89 s for a 3.9 GB pack vs ~31 s for the
+        # full COLD load. A sequential np.load hits disk readahead at
+        # full rate and hands the transfer a contiguous buffer.
+        # LLM_TPU_PACK_MMAP=1 restores the lazy path (memory-constrained
+        # hosts).
+        mm = "r" if os.environ.get("LLM_TPU_PACK_MMAP") == "1" else None
+        a = np.load(base / spec["file"], mmap_mode=mm)
         if spec.get("view") == "bfloat16":
             a = a.view(jnp.bfloat16)
         return jnp.asarray(a)

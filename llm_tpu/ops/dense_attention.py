@@ -1,6 +1,6 @@
 """Pallas decode-attention kernel over the DENSE batched KV cache.
 
-The batched serving engine keeps KV in a dense [L, B, S, Hkv, D] cache
+The batched serving engine keeps KV in a dense head-major [L, B, Hkv, S, D] cache
 (llm_tpu/models/forward.py:init_cache_batched). The jnp attention paths
 materialize HBM intermediates in front of the score/value contractions —
 the int8 path a full f32 dequant of the windowed cache, the bf16 path an
@@ -18,8 +18,9 @@ the page-table indirection:
   lax.scan over layers this avoids the per-iteration cache-slice copy XLA
   materializes in front of an opaque kernel call (same trick as the
   stacked qmatmul, llm_tpu/ops/qmatmul.py:_qmatmul_pallas_stacked).
-- a K/V block is [block, Hkv, D] — contiguous in the cache's S-major
-  layout, one well-amortized DMA (~2 MB at 7B geometry, block=512).
+- a K/V block is [Hkv, block, D] — contiguous in the cache's head-major
+  layout and already in the kernel's score orientation, so the
+  contractions lower to MXU batched dots with no VMEM relayout.
 - int8 dequant is folded AROUND the dot: K scales multiply the scores per
   key position, V scales the probabilities (bit-identical to dequantizing
   first, since scales are per (position, head)).
@@ -123,28 +124,28 @@ def _make_kernel(nw: int, kq_scale: float, quantized: bool,
         npv = npast_ref[b]
         hkv = q_ref.shape[1]
 
-        # Scores are heads-major [hc, rep, block] (block in lanes), the
-        # same orientation as the paged kernel — Mosaic's reductions and
-        # the online folds all run along the minor dims. Cache blocks
-        # arrive position-major [block, hc, D], so each block pays one f32
-        # VMEM relayout (swapaxes). Measured alternatives on chip (7B B=8
-        # W=1024 int8, all-layers): native-orientation axis-0 keepdims
-        # folds — compiles standalone but Mosaic rejects the in-context
-        # multi_reduction ("unsupported output implicit dimension");
-        # int8-domain swap before convert — 20.9 ms (8-bit shuffles);
-        # MXU batched dot_general — "batch dims must be equal". The f32
-        # swap at block 256 / hc 8 runs 10.6 ms vs the 4.3 ms pure-DMA
-        # ceiling, and vs 23+ ms for the jnp fallback's HBM intermediates.
+        # Scores are heads-major [hc, rep, block] (block in lanes). The
+        # head-major cache delivers blocks in exactly this orientation, so
+        # the contractions run as MXU batched dot_generals with batch dims
+        # in EQUAL positions (Mosaic's requirement) and zero relayouts.
+        # Measured on chip (7B B=8 W=1024 int8, all-layers decode pass):
+        # 4.8 ms — at the 4.3 ms pure-DMA ceiling of this grid (499 GB/s).
+        # Alternatives: position-major blocks + f32 swapaxes 10.6 ms;
+        # + VPU broadcast-reduce (no dots) 9.0 ms; int8-domain swap
+        # 20.9 ms; jnp fallback (HBM intermediates) 23+ ms.
         pos = j * block + lax.broadcasted_iota(jnp.int32, (1, 1, block), 2)
         ok = pos < npv  # [1, 1, block]
 
         for h0 in range(0, hkv, hc):
             h1 = min(h0 + hc, hkv)
             qh = q_ref[0, h0:h1].astype(jnp.float32)        # [hc, rep, D]
-            kb = k_ref[0, 0, :, h0:h1].astype(jnp.float32).swapaxes(0, 1)
-            s = (qh[:, :, None, :] * kb[:, None, :, :]).sum(-1) * kq_scale
+            kb = k_ref[0, 0, h0:h1].astype(jnp.float32)     # [hc, block, D]
+            s = lax.dot_general(
+                qh, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * kq_scale
             if quantized:  # s [hc, rep, block]
-                s = s * ks_ref[0, 0, :, h0:h1].T[:, None, :]
+                s = s * ks_ref[0, 0, h0:h1][:, None, :]
             if has_alibi:
                 s = s + (
                     slopes_ref[h0:h1][:, :, None] * pos.astype(jnp.float32)
@@ -158,10 +159,13 @@ def _make_kernel(nw: int, kq_scale: float, quantized: bool,
             m_s[h0:h1] = m_new
             l_s[h0:h1] = l_s[h0:h1] * corr + p.sum(axis=-1, keepdims=True)
 
-            vb = v_ref[0, 0, :, h0:h1].astype(jnp.float32).swapaxes(0, 1)
+            vb = v_ref[0, 0, h0:h1].astype(jnp.float32)     # [hc, block, D]
             if quantized:
-                p = p * vs_ref[0, 0, :, h0:h1].T[:, None, :]
-            pv = (p[:, :, :, None] * vb[:, None, :, :]).sum(2)  # [hc,rep,D]
+                p = p * vs_ref[0, 0, h0:h1][:, None, :]
+            pv = lax.dot_general(
+                p, vb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hc, rep, D]
             acc_s[h0:h1] = acc_s[h0:h1] * corr + pv
 
         @pl.when(j == nw - 1)
@@ -193,20 +197,20 @@ def _dense_attention_call(
     in_specs = [
         pl.BlockSpec((1, hkv, rep, d), lambda b, j, npst, lyr: (b, 0, 0, 0)),
         pl.BlockSpec(
-            (1, 1, block, hkv, d),
-            lambda b, j, npst, lyr: (lyr[0], b, j, 0, 0),
+            (1, 1, hkv, block, d),
+            lambda b, j, npst, lyr: (lyr[0], b, 0, j, 0),
         ),
         pl.BlockSpec(
-            (1, 1, block, hkv, d),
-            lambda b, j, npst, lyr: (lyr[0], b, j, 0, 0),
+            (1, 1, hkv, block, d),
+            lambda b, j, npst, lyr: (lyr[0], b, 0, j, 0),
         ),
     ]
     operands = [q, cache_k, cache_v]
     if quantized:
         in_specs += [
             pl.BlockSpec(
-                (1, 1, block, hkv),
-                lambda b, j, npst, lyr: (lyr[0], b, j, 0),
+                (1, 1, hkv, block),
+                lambda b, j, npst, lyr: (lyr[0], b, 0, j),
             )
         ] * 2
         operands += [ks, vs]
@@ -273,9 +277,9 @@ def dense_attention_pass(
     spec, cache_k, cache_v, ks, vs, n_past, window, layer, qf, slopes=None,
 ):
     """online_pass hook (models/forward._attention_batched): qf
-    [B, 1, Hkv, rep, D] -> (m, l, acc) over the dense batched cache
-    [L, B, S, Hkv, D], reading only the first `window` positions. Shapes
-    match _online_cache_pass_batched exactly."""
+    [B, 1, Hkv, rep, D] -> (m, l, acc) over the dense batched head-major
+    cache [L, B, Hkv, S, D], reading only the first `window` positions.
+    Shapes match _online_cache_pass_batched exactly."""
     from llm_tpu.ops.qmatmul import _backend_mode
 
     B, T, Hkv, rep, D = qf.shape

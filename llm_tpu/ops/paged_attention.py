@@ -115,7 +115,13 @@ def _make_kernel(
             s_parts, valid_parts = [], []
             for o in range(pps):
                 ko = k_refs[o][0, 0, h0:h1].astype(jnp.float32)
-                so = (qh[:, :, None, :] * ko[:, None, :, :]).sum(-1) * kq_scale
+                # MXU batched dot (batch dims in equal positions — Mosaic's
+                # requirement): measured 2x the VPU broadcast-reduce form
+                # on the dense-cache kernel at 7B decode shapes
+                so = lax.dot_general(
+                    qh, ko, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * kq_scale
                 if quantized:
                     # dequant folded around the dot: k scale scales the
                     # SCORES per key position; v scale the probabilities
@@ -145,7 +151,10 @@ def _make_kernel(
                 po = p[:, :, o * page : (o + 1) * page]
                 if quantized:
                     po = po * vs_refs[o][0, 0, h0:h1][:, None, :]
-                part = (po[:, :, :, None] * vh[:, None, :, :]).sum(2)
+                part = lax.dot_general(
+                    po, vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
                 pv = part if pv is None else pv + part
             acc_s[h0:h1] = acc_s[h0:h1] * corr + pv
 

@@ -649,7 +649,10 @@ class PagedEngine(Engine):
         )
         stream.prefill_pos = pos + len(chunk)
         stream.n_past = stream.prefill_pos
-        stream.last_logits = np.asarray(logits)[0, len(chunk) - 1]
+        # device-side row select (the full [1, chunk, V] logits are ~65 MB
+        # at 7B/512; fetching them to use one row measured ~1.4 s per
+        # prefill chunk on the axon tunnel)
+        stream.last_logits = np.asarray(logits[0, len(chunk) - 1])
         self._register_prompt_pages(stream, slot)
         if stream.prefill_pos >= len(toks):
             stream.prefilling = False

@@ -143,8 +143,9 @@ class MultiHostEngine(_LocalEngine):
         spec = self.spec
         quant = kv_dtype in (jnp.int8, "int8")
         h_ax = "model" if dim_ok(spec.n_head_kv, "model") else None
-        kv_sh = ns(None, "data", None, h_ax, None)
-        sc_sh = ns(None, "data", None, h_ax)
+        # head-major batched cache [L, B, H_kv, S, D]
+        kv_sh = ns(None, "data", h_ax, None, None)
+        sc_sh = ns(None, "data", h_ax, None)
         from llm_tpu.models.forward import KVCache
 
         cache_sh = KVCache(

@@ -132,7 +132,7 @@ def pipeline_forward_batched(
 
     positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     h = embed_batched(spec, params, ids, positions)  # [B, T, E]
-    W = cache.k.shape[2] if window is None else min(window, cache.k.shape[2])
+    W = cache.k.shape[3] if window is None else min(window, cache.k.shape[3])
 
     wm = (
         jnp.ones((B,), jnp.bool_)

@@ -172,11 +172,11 @@ def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
 
 def shard_cache(cache: KVCache, mesh: Mesh, batched: bool = False) -> KVCache:
     """KV cache sharded over kv heads (TP). Batched caches are layer-major
-    [L, B, S, H_kv, D] (models/forward.py init_cache_batched); the stream
-    batch axis rides `data`."""
+    HEAD-MAJOR [L, B, H_kv, S, D] (models/forward.py init_cache_batched);
+    the stream batch axis rides `data`."""
     if batched:
-        spec = P(None, "data", None, "model", None)
-        sspec = P(None, "data", None, "model")
+        spec = P(None, "data", "model", None, None)
+        sspec = P(None, "data", "model", None)
     else:
         spec = P(None, None, "model", None)
         sspec = P(None, None, "model")

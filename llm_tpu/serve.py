@@ -91,27 +91,35 @@ class _Stream:
 
 @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(5,))
 def _prefill_slot(spec, params, ids, n_past, slot, cache, window=None):
-    """Run a prompt chunk for one slot of the batched [L, B, ...] cache."""
+    """Run a prompt chunk for one slot of the batched head-major
+    [L, B, H_kv, S, D] cache: a B=1 batched forward over the slot's slice
+    (the batched attention/write paths natively speak this layout), then
+    DUS the updated slice back at the slot index."""
     quantized = cache.k_scale is not None
     slot_cache = KVCache(
-        cache.k[:, slot],
-        cache.v[:, slot],
-        cache.k_scale[:, slot] if quantized else None,
-        cache.v_scale[:, slot] if quantized else None,
+        lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
+        lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
+        lax.dynamic_slice_in_dim(cache.k_scale, slot, 1, axis=1)
+        if quantized else None,
+        lax.dynamic_slice_in_dim(cache.v_scale, slot, 1, axis=1)
+        if quantized else None,
     )
-    logits, _, updated = forward(spec, params, ids, n_past, slot_cache, window)
+    logits, _, updated = forward_batched(
+        spec, params, ids[None], n_past[None], slot_cache, window
+    )
+    logits = logits[0]
     new_k = lax.dynamic_update_slice(
-        cache.k, updated.k[:, None], (0, slot, 0, 0, 0)
+        cache.k, updated.k, (0, slot, 0, 0, 0)
     )
     new_v = lax.dynamic_update_slice(
-        cache.v, updated.v[:, None], (0, slot, 0, 0, 0)
+        cache.v, updated.v, (0, slot, 0, 0, 0)
     )
     if quantized:
         new_ks = lax.dynamic_update_slice(
-            cache.k_scale, updated.k_scale[:, None], (0, slot, 0, 0)
+            cache.k_scale, updated.k_scale, (0, slot, 0, 0)
         )
         new_vs = lax.dynamic_update_slice(
-            cache.v_scale, updated.v_scale[:, None], (0, slot, 0, 0)
+            cache.v_scale, updated.v_scale, (0, slot, 0, 0)
         )
         return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(new_k, new_v)
@@ -368,7 +376,9 @@ class Engine:
         )
         stream.prefill_pos = pos + len(chunk)
         stream.n_past = stream.prefill_pos
-        stream.last_logits = np.asarray(logits)[len(chunk) - 1]
+        # device-side row select: the full [chunk, V] logits are ~65 MB at
+        # 7B/512 — one row is all the next sample needs
+        stream.last_logits = np.asarray(logits[len(chunk) - 1])
         if stream.prefill_pos >= len(toks):
             stream.prefilling = False
 
