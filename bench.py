@@ -749,8 +749,9 @@ def stablelm_bench(roofline_bw):
         tied_head=False,
     )
     cache = init_cache(spec, jnp.bfloat16)
-    window = window_bucket(N_PAST + 3 * DECODE_STEPS, CTX)
-    dt, cache = time_decode_loop(spec, params, cache, N_PAST, window)
+    window = window_bucket(N_PAST + 3 * 128, CTX)
+    dt, cache = time_decode_loop(spec, params, cache, N_PAST, window,
+                                 steps=128)
     step_bytes = weight_stream_bytes(params)  # cache reads overlap
     roofline = roofline_bw / step_bytes
     del cache, params
@@ -776,7 +777,9 @@ def gpt2_bench(roofline_bw):
     )
     cache = init_cache(spec, jnp.bfloat16)
     window = 1024
-    dt, cache = time_decode_loop(spec, params, cache, 512, window)
+    # 256-token blocks: at ~1.3 ms/step the ~28 ms dispatch RTT is a THIRD
+    # of a 64-step block's wall time; big models amortize it at 64
+    dt, cache = time_decode_loop(spec, params, cache, 512, window, steps=256)
     step_bytes = weight_stream_bytes(params)  # cache reads overlap
     roofline = roofline_bw / step_bytes
     del cache, params

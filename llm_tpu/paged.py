@@ -638,7 +638,10 @@ class PagedEngine(Engine):
         pos = stream.prefill_pos
         chunk = toks[pos : pos + self.n_batch]
         self._ensure_pages(slot, pos + len(chunk) - 1)
-        ids = np.zeros((1, self.n_batch), np.int32)
+        from llm_tpu.serve import _chunk_bucket
+
+        bucket = _chunk_bucket(len(chunk), self.n_batch)
+        ids = np.zeros((1, bucket), np.int32)
         ids[0, : len(chunk)] = chunk
         wp = -(-(pos + len(chunk)) // self.page_size)
         logits, _, self.pool = paged_step(

@@ -89,6 +89,17 @@ class _Stream:
     kv_wait: bool = False  # paged: last prefill chunk hit an empty pool
 
 
+def _chunk_bucket(n: int, n_batch: int) -> int:
+    """Pad a prompt tail chunk to the next power-of-two bucket (<= n_batch)
+    instead of always the full n_batch: a prefix-cache hit that leaves a
+    short tail then prefills ~tail tokens, not a full padded chunk (at
+    most log2(n_batch) compiled shapes)."""
+    b = 8
+    while b < min(n, n_batch):
+        b *= 2
+    return min(b, n_batch)
+
+
 @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(5,))
 def _prefill_slot(spec, params, ids, n_past, slot, cache, window=None):
     """Run a prompt chunk for one slot of the batched head-major
@@ -365,9 +376,9 @@ class Engine:
         toks = stream.prefill_queue
         pos = stream.prefill_pos
         chunk = toks[pos : pos + self.n_batch]
-        bucket = (
-            self.n_batch if pos + self.n_batch <= spec.n_ctx else len(chunk)
-        )
+        bucket = _chunk_bucket(len(chunk), self.n_batch)
+        if pos + bucket > spec.n_ctx:  # context boundary: exact shape
+            bucket = len(chunk)
         ids = np.zeros(bucket, np.int32)
         ids[: len(chunk)] = chunk
         logits, self.cache = _prefill_slot(
