@@ -800,8 +800,11 @@ def llama13b_bench(roofline_bw):
     compile fails with RESOURCE_EXHAUSTED — ~7.3 GB of packed planes plus
     compile temporaries exceed the slice's usable HBM (well under the
     nominal 16 GB; the same service crashes outright above ~8 GB of live
-    buffers). Load itself works (74 s for ~7 GB through the native
-    transcoder), which is the part the single-chip environment can verify."""
+    buffers). Re-verified 2026-08-19 with the B=1 batched kernel path
+    (int8 cache, no f32 dequant temporaries): still RESOURCE_EXHAUSTED —
+    the ceiling is on live buffers, not the attention temporaries. Load
+    itself works (66 s for ~7 GB through the native transcoder), which is
+    the part the single-chip environment can verify."""
     if os.environ.get("LLM_TPU_BENCH_13B") != "1":
         note("llama13b: skipped (LLM_TPU_BENCH_13B!=1; 13B decode OOMs "
              "on the virtualized single chip — see docstring)")
@@ -824,9 +827,32 @@ def llama13b_bench(roofline_bw):
     jax.block_until_ready(model.params.layers.wq.lo)
     note(f"13B load {time.time() - t0:.0f}s")
     spec, params = model.spec, model.params
-    cache = init_cache(spec, "int8")
+    # B=1 BATCHED decode: the head-major dense-attention kernel reads the
+    # int8 cache with no f32 dequant temporaries (the single-stream jnp
+    # path materializes ~0.8 GB of them at 13B and pushes the ~8 GB
+    # service ceiling)
+    cache = init_cache_batched(spec, 1, "int8")
     window = window_bucket(256 + 3 * DECODE_STEPS, 512)
-    dt, cache = time_decode_loop(spec, params, cache, 256, window)
+    ids = jnp.full((1, 1), 17, jnp.int32)
+    n_past = jnp.full((1,), 256, jnp.int32)
+    logits, _, cache = forward_batched_step(
+        spec, params, ids, n_past, cache, window
+    )
+    ll = logits[:, 0, :]
+    toks, ll, n_past, cache = decode_loop_batched(
+        spec, params, ll, n_past + 1, cache, DECODE_STEPS, window
+    )
+    np.asarray(toks)
+    times = []
+    for _ in range(3):
+        n2 = jnp.full((1,), 257, jnp.int32)
+        t0 = time.perf_counter()
+        toks, _, _, cache = decode_loop_batched(
+            spec, params, ll, n2, cache, DECODE_STEPS, window
+        )
+        np.asarray(toks)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / DECODE_STEPS
     step_bytes = weight_stream_bytes(params)
     roofline = roofline_bw / step_bytes
     del cache, params, model
