@@ -6,7 +6,7 @@ binaries/llm-cli/src/main.rs:27-35): an OpenAI-style REST API on the
 stdlib `http.server`, so it adds no dependencies.
 
   POST /v1/completions   {"prompt", "max_tokens", "temperature", "top_k",
-                          "top_p", "seed", "stop", "stream", ...}
+                          "top_p", "seed", "stop", "stream", "n", ...}
                          non-stream -> one JSON body; "stream": true ->
                          server-sent events, one data: line per UTF-8
                          fragment, closing with data: [DONE]
@@ -669,8 +669,14 @@ class LlmServer:
         return self._events(req, _StopScanner(stops))
 
     def _events(self, req: GenerationRequest, scan: "_StopScanner"):
+        # submit EAGERLY (not at first next()): the handler may build n
+        # generators for one request (OpenAI `n`), and the engine can only
+        # batch choices whose streams are all in flight
         ticket = _Ticket(request=req)
         rid = self.loop.submit(ticket)
+        return self._drain(ticket, rid, scan)
+
+    def _drain(self, ticket: "_Ticket", rid: int, scan: "_StopScanner"):
         try:
             while True:
                 text, done, reason, info = ticket.events.get()
@@ -803,82 +809,113 @@ def _make_handler(server: LlmServer):
                     stops = [stops]
                 body = dict(body, prompt=prompt, stop=[*stops, stop])
             try:
-                gen = server.completion(body)
+                n_raw = body.get("n")
+                n_choices = 1 if n_raw is None else int(n_raw)
+            except (TypeError, ValueError):
+                self._json(400, {"error": "n must be an integer"})
+                return
+            if not 1 <= n_choices <= 64:
+                self._json(400, {"error": "n must be in [1, 64]"})
+                return
+            try:
+                # one engine stream per choice, all submitted up front so
+                # the engine batches them; an explicit seed derives per-
+                # choice seeds (identical seeds would clone every choice)
+                gens = []
+                for i in range(n_choices):
+                    b = body
+                    if n_choices > 1 and body.get("seed") is not None:
+                        b = dict(body, seed=int(body["seed"]) + i)
+                    gens.append(server.completion(b))
             except SamplerConfigurationError as e:
                 self._json(400, {"error": str(e)})
                 return
             cid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             if body.get("stream"):
-                self._stream(cid, gen, chat)
+                self._stream(cid, gens, chat)
             else:
-                parts, reason, info = [], "", None
-                for text, done, r, inf in gen:
-                    if done:
-                        reason, info = r, inf
-                    elif text:
-                        parts.append(text)
-                whole = "".join(parts)
-                if chat:
-                    choice = {
-                        "index": 0,
-                        "message": {"role": "assistant",
-                                    "content": whole.rstrip()},
-                        "finish_reason": _finish_name(reason),
-                    }
-                else:
-                    choice = {"index": 0, "text": whole,
-                              "finish_reason": _finish_name(reason)}
-                if info and info.get("logprobs"):
-                    lp = info["logprobs"]
-                    choice["logprobs"] = {
-                        "tokens": [e["token"] for e in lp],
-                        "token_logprobs": [e["logprob"] for e in lp],
-                        "top_logprobs": [e.get("top_logprobs") for e in lp],
-                    }
+                choices = []
+                for idx, gen in enumerate(gens):
+                    parts, reason, info = [], "", None
+                    for text, done, r, inf in gen:
+                        if done:
+                            reason, info = r, inf
+                        elif text:
+                            parts.append(text)
+                    whole = "".join(parts)
+                    if chat:
+                        choice = {
+                            "index": idx,
+                            "message": {"role": "assistant",
+                                        "content": whole.rstrip()},
+                            "finish_reason": _finish_name(reason),
+                        }
+                    else:
+                        choice = {"index": idx, "text": whole,
+                                  "finish_reason": _finish_name(reason)}
+                    if info and info.get("logprobs"):
+                        lp = info["logprobs"]
+                        choice["logprobs"] = {
+                            "tokens": [e["token"] for e in lp],
+                            "token_logprobs": [e["logprob"] for e in lp],
+                            "top_logprobs": [e.get("top_logprobs")
+                                             for e in lp],
+                        }
+                    choices.append(choice)
                 self._json(200, {
                     "id": cid,
                     "object": ("chat.completion" if chat
                                else "text_completion"),
                     "model": server.model_id,
-                    "choices": [choice],
+                    "choices": choices,
                 })
 
-        def _chunk(self, cid, chat, text, reason) -> bytes:
+        def _chunk(self, cid, chat, text, reason, index=0) -> bytes:
             if chat:
                 choice = {
-                    "index": 0,
+                    "index": index,
                     "delta": ({"content": text} if reason is None else {}),
                     "finish_reason": reason,
                 }
                 obj = "chat.completion.chunk"
             else:
-                choice = {"index": 0, "text": text, "finish_reason": reason}
+                choice = {"index": index, "text": text,
+                          "finish_reason": reason}
                 obj = "text_completion"
             return b"data: " + json.dumps({
                 "id": cid, "object": obj, "model": server.model_id,
                 "choices": [choice],
             }).encode() + b"\n\n"
 
-        def _stream(self, cid: str, gen, chat: bool = False) -> None:
+        def _stream(self, cid: str, gens, chat: bool = False) -> None:
+            if not isinstance(gens, (list, tuple)):
+                gens = [gens]
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Connection", "close")
             self.end_headers()
             try:
-                for text, done, reason, _info in gen:
-                    if done:
+                # choices stream one after another (each chunk carries its
+                # choice index; all n engine streams are already in flight,
+                # so draining them in order loses no decode concurrency)
+                for idx, gen in enumerate(gens):
+                    for text, done, reason, _info in gen:
+                        if done:
+                            self.wfile.write(self._chunk(
+                                cid, chat, "", _finish_name(reason), idx
+                            ))
+                            break
+                        if not text:
+                            continue
                         self.wfile.write(
-                            self._chunk(cid, chat, "", _finish_name(reason))
+                            self._chunk(cid, chat, text, None, idx)
                         )
-                        break
-                    if not text:
-                        continue
-                    self.wfile.write(self._chunk(cid, chat, text, None))
-                    self.wfile.flush()
+                        self.wfile.flush()
                 self.wfile.write(b"data: [DONE]\n\n")
             except (BrokenPipeError, ConnectionResetError):
-                gen.close()  # cancels the stream via GeneratorExit
+                for g in gens:  # cancel EVERY choice's engine stream
+                    g.close()  # GeneratorExit -> loop.cancel(rid)
 
     return Handler
 

@@ -737,3 +737,84 @@ def test_corrupt_engine_snapshot_quarantined(model, tmp_path):
         srv.httpd.shutdown()
         srv.loop.shutdown()
         srv.loop.join(timeout=120)
+
+
+def test_n_choices(server, model):
+    """OpenAI `n`: one engine stream per choice. Greedy choices are
+    identical and equal to the single-stream reference; indices are
+    0..n-1."""
+    ref = _engine_reference(model, "<t3><t4>", 6)
+    status, body = _post(server, {
+        "prompt": "<t3><t4>", "max_tokens": 6, "temperature": 0, "n": 3,
+    })
+    assert status == 200
+    assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+    assert [c["text"] for c in body["choices"]] == [ref] * 3
+    assert all(c["finish_reason"] in ("stop", "length")
+               for c in body["choices"])
+
+
+def test_n_choices_seeded_sampling_differ(server):
+    """Sampled choices derive per-choice seeds from an explicit seed
+    (seed+i), so they are reproducible but not clones."""
+    status, body = _post(server, {
+        "prompt": "<t3><t4>", "max_tokens": 8, "temperature": 1.0,
+        "top_k": 50, "seed": 7, "n": 2,
+    })
+    assert status == 200
+    texts = [c["text"] for c in body["choices"]]
+    status2, body2 = _post(server, {
+        "prompt": "<t3><t4>", "max_tokens": 8, "temperature": 1.0,
+        "top_k": 50, "seed": 7, "n": 2,
+    })
+    assert [c["text"] for c in body2["choices"]] == texts  # reproducible
+    assert texts[0] != texts[1]  # per-choice seeds differ
+
+
+def test_n_choices_stream(server, model):
+    """Streaming with n>1: chunks carry their choice index and every
+    choice finishes."""
+    ref = _engine_reference(model, "<t5>", 4)
+    req = urllib.request.Request(
+        _url(server, "/v1/completions"),
+        data=json.dumps({"prompt": "<t5>", "max_tokens": 4,
+                         "temperature": 0, "stream": True, "n": 2}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    texts = {0: [], 1: []}
+    finished = set()
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        for line in resp:
+            line = line.strip()
+            if not line.startswith(b"data: ") or line == b"data: [DONE]":
+                continue
+            obj = json.loads(line[6:])
+            ch = obj["choices"][0]
+            if ch["finish_reason"]:
+                finished.add(ch["index"])
+            elif ch.get("text"):
+                texts[ch["index"]].append(ch["text"])
+    assert finished == {0, 1}
+    assert "".join(texts[0]) == ref and "".join(texts[1]) == ref
+
+
+def test_n_choices_validation(server):
+    status, body = _post_raw(server, {"prompt": "<t3>", "n": 0})
+    assert status == 400
+    status, body = _post_raw(server, {"prompt": "<t3>", "n": "x"})
+    assert status == 400
+
+
+def _post_raw(server, body, path="/v1/completions"):
+    """POST that returns (status, json) without raising on 4xx."""
+    import urllib.error
+
+    req = urllib.request.Request(
+        _url(server, path), data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
