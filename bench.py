@@ -664,6 +664,15 @@ def load_packed_bench(load_rec):
         note(f"pack written in {time.time() - t0:.0f}s")
         del model
         gc.collect()
+    # prime the page cache first: the cold-load number it is compared to
+    # ran right after the checkpoint was written (cache-warm), so timing
+    # the pack from a COLD cache would measure this host's slow virtual
+    # disk (~40 MB/s cold), not the transcode-skip + transfer the cache
+    # exists to isolate
+    for f in sorted(pp.glob("*.npy")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     t0 = time.time()
     model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
     jax.block_until_ready(model.params.layers.wq.lo)
