@@ -674,7 +674,7 @@ class LlmServer:
         # batch choices whose streams are all in flight
         ticket = _Ticket(request=req)
         rid = self.loop.submit(ticket)
-        return self._drain(ticket, rid, scan)
+        return _Completion(self.loop, rid, self._drain(ticket, rid, scan))
 
     def _drain(self, ticket: "_Ticket", rid: int, scan: "_StopScanner"):
         try:
@@ -702,6 +702,28 @@ class LlmServer:
             # client went away mid-stream: free the slot
             self.loop.cancel(rid)
             raise
+
+
+class _Completion:
+    """An in-flight completion: iterate for (text, done, reason, info)
+    events; close() cancels the ENGINE stream even if iteration never
+    started (generator.close() on an unstarted generator skips its body,
+    so it alone cannot cancel — with OpenAI `n`, a disconnect during
+    choice 0 must still free choices 1..n-1's slots)."""
+
+    __slots__ = ("_loop", "_rid", "_gen")
+
+    def __init__(self, loop, rid, gen):
+        self._loop = loop
+        self._rid = rid
+        self._gen = gen
+
+    def __iter__(self):
+        return self._gen
+
+    def close(self) -> None:
+        self._loop.cancel(self._rid)
+        self._gen.close()
 
 
 def _finish_name(reason: str) -> str:
@@ -828,6 +850,8 @@ def _make_handler(server: LlmServer):
                         b = dict(body, seed=int(body["seed"]) + i)
                     gens.append(server.completion(b))
             except SamplerConfigurationError as e:
+                for g in gens:  # free any already-submitted choices
+                    g.close()
                 self._json(400, {"error": str(e)})
                 return
             cid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"

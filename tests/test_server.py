@@ -818,3 +818,48 @@ def _post_raw(server, body, path="/v1/completions"):
             return resp.status, json.loads(resp.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read() or b"{}")
+
+
+def test_client_disconnect_cancels_all_n_choices(model):
+    """With n>1, a disconnect while choice 0 streams must ALSO cancel the
+    not-yet-drained choices (their engine streams are already in flight;
+    an unstarted generator's close() alone would skip the cancel)."""
+    import socket
+    import time as _time
+
+    engine = Engine(model, max_streams=3, kv_dtype=jnp.float32, n_batch=8)
+    srv = LlmServer(model, engine, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        host, port = srv.address
+        body = json.dumps({"prompt": "<t5>", "max_tokens": 10_000,
+                           "temperature": 0, "stream": True, "n": 3}).encode()
+        s = socket.create_connection((host, port), timeout=30)
+        s.sendall(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        s.recv(1024)
+        s.close()
+
+        deadline = _time.monotonic() + 90
+        while _time.monotonic() < deadline:
+            cancelled = sum(
+                1 for st in engine.finished.values()
+                if st.finish_reason == "cancelled"
+            )
+            if cancelled == 3 and engine.active == 0:
+                break
+            _time.sleep(0.2)
+        else:
+            raise AssertionError(
+                f"expected all 3 choices cancelled; finished="
+                f"{[st.finish_reason for st in engine.finished.values()]} "
+                f"active={engine.active}"
+            )
+    finally:
+        srv.httpd.shutdown()
+        srv.loop.shutdown()
+        srv.loop.join(timeout=60)
