@@ -638,6 +638,32 @@ def prefix_cache_ttft_bench(model):
     )
 
 
+@_section("perplexity")
+def perplexity_bench(model):
+    """North-star readiness: wikitext-2-scale perplexity THROUGHPUT at 7B
+    through the production session pipeline (device-side NLL; the +0.1
+    PPL parity check itself needs the real corpus + reference CLI, which
+    this zero-egress host cannot fetch). 4 chunks x 2048 tokens of a
+    synthetic corpus; reports scored tokens/s."""
+    from llm_tpu.session import InferenceSession, InferenceSessionConfig
+
+    session = InferenceSession(model, InferenceSessionConfig())
+    rng = np.random.default_rng(11)
+    toks = rng.integers(5, model.spec.n_vocab - 5, size=4 * CTX).tolist()
+    done = []
+    # warm-up chunk compiles the sub-chunk shapes
+    session.perplexity(toks[:CTX], lambda i, p: done.append(p))
+    t0 = time.perf_counter()
+    session.perplexity(toks, lambda i, p: done.append(p))
+    dt = time.perf_counter() - t0
+    ppl = done[-1]
+    note(f"synthetic-corpus ppl={ppl:.1f} ({4 * CTX} tokens in {dt:.1f}s)")
+    return emit(
+        "llama7b_q4_0_perplexity_tokens_per_s", 4 * CTX / dt, "tokens/s",
+        0.0,  # no baseline: the reference publishes no PPL throughput
+    )
+
+
 @_section("load-packed")
 def load_packed_bench(load_rec):
     """Repeat-load economics via the plane cache (cli pack): the packed
@@ -899,6 +925,7 @@ def main() -> None:
     serve_bench(model, headline)
     paged_serve_bench(model, headline)
     prefix_cache_ttft_bench(model)
+    perplexity_bench(model)
 
     # free the llama weights before the 7B-scale MPT section
     del model
