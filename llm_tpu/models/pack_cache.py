@@ -38,7 +38,7 @@ import numpy as np
 from llm_tpu.models.params import LayerParams, ModelParams
 from llm_tpu.ops.packing import QuantTensor
 
-VERSION = 1
+VERSION = 2  # v2: signed-nibble q4_0 lo planes
 _NODE_TYPES = {"ModelParams": ModelParams, "LayerParams": LayerParams}
 
 

@@ -49,6 +49,12 @@ class QFormat:
     zero: int
     gsize: int  # elements per scale group
     has_bias: bool
+    # lo plane stores (q - zero) as a two's-complement field (q XOR zero at
+    # pack time for power-of-two zeros): unpack sign-extends with two
+    # shifts instead of shift+mask+subtract — one fewer VPU op per weight
+    # on the decode hot path (chip-measured +6% kernel stream rate).
+    # Only formats whose value is a SINGLE field qualify (no hi plane).
+    signed_lo: bool = False
 
     @property
     def bits(self) -> int:
@@ -56,7 +62,7 @@ class QFormat:
 
 
 FORMATS: dict[GgmlType, QFormat] = {
-    GgmlType.Q4_0: QFormat("q4_0", 4, 0, 8, 32, False),
+    GgmlType.Q4_0: QFormat("q4_0", 4, 0, 8, 32, False, signed_lo=True),
     GgmlType.Q4_1: QFormat("q4_1", 4, 0, 0, 32, True),
     GgmlType.Q5_0: QFormat("q5_0", 4, 1, 16, 32, False),
     GgmlType.Q5_1: QFormat("q5_1", 4, 1, 0, 32, True),
@@ -335,6 +341,8 @@ def pack_ggml(
     )
     if res is not None:
         lo_np, hi_np, scale_np, bias_np = res
+        if fmt.signed_lo:  # in place: the lo plane is ~2 GB at 7B
+            np.bitwise_xor(lo_np, _signed_xor_word(fmt), out=lo_np)
         s, b = _finish_scales(scale_np, bias_np)
         return QuantTensor(
             fmt_name=fmt.name,
@@ -377,7 +385,10 @@ def pack_ggml(
         hi = None
     else:
         lo_mask = (1 << fmt.lo_bits) - 1
-        lo = jnp.asarray(_pack_bits_np(q & lo_mask, fmt.lo_bits))
+        lo_vals = q & lo_mask
+        if fmt.signed_lo:
+            lo_vals = lo_vals ^ fmt.zero  # store q - zero, two's complement
+        lo = jnp.asarray(_pack_bits_np(lo_vals, fmt.lo_bits))
         hi = (
             jnp.asarray(_pack_bits_np(q >> fmt.lo_bits, fmt.hi_bits))
             if fmt.hi_bits
@@ -408,9 +419,30 @@ def pack_dense(w: np.ndarray, rows: Optional[np.ndarray] = None) -> jnp.ndarray:
 # device-side unpack / dequant (jnp; also used inside the Pallas kernels)
 
 
-def unpack_plane(words: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """uint32 [Kw, R] -> int32 [Kw * (32//bits), R] (no-op reshape layout)."""
+def _signed_xor_word(fmt: QFormat) -> np.uint32:
+    """uint32 word XORing every lo field by fmt.zero (pack-side transform
+    for signed_lo formats; q4_0: 0x88888888)."""
+    w = 0
+    for i in range(32 // fmt.lo_bits):
+        w |= fmt.zero << (i * fmt.lo_bits)
+    return np.uint32(w)
+
+
+def unpack_plane(words: jnp.ndarray, bits: int,
+                 signed: bool = False) -> jnp.ndarray:
+    """uint32 [Kw, R] -> int32 [Kw * (32//bits), R] (no-op reshape layout).
+
+    `signed`: fields are two's-complement — sign-extend with two shifts
+    (one fewer VPU op than shift+mask, and the caller skips the zero
+    subtraction entirely)."""
     pw = 32 // bits
+    if signed:
+        shifts = (32 - bits - jnp.arange(pw, dtype=jnp.int32) * bits)[
+            None, :, None
+        ]
+        vals = (words.astype(jnp.int32)[:, None, :] << shifts) >> (32 - bits)
+        kw, _, r = vals.shape
+        return vals.reshape(kw * pw, r)
     shifts = (jnp.arange(pw, dtype=jnp.uint32) * bits)[None, :, None]
     vals = (words[:, None, :] >> shifts) & ((1 << bits) - 1)
     kw, _, r = vals.shape
@@ -420,13 +452,21 @@ def unpack_plane(words: jnp.ndarray, bits: int) -> jnp.ndarray:
 def unpack_q(
     fmt: QFormat, lo: jnp.ndarray, hi: Optional[jnp.ndarray]
 ) -> jnp.ndarray:
-    """Combine planes into integer q [K, R] (int32; int8 passthrough widened)."""
+    """Combine planes into integer q [K, R] (int32; int8 passthrough
+    widened). signed_lo formats come out ALREADY centered (use
+    effective_zero, not fmt.zero, downstream)."""
     if fmt.lo_bits == 8:
         return lo.astype(jnp.int32)
-    q = unpack_plane(lo, fmt.lo_bits)
+    q = unpack_plane(lo, fmt.lo_bits, signed=fmt.signed_lo)
     if fmt.hi_bits:
         q = q | (unpack_plane(hi, fmt.hi_bits) << fmt.lo_bits)
     return q
+
+
+def effective_zero(fmt: QFormat) -> int:
+    """The zero point still to subtract after unpack_q (0 for signed_lo:
+    the sign extension already centered the values)."""
+    return 0 if fmt.signed_lo else fmt.zero
 
 
 def _expand_groups(a: jnp.ndarray, g: int) -> jnp.ndarray:
@@ -449,7 +489,8 @@ def dequant_jnp(qt: QuantTensor, dtype=jnp.float32, trim: bool = True) -> jnp.nd
     """
     fmt = qt.fmt
     q = unpack_q(fmt, qt.lo, qt.hi)
-    w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
+    zero = effective_zero(fmt)
+    w = (q - zero if zero else q).astype(jnp.float32) * _expand_groups(
         scale_plane_f32(qt.scale), fmt.gsize
     )
     if qt.bias is not None:

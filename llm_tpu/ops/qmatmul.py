@@ -217,7 +217,8 @@ def _make_kernel(
             if fmt.lo_bits == 8:
                 q = sub(lo, s).astype(jnp.int32)
             else:
-                q = unpack_plane(sub(lo, s), fmt.lo_bits)
+                q = unpack_plane(sub(lo, s), fmt.lo_bits,
+                                 signed=fmt.signed_lo)
                 if hi is not None:
                     q = q | (unpack_plane(sub(hi, s), fmt.hi_bits)
                              << fmt.lo_bits)
@@ -232,7 +233,8 @@ def _make_kernel(
             #   into a [G,M,R] contraction, batched K=32 MXU dots): 230
             #   GB/s / 58.9 tok/s vs 234 / 62.8 — the batched small-K dots
             #   cost more than the saved per-element multiply+cast.
-            w = (q - fmt.zero).astype(jnp.float32) * _expand_groups(
+            zero = 0 if fmt.signed_lo else fmt.zero
+            w = (q - zero if zero else q).astype(jnp.float32) * _expand_groups(
                 sub(scale, s), fmt.gsize
             )
             if bias is not None:
