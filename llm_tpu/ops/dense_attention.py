@@ -24,8 +24,9 @@ the page-table indirection:
 - int8 dequant is folded AROUND the dot: K scales multiply the scores per
   key position, V scales the probabilities (bit-identical to dequantizing
   first, since scales are per (position, head)).
-- kv heads are chunked so the [block, hc, rep, D] f32 broadcast products
-  stay ~1 MiB (same scoped-VMEM bound as the paged kernel's head chunks).
+- kv heads are chunked so the per-chunk f32 operands/products ([hc,
+  block, D] blocks, [hc, rep, block] scores) stay ~1 MiB (same
+  scoped-VMEM bound as the paged kernel's head chunks).
 
 Decode-shaped (T=1) only; prefill keeps the jnp paths (MXU-bound there).
 Reference contrast: ggml's decode attention is a per-token graph over
@@ -70,8 +71,8 @@ def pick_block(W: int, hkv: int, d: int, itemsize: int) -> int:
 
 
 def _head_chunk(block: int, hkv: int, rep: int, d: int) -> int:
-    """kv-heads per body iteration: cap the [block, hc, rep, D] f32
-    products at ~1 MiB (env LLM_TPU_DENSE_HC overrides)."""
+    """kv-heads per body iteration: cap the per-chunk f32 block operands
+    ([hc, block, D]) at ~1 MiB (env LLM_TPU_DENSE_HC overrides)."""
     env = os.environ.get("LLM_TPU_DENSE_HC")
     if env:
         try:
@@ -100,11 +101,11 @@ def _make_kernel(nw: int, kq_scale: float, quantized: bool,
         npast_ref, _layer_ref = refs[0], refs[1]
         i = 2
         q_ref = refs[i]; i += 1            # [1, Hkv, rep, D]
-        k_ref = refs[i]; i += 1            # [1, 1, block, Hkv, D]
+        k_ref = refs[i]; i += 1            # [1, 1, Hkv, block, D]
         v_ref = refs[i]; i += 1
         ks_ref = vs_ref = None
         if quantized:
-            ks_ref = refs[i]; i += 1       # [1, 1, block, Hkv]
+            ks_ref = refs[i]; i += 1       # [1, 1, Hkv, block]
             vs_ref = refs[i]; i += 1
         slopes_ref = None
         if has_alibi:
