@@ -19,7 +19,7 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -39,15 +39,18 @@ def main() -> None:
 
     # --- stage 1: cold load
     os.environ["LLM_TPU_PACK_CACHE"] = "0"
-    t0 = time.time()
-    model = load(CKPT, "llama", params=ModelParameters(context_size=2048))
-    jax.block_until_ready(model.params.layers.wq.lo)
-    cold_s = time.time() - t0
-    os.environ.pop("LLM_TPU_PACK_CACHE", None)
+    try:
+        t0 = time.time()
+        model = load(CKPT, "llama", params=ModelParameters(context_size=2048))
+        jax.block_until_ready(model.params.layers.wq.lo)
+        cold_s = time.time() - t0
+    finally:
+        os.environ.pop("LLM_TPU_PACK_CACHE", None)
     print(f"cold load: {cold_s:.1f}s", flush=True)
 
-    # --- stage 2: pack write
-    if not (pp / "manifest.json").exists():
+    # --- stage 2: pack write (re-pack when the existing pack is stale —
+    # key mismatch makes load_packed_params return None)
+    if load_packed_params(pp, cache_key(CKPT)) is None:
         t0 = time.time()
         save_packed_params(model.params, pp, cache_key(CKPT))
         print(f"pack write: {time.time() - t0:.1f}s", flush=True)

@@ -17,8 +17,9 @@ Run AFTER bench's checkpoint exists.
 
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +41,12 @@ def timeit(fn, reps=3):
 
 def main() -> None:
     bench.ensure_checkpoint()
-    model = bench.load_model.__wrapped__() if hasattr(
-        bench.load_model, "__wrapped__") else bench.load_model()
+    # load directly (NOT via bench.load_model: that wrapper emits a bench
+    # metric as a side effect and swallows load errors — advisor r3)
+    from llm_tpu.loader import ModelParameters, load
+
+    model = load(bench.CKPT, "llama",
+                 params=ModelParameters(context_size=2048))
     spec, params = model.spec, model.params
 
     B, PAGE, PAST = 64, 256, 200
