@@ -7,8 +7,9 @@ with a pure function traced ONCE per (spec, chunk length) and compiled by XLA:
     forward(params, ids[T], n_past, cache) -> (logits[T, V], hidden[T, E], cache')
 
 Design notes (TPU-first):
-- Static shapes: the KV cache is a dense [L, n_ctx, H_kv, D] ring of
-  absolute positions; `n_past` is a traced scalar. One compilation per
+- Static shapes: the KV cache is a dense head-major [L, B, H_kv, n_ctx, D]
+  buffer of absolute positions; `n_past` is a traced per-stream vector
+  (single-stream sessions are the B=1 case). One compilation per
   prompt-chunk bucket + one for T=1 decode.
 - Layers run under `lax.scan` over weight pytrees stacked along a leading
   n_layer axis — compile time is O(1) in depth, and XLA pipelines the
@@ -53,30 +54,32 @@ NEG_INF = -1e30
 @_register
 @dataclass
 class KVCache:
-    """Dense per-layer KV cache, absolute positions. The analog of
-    memory_k/memory_v (inference_session.rs:49-94) with K stored ROPE'd,
-    exactly as the reference caches it (llama/src/lib.rs:242-244).
+    """Dense KV cache, absolute positions, head-major layout
+    [L, B, H_kv, S, D]. The analog of memory_k/memory_v
+    (inference_session.rs:49-94) with K stored ROPE'd, exactly as the
+    reference caches it (llama/src/lib.rs:242-244).
+
+    Head-major (S in sublanes, D in lanes, contiguous per kv-head) so the
+    dense decode-attention kernel (ops/dense_attention.py) streams
+    [Hkv, block, D] blocks in their score orientation with zero relayouts.
+    Single-stream sessions are the B=1 case of the same layout — there is
+    ONE cache layout and one attention machinery (round-4 unification; the
+    round-3 unbatched [L, S, H, D] path was kernel-ineligible).
 
     When k_scale/v_scale are present the cache is INT8: k/v hold int8
     codes and scales are per (position, kv-head) f32 amax/127 — halving
     cache HBM traffic and memory vs bf16."""
 
-    k: jnp.ndarray  # [L, S, H_kv, D]
-    v: jnp.ndarray  # [L, S, H_kv, D]
-    k_scale: Optional[jnp.ndarray] = None  # [L, S, H_kv]
+    k: jnp.ndarray  # [L, B, H_kv, S, D]
+    v: jnp.ndarray  # [L, B, H_kv, S, D]
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, H_kv, S]
     v_scale: Optional[jnp.ndarray] = None
 
 
 def init_cache(spec: ModelSpec, dtype=jnp.bfloat16) -> KVCache:
-    shape = (spec.n_layer, spec.n_ctx, spec.n_head_kv, spec.head_dim)
-    if dtype in (jnp.int8, "int8"):
-        return KVCache(
-            k=jnp.zeros(shape, jnp.int8),
-            v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32),
-        )
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    """Single-stream (B=1) cache — the session-facing special case of
+    init_cache_batched."""
+    return init_cache_batched(spec, 1, dtype)
 
 
 def _dequant_kv(codes: jnp.ndarray, scale: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -155,75 +158,6 @@ def _use_online(T: int, H: int, S: int) -> tuple[bool, int]:
     return ok, block
 
 
-def _online_cache_pass(
-    spec: ModelSpec,
-    qf: jnp.ndarray,  # [T, Hkv, rep, D] f32 (RoPE'd, unscaled)
-    k_cache,  # (codes [S, Hkv, D], scale [S, Hkv] | None)
-    v_cache,
-    n_past,  # scalar int32
-    slopes,  # [Hkv, rep] ALiBi slopes | None
-    block: int,
-):
-    """Stream the cached keys in blocks with an online softmax, never
-    materializing [T, H, S] scores. Returns running (m, l, acc) to be
-    folded with the in-flight chunk by the caller. The cache is dequantized
-    PER BLOCK inside the scan (no full f32 cache copy for int8 KV)."""
-    kcod, kscl = k_cache
-    vcod, vscl = v_cache
-    S = kcod.shape[0]
-    nb = S // block
-    T, Hkv, rep, D = qf.shape
-
-    xs = [
-        jnp.arange(nb, dtype=jnp.int32),
-        kcod.reshape(nb, block, Hkv, D),
-        vcod.reshape(nb, block, Hkv, D),
-    ]
-    if kscl is not None:
-        xs += [kscl.reshape(nb, block, Hkv), vscl.reshape(nb, block, Hkv)]
-
-    def body(carry, x):
-        m, l, acc = carry
-        if kscl is not None:
-            bi, kblk, vblk, ks, vs = x
-            kf = kblk.astype(jnp.float32) * ks[..., None]
-            vf = vblk.astype(jnp.float32) * vs[..., None]
-        else:
-            bi, kblk, vblk = x
-            kf = kblk.astype(jnp.float32)
-            vf = vblk.astype(jnp.float32)
-        pos = bi * block + jnp.arange(block, dtype=jnp.int32)
-        s = (
-            jnp.einsum("thrd,shd->thrs", qf, kf,
-                       preferred_element_type=jnp.float32)
-            * spec.kq_scale
-        )
-        if slopes is not None:
-            s = s + (
-                slopes[None, :, :, None]
-                * pos.astype(jnp.float32)[None, None, None, :]
-            )
-        valid = jnp.broadcast_to(pos[None, :] < n_past, (T, block))
-        valid = valid[:, None, None, :]
-        s = jnp.where(valid, s, NEG_INF)
-        m_new = jnp.maximum(m, s.max(axis=-1))
-        p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
-        corr = jnp.exp(m - m_new)
-        l = l * corr + p.sum(axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum(
-            "thrs,shd->thrd", p, vf, preferred_element_type=jnp.float32
-        )
-        return (m_new, l, acc), None
-
-    init = (
-        jnp.full((T, Hkv, rep), NEG_INF, jnp.float32),
-        jnp.zeros((T, Hkv, rep), jnp.float32),
-        jnp.zeros((T, Hkv, rep, D), jnp.float32),
-    )
-    (m, l, acc), _ = lax.scan(body, init, tuple(xs))
-    return m, l, acc
-
-
 def _qkv_proj(layer, x: jnp.ndarray):
     """The three attention projections of `x` [N, E] (+ biases), through ONE
     kernel launch when the load-time fused q|k|v tensor is present."""
@@ -241,132 +175,6 @@ def _qkv_proj(layer, x: jnp.ndarray):
     if layer.bv is not None:
         v = v + layer.bv
     return q, k, v
-
-
-def _attention(
-    spec: ModelSpec,
-    layer: LayerParams,
-    a: jnp.ndarray,  # [T, E] normed input
-    positions: jnp.ndarray,  # [T] absolute
-    n_past: jnp.ndarray,  # scalar
-    k_cache,  # ([S, H_kv, D] codes, [S, H_kv] scale | None)
-    v_cache,
-):
-    T = a.shape[0]
-    S = k_cache[0].shape[0]
-    H, Hkv, D = spec.n_head, spec.n_head_kv, spec.head_dim
-    rep = H // Hkv
-
-    q, k, v = _qkv_proj(layer, a)
-
-    q = q.reshape(T, H, D)
-    k = k.reshape(T, Hkv, D)
-    v = v.reshape(T, Hkv, D)
-
-    if spec.rope_mode >= 0 and spec.n_rot > 0:
-        q = rope(
-            q, positions, spec.n_rot, spec.rope_mode,
-            spec.rope_freq_base, spec.rope_freq_scale,
-        )
-        k = rope(
-            k, positions, spec.n_rot, spec.rope_mode,
-            spec.rope_freq_base, spec.rope_freq_scale,
-        )
-
-    qf = q.astype(jnp.float32).reshape(T, Hkv, rep, D)
-    if k_cache[1] is not None:  # int8 cache: in-flight kv must round-trip
-        k_out = _quant_kv(k.astype(jnp.float32))
-        v_out = _quant_kv(v.astype(jnp.float32))
-        kf = _dequant_kv(*k_out)
-        vf = _dequant_kv(*v_out)
-    else:
-        k_out, v_out = k, v
-        kf = k.astype(jnp.float32)
-        vf = v.astype(jnp.float32)
-
-    slopes = (
-        alibi_slopes(H, spec.alibi_bias_max).reshape(Hkv, rep)
-        if spec.alibi_bias_max > 0.0
-        else None
-    )
-    chunk_valid = (
-        jnp.arange(T, dtype=jnp.int32)[None, :]
-        <= jnp.arange(T, dtype=jnp.int32)[:, None]
-    )  # [T, T]: chunk key u valid iff u <= t
-
-    use_online, block = _use_online(T, H, S)
-    if use_online:
-        m, l, acc = _online_cache_pass(
-            spec, qf, k_cache, v_cache, n_past, slopes, block
-        )
-        # fold in the in-flight chunk keys ([T, H, T] is small)
-        sn = (
-            jnp.einsum("thrd,uhd->thru", qf, kf,
-                       preferred_element_type=jnp.float32)
-            * spec.kq_scale
-        )
-        if slopes is not None:
-            new_pos = (n_past + jnp.arange(T, dtype=jnp.int32)).astype(
-                jnp.float32
-            )
-            sn = sn + slopes[None, :, :, None] * new_pos[None, None, None, :]
-        cv = chunk_valid[:, None, None, :]
-        sn = jnp.where(cv, sn, NEG_INF)
-        m2 = jnp.maximum(m, sn.max(axis=-1))
-        p = jnp.where(cv, jnp.exp(sn - m2[..., None]), 0.0)
-        corr = jnp.exp(m - m2)
-        l = l * corr + p.sum(axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum(
-            "thru,uhd->thrd", p, vf, preferred_element_type=jnp.float32
-        )
-        out = (acc / l[..., None]).reshape(T, H * D)
-    else:
-        kc = _dequant_kv(*k_cache)
-        vc = _dequant_kv(*v_cache)
-        # scores over cached keys [T, Hkv, rep, S] + in-flight [T, Hkv, rep, T]
-        sc = jnp.einsum(
-            "thrd,shd->thrs", qf, kc, preferred_element_type=jnp.float32
-        )
-        sn = jnp.einsum(
-            "thrd,uhd->thru", qf, kf, preferred_element_type=jnp.float32
-        )
-        scores = jnp.concatenate([sc, sn], axis=-1) * spec.kq_scale
-
-        # absolute key positions: cache slot j holds position j; chunk key i
-        # is at n_past + i
-        key_pos = jnp.concatenate(
-            [
-                jnp.arange(S, dtype=jnp.int32),
-                n_past + jnp.arange(T, dtype=jnp.int32),
-            ]
-        )
-
-        if slopes is not None:
-            scores = scores + (
-                slopes[None, :, :, None]
-                * key_pos.astype(jnp.float32)[None, None, None, :]
-            )
-
-        # mask: cached keys valid iff slot < n_past
-        cache_valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_past
-        cache_valid = jnp.broadcast_to(cache_valid, (T, S))
-        valid = jnp.concatenate([cache_valid, chunk_valid], axis=-1)
-        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-
-        probs = jax.nn.softmax(scores, axis=-1)
-        pc, pn = probs[..., :S], probs[..., S:]
-        out = jnp.einsum(
-            "thrs,shd->thrd", pc, vc, preferred_element_type=jnp.float32
-        )
-        out = out + jnp.einsum(
-            "thru,uhd->thrd", pn, vf, preferred_element_type=jnp.float32
-        )
-        out = out.reshape(T, H * D)
-
-    out = qmatmul(out, layer.wo)
-    if layer.bo is not None:
-        out = out + layer.bo
-    return out, k_out, v_out
 
 
 def _ffn(spec: ModelSpec, layer: LayerParams, x: jnp.ndarray) -> jnp.ndarray:
@@ -389,41 +197,6 @@ def _ffn(spec: ModelSpec, layer: LayerParams, x: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
-def _layer(
-    spec: ModelSpec,
-    h: jnp.ndarray,
-    layer: LayerParams,
-    positions: jnp.ndarray,
-    n_past: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
-):
-    if spec.residual == "sequential":
-        a = _norm(spec, h, layer.ln1_w, layer.ln1_b)
-        attn, k_new, v_new = _attention(
-            spec, layer, a, positions, n_past, k_cache, v_cache
-        )
-        h = h + attn
-        f = _norm(spec, h, layer.ln2_w, layer.ln2_b)
-        h = h + _ffn(spec, layer, f)
-    elif spec.residual == "parallel_shared_ln":  # gptj, falcon-7b
-        a = _norm(spec, h, layer.ln1_w, layer.ln1_b)
-        attn, k_new, v_new = _attention(
-            spec, layer, a, positions, n_past, k_cache, v_cache
-        )
-        h = h + attn + _ffn(spec, layer, a)
-    elif spec.residual == "parallel_two_ln":  # gptneox parallel, falcon-40b
-        a = _norm(spec, h, layer.ln1_w, layer.ln1_b)
-        attn, k_new, v_new = _attention(
-            spec, layer, a, positions, n_past, k_cache, v_cache
-        )
-        f = _norm(spec, h, layer.ln2_w, layer.ln2_b)
-        h = h + attn + _ffn(spec, layer, f)
-    else:
-        raise ValueError(f"unknown residual topology {spec.residual}")
-    return h, k_new, v_new
-
-
 def forward(
     spec: ModelSpec,
     params: ModelParams,
@@ -434,65 +207,26 @@ def forward(
 ):
     """Returns (logits [T, n_vocab] f32, hidden [T, E] f32, new cache).
 
+    The B=1 view of forward_batched: single-stream sessions share the
+    batched attention machinery and head-major cache, so T=1 decode rides
+    the dense Pallas attention kernel (ops/dense_attention.py) exactly
+    like the serving engines.
+
     `window` (static) limits how much of the cache attention READS: only
     positions [0, window) are scored (valid ones are < n_past anyway), so
     decode HBM traffic scales with the actual context, not n_ctx. Callers
     pick a bucket >= n_past (session/_evaluate); writes always target the
     full cache.
     """
-    T = ids.shape[0]
-    positions = n_past + jnp.arange(T, dtype=jnp.int32)
-
-    h = quant_rows_lookup(params.wte, ids)  # [T, E] f32
-    if spec.post_embed_norm:
-        h = layer_norm(h, params.emb_norm_w, params.emb_norm_b)
-    if spec.learned_pos:
-        h = h + quant_rows_lookup(params.wpe, positions)
-
-    W = cache.k.shape[1] if window is None else min(window, cache.k.shape[1])
-    quantized = cache.k_scale is not None
-
-    def body(carry, xs):
-        if quantized:
-            l, k_l, v_l, ks_l, vs_l = xs
-            kc, vc = (k_l[:W], ks_l[:W]), (v_l[:W], vs_l[:W])
-        else:
-            l, k_l, v_l = xs
-            kc, vc = (k_l[:W], None), (v_l[:W], None)
-        layer = _LayerView(params.layers, l)
-        hh, k_new, v_new = _layer(spec, carry, layer, positions, n_past, kc, vc)
-        return hh, (k_new, v_new)
-
-    xs = (jnp.arange(spec.n_layer, dtype=jnp.int32), cache.k, cache.v)
-    if quantized:
-        xs = xs + (cache.k_scale, cache.v_scale)
-    h, (k_news, v_news) = lax.scan(body, h, xs)
-
-    if quantized:
-        kq, ks = k_news  # attention already emits (codes, scales)
-        vq, vs = v_news
-        new_cache = KVCache(
-            lax.dynamic_update_slice(cache.k, kq, (0, n_past, 0, 0)),
-            lax.dynamic_update_slice(cache.v, vq, (0, n_past, 0, 0)),
-            lax.dynamic_update_slice(cache.k_scale, ks, (0, n_past, 0)),
-            lax.dynamic_update_slice(cache.v_scale, vs, (0, n_past, 0)),
-        )
-    else:
-        new_cache = KVCache(
-            lax.dynamic_update_slice(
-                cache.k, k_news.astype(cache.k.dtype), (0, n_past, 0, 0)
-            ),
-            lax.dynamic_update_slice(
-                cache.v, v_news.astype(cache.v.dtype), (0, n_past, 0, 0)
-            ),
-        )
-
-    h = _norm(spec, h, params.final_norm_w, params.final_norm_b)
-    head = params.lm_head if params.lm_head is not None else params.wte
-    logits = qmatmul(h, head)
-    if params.lm_head_b is not None:
-        logits = logits + params.lm_head_b
-    return logits.astype(jnp.float32), h.astype(jnp.float32), new_cache
+    logits, h, new_cache = forward_batched(
+        spec,
+        params,
+        ids[None, :],
+        jnp.reshape(jnp.asarray(n_past, jnp.int32), (1,)),
+        cache,
+        window,
+    )
+    return logits[0], h[0], new_cache
 
 
 def _check_window(window, n_past, extra: int = 0) -> None:

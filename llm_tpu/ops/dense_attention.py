@@ -83,13 +83,21 @@ def _head_chunk(block: int, hkv: int, rep: int, d: int) -> int:
 
 
 def kernel_ok(spec, T: int, W: int, S: int) -> bool:
-    """Static gate: decode shape on TPU-friendly geometry."""
+    """Static gate: decode shape on TPU-friendly geometry.
+
+    D (the lane dim of every block) may be any multiple of 8 >= 64:
+    Mosaic pads sub-128 lane tiles, so D=64 (GPT-2, Falcon-7B) and D=80
+    (StableLM/NeoX family) lower fine — verified by the interpret parity
+    tests (tests/test_ops.py) and the on-chip smoke gate (bench --smoke).
+    Sub-64 D (tiny test models) stays on the jnp path: relative padding
+    waste is highest exactly where the kernel has nothing to win."""
     from llm_tpu.ops.qmatmul import _use_pallas
 
     return (
         _use_pallas()
         and T == 1
-        and spec.head_dim % 128 == 0
+        and spec.head_dim % 8 == 0
+        and spec.head_dim >= 64
         and W >= 128
         and pick_block(W, spec.n_head_kv, spec.head_dim, 1) >= 128
     )

@@ -626,6 +626,14 @@ class InferenceSession:
             raise SnapshotError(
                 "snapshot KV memory size does not match this model/config"
             )
+        if tuple(snapshot.k_shape) != tuple(k.shape):
+            # same byte count but a different layout (e.g. a pre-round-4
+            # position-major [L, S, H, D] snapshot): reshaping would silently
+            # transpose the cache — reject instead
+            raise SnapshotError(
+                f"snapshot KV layout {tuple(snapshot.k_shape)} does not match "
+                f"this build's cache layout {tuple(k.shape)}"
+            )
         kk = np.frombuffer(snapshot.memory_k, dtype=snapshot.k_dtype).reshape(
             snapshot.k_shape
         )

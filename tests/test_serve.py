@@ -191,3 +191,62 @@ def test_dense_kernel_interpret_alibi_gqa(tmp_path, monkeypatch):
         monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
         got = run()
         assert got == ref, arch
+
+
+def test_dense_kernel_d64_d80_matches_xla(tmp_path, monkeypatch):
+    """D=64 (GPT-2 / Falcon-7B geometry) and D=80 (StableLM/NeoX family)
+    are kernel-eligible since round 4 — Mosaic pads sub-128 lane tiles —
+    so every reference arch's decode attention rides the kernel uniformly
+    (the reference's type-traits table covers all archs the same way,
+    /root/reference/crates/ggml/sys/src/lib.rs:2900-2974)."""
+    from llm_tpu.ops.dense_attention import kernel_ok
+
+    for arch, n_embd, want_d in (("gpt2", 256, 64), ("gptneox", 320, 80)):
+        path = tmp_path / f"{arch}{n_embd}.bin"
+        make_tiny_file(arch, path, n_embd=n_embd)
+        model = load(path, arch, params=ModelParameters(context_size=128))
+        assert model.spec.head_dim == want_d
+
+        monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+        assert kernel_ok(model.spec, 1, 128, 128), arch
+
+        def run():
+            engine = Engine(model, max_streams=2, kv_dtype="int8")
+            return engine.generate_all(
+                [GenerationRequest(prompt="<t2><t3><t4>", max_tokens=6,
+                                   sampler=DeterministicSampler())]
+            )[0]
+
+        monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+        ref = run()
+        monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+        got = run()
+        assert got == ref, arch
+
+
+def test_dense_kernel_b1_session_decode(tmp_path, monkeypatch):
+    """Single-stream session decode is the B=1 case of the batched
+    machinery (round-4 unification), so it rides the dense kernel too:
+    infer_device output under the interpret kernel equals the xla path."""
+    path = tmp_path / "llama128.bin"
+    make_tiny_file("llama", path, n_embd=512)  # 4 heads -> D = 128
+    model = load(path, "llama", params=ModelParameters(context_size=128))
+
+    def run():
+        session = InferenceSession(
+            model,
+            InferenceSessionConfig(
+                memory_k_type=ModelKVMemoryType.Int8,
+                memory_v_type=ModelKVMemoryType.Int8,
+            ),
+        )
+        out = []
+        session.infer_device("<t2><t3><t4>", 8, n_steps=4,
+                             callback=out.append)
+        return "".join(out)
+
+    monkeypatch.setenv("LLM_TPU_KERNELS", "xla")
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_KERNELS", "interpret")
+    got = run()
+    assert got == ref
