@@ -336,6 +336,8 @@ def cmd_infer(args) -> None:
 
         temp, topk, topp, minp = None, 0, 1.0, 0.0
         rep, last_n, freq, pres = 1.0, 64, 0.0, 0.0
+        tfz, typ, topa = 1.0, 1.0, (0.0, 0.0)
+        miro, mtau, meta, mm = 0, 5.0, 0.1, 100
         for opt in args.sampler_options:
             name, _, rest = opt.partition(":")
             key = name.strip().lower().replace("-", "").replace("_", "")
@@ -350,6 +352,20 @@ def cmd_infer(args) -> None:
                 topp = float(rest.split("=")[-1] or rest)
             elif key == "minp":
                 minp = float(rest.split("=")[-1] or rest)
+            elif key == "tailfree":
+                tfz = float(rest.split("=")[-1] or rest)
+            elif key == "locallytypical":
+                typ = float(rest.split("=")[-1] or rest)
+            elif key == "topa":
+                topa = (float(_kv_get(kv, "a1", 0.0)),
+                        float(_kv_get(kv, "a2", 0.0)))
+            elif key in ("mirostat1", "mirostat2"):
+                miro = 1 if key == "mirostat1" else 2
+                mtau = float(_kv_get(kv, "tau", 5.0))
+                meta = float(_kv_get(kv, "eta", 0.1))
+                mm = int(_kv_get(kv, "m", 100))
+                if temp is None:
+                    temp = 0.8  # mirostat terminal still samples
             elif key == "repetition":
                 rep = float(_kv_get(kv, "penalty", 1.3))
                 last_n = int(_kv_get(kv, "last_n", last_n))
@@ -373,13 +389,18 @@ def cmd_infer(args) -> None:
             repeat_penalty=rep, frequency_penalty=freq,
             presence_penalty=pres, penalty_last_n=last_n,
         )
-        if temp is None and topk == 0 and topp >= 1.0 and minp <= 0.0:
+        if (temp is None and topk == 0 and topp >= 1.0 and minp <= 0.0
+                and tfz >= 1.0 and typ >= 1.0 and topa == (0.0, 0.0)
+                and miro == 0):
             sampler = DeviceSampler(kind="greedy", bias=dev_bias,
                                     **penalties)
         else:
             sampler = DeviceSampler(
                 kind="sample", temperature=temp or 0.8, top_k=topk,
-                top_p=topp, min_p=minp, bias=dev_bias, **penalties,
+                top_p=topp, min_p=minp, tail_free_z=tfz, typical_p=typ,
+                top_a=topa, mirostat=miro, mirostat_tau=mtau,
+                mirostat_eta=meta, mirostat_m=mm, bias=dev_bias,
+                **penalties,
             )
         try:
             stats = sess.infer_device(

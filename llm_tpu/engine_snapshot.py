@@ -116,6 +116,8 @@ def _sampler_from(spec: Optional[dict]):
     if spec["kind"] == "device":
         kw = dict(spec["kw"])
         kw["bias"] = tuple((int(t), float(b)) for t, b in kw.get("bias", ()))
+        if "top_a" in kw:  # JSON round-trips tuples as lists; must rehash
+            kw["top_a"] = tuple(float(a) for a in kw["top_a"])
         return DeviceSampler(**kw)
     cls = getattr(S, spec["cls"])
     return cls(**spec["kw"])

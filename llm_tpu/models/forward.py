@@ -264,7 +264,7 @@ def forward_step(spec, params, ids, n_past, cache, window=None):
     return _forward_step_jit(spec, params, ids, n_past, cache, window)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7), donate_argnums=(4,))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 10), donate_argnums=(4,))
 def _decode_loop_jit(
     spec,
     params,
@@ -275,7 +275,8 @@ def _decode_loop_jit(
     window: Optional[int] = None,
     sampler=None,  # ops.sampling.DeviceSampler (static); None = greedy
     key=None,
-    penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
+    penalty_state=None,  # sampler state pytree (penalties / mirostat mu)
+    return_state: bool = False,  # static: append the final sampler state
 ):
     """Generate `n_steps` tokens fully on device (one dispatch).
 
@@ -290,11 +291,7 @@ def _decode_loop_jit(
     overshoot (stale cache beyond n_past is masked, so overshoot is safe).
     `window` must cover n_past + n_steps.
     """
-    from llm_tpu.ops.sampling import (
-        DeviceSampler,
-        device_sample,
-        update_penalty_state,
-    )
+    from llm_tpu.ops.sampling import DeviceSampler, device_sample_step
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -302,29 +299,32 @@ def _decode_loop_jit(
     def step(carry, _):
         logits, npast, c, k, pst = carry
         k, sub = jax.random.split(k)
-        tok = device_sample(logits, sub, sampler, penalty_state=pst)
-        pst = update_penalty_state(pst, tok)
+        tok, pst = device_sample_step(logits, sub, sampler, None, pst)
         new_logits, _, c = forward(spec, params, tok[None], npast, c, window)
         return (new_logits[-1], npast + 1, c, k, pst), tok
 
-    (logits, npast, cache, _, _), toks = lax.scan(
+    (logits, npast, cache, _, pst), toks = lax.scan(
         step,
         (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
          penalty_state),
         None,
         length=n_steps,
     )
+    if return_state:
+        return toks, logits, npast, cache, pst
     return toks, logits, npast, cache
 
 
 def decode_loop(spec, params, last_logits, n_past, cache, n_steps,
-                window=None, sampler=None, key=None, penalty_state=None):
+                window=None, sampler=None, key=None, penalty_state=None,
+                return_state=False):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_jit(spec, params, last_logits, n_past, cache,
-                            n_steps, window, sampler, key, penalty_state)
+                            n_steps, window, sampler, key, penalty_state,
+                            return_state)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 12), donate_argnums=(4,))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 12, 13), donate_argnums=(4,))
 def _decode_loop_batched_jit(
     spec,
     params,
@@ -337,8 +337,9 @@ def _decode_loop_batched_jit(
     key=None,
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
     write_mask=None,  # [B] bool: dummy slots never write the cache
-    penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
+    penalty_state=None,  # sampler state pytree (penalties / mirostat mu)
     logprobs_n: Optional[int] = None,  # static: top-N alternatives per step
+    return_state: bool = False,  # static: append the final sampler state
 ):
     """Batched multi-token decode on device: B streams x n_steps tokens per
     dispatch (sample-then-evaluate per step, like decode_loop). Returns
@@ -347,11 +348,7 @@ def _decode_loop_batched_jit(
     the sampled tokens (+ top-N values/ids) so logprob requests ride the
     block path without the [B, V] rows crossing to the host.
     `window` must cover max(n_past) + n_steps."""
-    from llm_tpu.ops.sampling import (
-        DeviceSampler,
-        device_sample,
-        update_penalty_state,
-    )
+    from llm_tpu.ops.sampling import DeviceSampler, device_sample_step
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -359,8 +356,8 @@ def _decode_loop_batched_jit(
     def step(carry, _):
         logits, npast, c, k, pst = carry
         k, sub = jax.random.split(k)
-        toks = device_sample(logits, sub, sampler, sampler_values, pst)
-        pst = update_penalty_state(pst, toks)
+        toks, pst = device_sample_step(logits, sub, sampler,
+                                       sampler_values, pst)
         out = toks
         if logprobs_n is not None:
             # model logprob from the PRE-update row the token was sampled
@@ -374,28 +371,32 @@ def _decode_loop_batched_jit(
         )
         return (new_logits[:, 0, :], npast + 1, c, k, pst), out
 
-    (logits, npast, cache, _, _), ys = lax.scan(
+    (logits, npast, cache, _, pst), ys = lax.scan(
         step,
         (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
          penalty_state),
         None,
         length=n_steps,
     )
+    extras = (pst,) if return_state else ()
     if logprobs_n is not None:
         all_toks, lp, topv, topi = ys
-        return all_toks, logits, npast, cache, (lp, topv, topi)
-    return ys, logits, npast, cache
+        return (all_toks, logits, npast, cache) + extras + ((lp, topv, topi),)
+    return (ys, logits, npast, cache) + extras if extras else (
+        ys, logits, npast, cache
+    )
 
 
 def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
                         window=None, sampler=None, key=None,
                         sampler_values=None, write_mask=None,
-                        penalty_state=None, logprobs_n=None):
+                        penalty_state=None, logprobs_n=None,
+                        return_state=False):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_batched_jit(spec, params, last_logits, n_past, cache,
                                     n_steps, window, sampler, key,
                                     sampler_values, write_mask,
-                                    penalty_state, logprobs_n)
+                                    penalty_state, logprobs_n, return_state)
 
 
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(6,))

@@ -497,7 +497,8 @@ def paged_step(spec, params, ids, n_past, tables, cache, window_pages,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8, 11, 13), donate_argnums=(5,))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 11, 13, 14),
+         donate_argnums=(5,))
 def paged_decode_loop(
     spec,
     params,
@@ -511,8 +512,9 @@ def paged_decode_loop(
     key=None,
     sampler_values=None,  # traced per-stream values (BatchedDeviceSampler)
     allow_kernel: bool = True,
-    penalty_state=None,  # ops.sampling.penalty_state pytree (or None)
+    penalty_state=None,  # sampler state pytree (penalties / mirostat mu)
     logprobs_n: Optional[int] = None,  # static: top-N alternatives per step
+    return_state: bool = False,  # static: append the final sampler state
 ):
     """Multi-token paged decode fully on device: B streams x n_steps tokens
     per dispatch (sample-then-evaluate per step, like decode_loop_batched).
@@ -521,11 +523,7 @@ def paged_decode_loop(
     rewound host-side (positions beyond n_past stay masked). With
     `logprobs_n` a fifth return element carries per-step sampled-token
     logprobs (+ top-N values/ids)."""
-    from llm_tpu.ops.sampling import (
-        DeviceSampler,
-        device_sample,
-        update_penalty_state,
-    )
+    from llm_tpu.ops.sampling import DeviceSampler, device_sample_step
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -555,8 +553,8 @@ def paged_decode_loop(
     def step(carry, i):
         logits, npast, blk, k, pst = carry
         k, sub = jax.random.split(k)
-        toks = device_sample(logits, sub, sampler, sampler_values, pst)
-        pst = update_penalty_state(pst, toks)
+        toks, pst = device_sample_step(logits, sub, sampler,
+                                       sampler_values, pst)
         out = toks
         if logprobs_n is not None:
             logz = jax.nn.log_softmax(logits, axis=-1)
@@ -586,7 +584,7 @@ def paged_decode_loop(
         return (new_logits[:, 0, :], npast + 1, (bk, bv, bks, bvs), k,
                 pst), out
 
-    (logits, npast, blk, _, _), ys = lax.scan(
+    (logits, npast, blk, _, pst), ys = lax.scan(
         step,
         (jnp.asarray(last_logits, jnp.float32), n_past, blk0, key,
          penalty_state),
@@ -604,10 +602,13 @@ def paged_decode_loop(
     else:
         cache = scatter_rows(cache, to_lbt(bk), to_lbt(bv), positions,
                              tables)
+    extras = (pst,) if return_state else ()
     if logprobs_n is not None:
         all_toks, lp, topv, topi = ys
-        return all_toks, logits, npast, cache, (lp, topv, topi)
-    return ys, logits, npast, cache
+        return (all_toks, logits, npast, cache) + extras + ((lp, topv, topi),)
+    return (ys, logits, npast, cache) + extras if extras else (
+        ys, logits, npast, cache
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -873,7 +874,7 @@ class PagedEngine(Engine):
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
                         values=None, write_mask=None, penalty_state=None,
-                        logprobs_n=None):
+                        logprobs_n=None, return_state=False):
         # the paged forward has no write mask: EMPTY slots' writes land on
         # the trash page (all-TRASH tables), but a PREFILLING slot's table
         # already maps page 0 to a real — possibly SHARED prefix — page,
@@ -888,16 +889,15 @@ class PagedEngine(Engine):
         if n_steps == 0:
             return None
         wp = self._window_pages(extra=n_steps)
-        out = paged_decode_loop(
+        out = list(paged_decode_loop(
             self.spec, self.params, jnp.asarray(logits),
             jnp.asarray(n_past), jnp.asarray(self.tables), self.pool,
             n_steps, wp, sampler, key, values, self._allow_kernel,
-            penalty_state, logprobs_n,
-        )
-        lp = None
-        if logprobs_n is not None:
-            toks, last_logits, _, self.pool, lp_dev = out
-            lp = tuple(np.asarray(a) for a in lp_dev)
-        else:
-            toks, last_logits, _, self.pool = out
-        return np.asarray(toks), np.asarray(last_logits), n_steps, lp
+            penalty_state, logprobs_n, return_state,
+        ))
+        toks, last_logits, _, self.pool = out[:4]
+        rest = out[4:]
+        fstate = rest.pop(0) if return_state else None
+        lp = (tuple(np.asarray(a) for a in rest.pop(0))
+              if logprobs_n is not None else None)
+        return np.asarray(toks), np.asarray(last_logits), n_steps, lp, fstate

@@ -214,6 +214,11 @@ class MultiHostEngine(_LocalEngine):
             ds = s.request.device_sampler
             assert ds is not None, "step_multi requires device_sampler"
             assert not ds.bias, "multi-host step_multi: bias unsupported"
+            assert not ds.mirostat, (
+                "multi-host step_multi: mirostat unsupported (its mu "
+                "carry is not threaded through the shard_map'd loop); "
+                "use the host sampler chain"
+            )
             per_slot[i] = ds
         _, values = batched_sampler(per_slot, self.max_streams)
 
@@ -820,6 +825,11 @@ class MultiHostPagedEngine(MultiHostEngine):
             ds = s.request.device_sampler
             assert ds is not None, "step_multi requires device_sampler"
             assert not ds.bias, "multi-host step_multi: bias unsupported"
+            assert not ds.mirostat, (
+                "multi-host step_multi: mirostat unsupported (its mu "
+                "carry is not threaded through the shard_map'd loop); "
+                "use the host sampler chain"
+            )
             per_slot[i] = ds
         _, values = batched_sampler(per_slot, self.max_streams)
 

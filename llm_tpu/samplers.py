@@ -172,7 +172,8 @@ class LocallyTypical(SamplerBase):
         probs = _probs(logits)
         with np.errstate(divide="ignore"):
             nlp = -np.log(probs)
-        ent = np.nansum(np.where(probs > 0, probs * nlp, 0.0))
+        with np.errstate(invalid="ignore"):  # 0 * inf at zero-prob lanes
+            ent = np.nansum(np.where(probs > 0, probs * nlp, 0.0))
         shifted = np.abs(nlp - ent)
         order = np.argsort(shifted, kind="stable")
         cum = np.cumsum(probs[order])

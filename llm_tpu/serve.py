@@ -87,6 +87,9 @@ class _Stream:
     prefill_pos: int = 0
     prefill_queue: Optional[list] = None
     kv_wait: bool = False  # paged: last prefill chunk hit an empty pool
+    # mirostat terminal: per-stream mu carried ACROSS decode blocks (the
+    # one piece of sampler state not reconstructible from token history)
+    mirostat_mu: Optional[float] = None
 
 
 def _chunk_bucket(n: int, n_batch: int) -> int:
@@ -508,6 +511,20 @@ class Engine:
                 hist, sampler.penalty_last_n, spec.n_vocab
             )
 
+        # mirostat streams: thread the per-stream mu carry through the
+        # block and persist it on the stream between blocks
+        miro = any(s.request.device_sampler.mirostat for _, s in active)
+        if miro:
+            from llm_tpu.ops.sampling import mirostat_mu_init
+
+            mu = np.zeros(self.max_streams, np.float32)
+            for slot, s in active:
+                ds = s.request.device_sampler
+                if ds.mirostat and s.mirostat_mu is None:
+                    s.mirostat_mu = mirostat_mu_init(ds)
+                mu[slot] = s.mirostat_mu if s.mirostat_mu is not None else 0.0
+            pstate = {**(pstate or {}), "mu": jnp.asarray(mu)}
+
         # logprob requests: top-N gathered on device per step (the full
         # [B, V] rows never cross to the host)
         lp_reqs = [
@@ -519,11 +536,16 @@ class Engine:
         self._loop_key = jax.random.split(getattr(self, "_loop_key", jax.random.PRNGKey(0)))[0]
         dispatched = self._dispatch_multi(
             logits, n_past, n_steps, sampler, self._loop_key, values, mask,
-            pstate, lpn,
+            pstate, lpn, miro,
         )
         if dispatched is None:  # backend can't run a block now (e.g. paged
             return retired + self.step()  # pool too tight): single-step
-        toks, last_logits, n_steps, lp = dispatched  # toks [n_steps, B]
+        toks, last_logits, n_steps, lp, fstate = dispatched
+        if fstate is not None:
+            mu_out = np.asarray(fstate["mu"])
+            for slot, s in active:
+                if s.request.device_sampler.mirostat:
+                    s.mirostat_mu = float(mu_out[slot])
         return retired + self._postprocess_multi(
             active, toks, last_logits, n_steps, lp
         )
@@ -598,16 +620,16 @@ class Engine:
 
     def _dispatch_multi(self, logits, n_past, n_steps, sampler, key,
                         values=None, write_mask=None, penalty_state=None,
-                        logprobs_n=None):
+                        logprobs_n=None, return_state=False):
         """Run the n_steps on-device decode block; returns (toks [n_steps, B]
-        np, last_logits [B, V] np, n_steps, logprob arrays or None) or None
-        to fall back to single-stepping. Overridden by PagedEngine (page
-        pre-allocation + paged loop)."""
+        np, last_logits [B, V] np, n_steps, logprob arrays or None, final
+        sampler state or None) or None to fall back to single-stepping.
+        Overridden by PagedEngine (page pre-allocation + paged loop)."""
         from llm_tpu.models.forward import decode_loop_batched
 
         spec = self.spec
         max_past = int(n_past.max())
-        out = decode_loop_batched(
+        out = list(decode_loop_batched(
             spec,
             self.params,
             jnp.asarray(logits),
@@ -621,14 +643,14 @@ class Engine:
             jnp.asarray(write_mask) if write_mask is not None else None,
             penalty_state,
             logprobs_n,
-        )
-        lp = None
-        if logprobs_n is not None:
-            toks, last_logits, _, self.cache, lp_dev = out
-            lp = tuple(np.asarray(a) for a in lp_dev)
-        else:
-            toks, last_logits, _, self.cache = out
-        return np.asarray(toks), np.asarray(last_logits), n_steps, lp
+            return_state,
+        ))
+        toks, last_logits, _, self.cache = out[:4]
+        rest = out[4:]
+        fstate = rest.pop(0) if return_state else None
+        lp = (tuple(np.asarray(a) for a in rest.pop(0))
+              if logprobs_n is not None else None)
+        return np.asarray(toks), np.asarray(last_logits), n_steps, lp, fstate
 
     # -- convenience --------------------------------------------------------
 

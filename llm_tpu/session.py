@@ -433,10 +433,12 @@ class InferenceSession:
         """Generate with ON-DEVICE sampling: n_steps tokens per dispatch.
 
         2x+ faster than `infer` on high-latency links (one host round trip
-        per n_steps tokens instead of per token). Covers greedy /
-        temperature / top-k / top-p / min-p / flat-bias sampling and the
-        windowed repetition / frequency / presence penalties; use `infer`
-        for the full host sampler chain (mirostat, tailfree, typical).
+        per n_steps tokens instead of per token). Covers the full default
+        chain on device: greedy / temperature / top-k / top-p / min-p /
+        tail-free / locally-typical / top-a / flat-bias, the windowed
+        repetition / frequency / presence penalties, and the mirostat 1/2
+        terminals (mu persists on the session across blocks). `infer`
+        remains for custom host sampler chains (e.g. SeqRepetition).
 
         `halt_on_eot=False` keeps generating through EoT tokens — the CLI
         sets it when --ignore-eos (or a -inf EoT bias) is in effect, matching
@@ -477,7 +479,19 @@ class InferenceSession:
                     [self.tokens], sampler.penalty_last_n, spec.n_vocab
                 )
                 pstate = jax.tree.map(lambda a: a[0], st)
-            toks, logits, _, self.cache = decode_loop(
+            miro = sampler is not None and sampler.mirostat != 0
+            if miro:
+                # mirostat terminal: mu persists on the session across
+                # blocks (and calls), like the host Mirostat dataclasses
+                from llm_tpu.ops.sampling import mirostat_mu_init
+
+                if getattr(self, "_mirostat_mu", None) is None:
+                    self._mirostat_mu = mirostat_mu_init(sampler)
+                pstate = {
+                    **(pstate or {}),
+                    "mu": jnp.float32(self._mirostat_mu),
+                }
+            out = decode_loop(
                 spec,
                 model.params,
                 jnp.asarray(self.last_logits),
@@ -488,7 +502,13 @@ class InferenceSession:
                 sampler,
                 sub,
                 pstate,
+                return_state=miro,
             )
+            if miro:
+                toks, logits, _, self.cache, fstate = out
+                self._mirostat_mu = float(fstate["mu"])
+            else:
+                toks, logits, _, self.cache = out
             toks = np.asarray(toks)
             hit = np.nonzero(toks == eot)[0] if halt_on_eot else np.array([])
             n_keep = int(hit[0]) + 1 if hit.size else steps

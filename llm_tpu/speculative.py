@@ -657,6 +657,14 @@ class SampledSpeculativeEngine(SpeculativeEngine):
                 "frequency/presence penalties; use the non-speculative "
                 "engine for penalized requests"
             )
+        if getattr(ds, "mirostat", 0):
+            # min(1, p/q) acceptance needs a FIXED per-position proposal
+            # distribution; mirostat's mu feedback changes it per sampled
+            # token, which the one-shot T=k verify cannot replay
+            raise ValueError(
+                "speculative serving does not support mirostat; use the "
+                "non-speculative engine for mirostat requests"
+            )
         # bypass SpeculativeEngine's greedy guard; Engine.submit defaults
         # the (unused) host sampler chain
         return Engine.submit(self, request)
