@@ -461,6 +461,66 @@ def cmd_perplexity(args) -> None:
     )
 
 
+def cmd_verify(args) -> None:
+    """One-command real-checkpoint parity check (VERDICT r3 item 7): the
+    llm-test golden cases (Inference / Tokens / Delete / hyperparameter
+    round-trip / CanSend) plus an optional wikitext-2 perplexity gate
+    (+0.1-PPL vs the reference CLI at equal bit-width) against a LOCAL
+    model file. With --config, goldens/URL/sha256 come from a llm-test
+    style JSON (test_configs/real/*.json); -m overrides its model path.
+    Reference: binaries/llm-test/src/main.rs:341-371,
+    inference_session.rs:519-589."""
+    import json as _json
+
+    from llm_tpu import harness
+
+    overrides = {}
+    if args.model_path:
+        overrides["model_path"] = args.model_path
+    if args.model_architecture:
+        overrides["architecture"] = args.model_architecture
+    if args.num_ctx_tokens:
+        overrides["context_size"] = args.num_ctx_tokens
+
+    # without --config, start from an EMPTY config (determinism-only
+    # defaults) — the synthetic-model goldens in test_configs/ must never
+    # silently apply to a user's real checkpoint
+    cfg = {}
+    arch = args.model_architecture
+    if args.config:
+        cfg_path = Path(args.config)
+        cfg = _json.loads(cfg_path.read_text())
+        arch = arch or cfg.get("architecture") or cfg_path.stem
+    if not arch:
+        raise SystemExit("verify: pass -a/--model-architecture or --config "
+                         "with an 'architecture' key")
+
+    extra = []
+    if args.ppl_corpus:
+        extra.append({"Perplexity": {
+            "corpus": args.ppl_corpus,
+            "expected": args.ppl_expected,
+            "tolerance": args.ppl_tolerance,
+        }})
+
+    report = harness.run_arch(arch, harness.DEFAULT_CONFIG_DIR,
+                              overrides=overrides, extra_cases=extra,
+                              config=cfg)
+    ok = report.status == "ok" and all(
+        c.status == "passed" for c in report.cases
+    )
+    for c in report.cases:
+        line = f"  {c.name}: {c.status}"
+        if c.message:
+            line += f" ({c.message})"
+        print(line)
+    if report.error:
+        print(report.error.splitlines()[0], file=sys.stderr)
+    print("PASS" if ok else "FAIL")
+    if not ok:
+        raise SystemExit(1)
+
+
 def cmd_pack(args) -> None:
     """Build the packed device planes once and cache them on disk; later
     `load()`s of the same file skip the transcode (models/pack_cache.py)."""
@@ -790,6 +850,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--tensors", action="store_true")
     p.add_argument("-k", "--tokenizer", action="store_true")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "verify",
+        help="run the llm-test golden cases (+ optional wikitext-2 "
+        "perplexity gate) against a real local checkpoint",
+    )
+    p.add_argument("-m", "--model-path", default=None,
+                   help="path to the model file (overrides --config)")
+    p.add_argument("-a", "--model-architecture", default=None)
+    p.add_argument("--config", default=None,
+                   help="llm-test style JSON with goldens/url/sha256 "
+                   "(see test_configs/real/)")
+    p.add_argument("--num-ctx-tokens", type=int, default=None)
+    p.add_argument("--ppl-corpus", default=None,
+                   help="text file (e.g. wikitext-2 wiki.test.raw) for the "
+                   "perplexity gate")
+    p.add_argument("--ppl-expected", type=float, default=None,
+                   help="reference PPL; ours must be <= expected + tolerance")
+    p.add_argument("--ppl-tolerance", type=float, default=0.1)
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser(
         "pack",

@@ -49,9 +49,71 @@ class Report:
     cases: list = field(default_factory=list)
 
 
+def _sha256(path: Path, chunk: int = 1 << 22) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _download_model(config: dict, arch: str) -> Path:
+    """Fetch a real checkpoint with progress + sha256 verification — the
+    analog of llm-test's download path
+    (/root/reference/binaries/llm-test/src/main.rs:341-371), plus the
+    checksum the reference lacks. A cached file is reused only when its
+    checksum (if the config pins one) still matches; a checksum mismatch
+    after download is an error, not a warning."""
+    import urllib.request
+
+    models = TEST_DIR / "models"
+    models.mkdir(parents=True, exist_ok=True)
+    path = models / config.get("filename", f"{arch}-real.bin")
+    want = config.get("sha256")
+    if path.exists():
+        if not want or _sha256(path) == want:
+            return path
+        print(f"cached {path.name} fails its checksum; re-downloading",
+              file=sys.stderr)
+        path.unlink()
+    url = config["url"]
+    part = path.with_suffix(path.suffix + ".part")
+    print(f"downloading {url} -> {path}", file=sys.stderr)
+    with urllib.request.urlopen(url) as r, open(part, "wb") as out:
+        total = int(r.headers.get("Content-Length") or 0)
+        done = 0
+        while True:
+            b = r.read(1 << 22)
+            if not b:
+                break
+            out.write(b)
+            done += len(b)
+            if total:
+                print(f"\r  {done / 1e6:.0f}/{total / 1e6:.0f} MB",
+                      end="", file=sys.stderr)
+        if total:
+            print(file=sys.stderr)
+    if want:
+        got = _sha256(part)
+        if got != want:
+            part.unlink()
+            raise RuntimeError(
+                f"downloaded {url}: sha256 {got} != expected {want}"
+            )
+    part.rename(path)
+    return path
+
+
 def _ensure_model(config: dict, arch: str) -> Path:
     if config.get("model_path"):
         return Path(config["model_path"])
+    if config.get("url"):
+        return _download_model(config, arch)
     from llm_tpu.ggml.types import GgmlType
     from llm_tpu.testing import make_tiny_file
 
@@ -215,46 +277,117 @@ def case_can_send(model, case: dict) -> None:
     np.testing.assert_allclose(result[0], expected, rtol=1e-5, atol=1e-5)
 
 
+def case_perplexity(model, case: dict) -> "float":
+    """wikitext-2 (or any corpus) PPL through the device NLL pipeline —
+    the +0.1-PPL parity oracle vs the reference's `llm perplexity`
+    (/root/reference/crates/llm-base/src/inference_session.rs:519-589).
+    With `expected` set, ours must come in at most `tolerance` (default
+    0.1) ABOVE it (lower is fine); without, the measured PPL is recorded
+    in the report for manual comparison."""
+    from llm_tpu.session import (
+        InferenceSession,
+        InferenceSessionConfig,
+        ModelKVMemoryType,
+    )
+
+    corpus = case.get("corpus")
+    assert corpus, "Perplexity case needs a 'corpus' text-file path"
+    text = Path(corpus).read_text()
+    session = InferenceSession(
+        model,
+        InferenceSessionConfig(memory_k_type=ModelKVMemoryType.Float32,
+                               memory_v_type=ModelKVMemoryType.Float32),
+    )
+    last: list = []
+    session.perplexity(
+        text,
+        lambda i, p: (last.append(p),
+                      print(f"  chunk {i}: ppl {p:.4f}", file=sys.stderr)),
+    )
+    assert last, "corpus shorter than one context window; nothing scored"
+    ppl = last[-1]
+    expected = case.get("expected")
+    if expected is not None:
+        tol = case.get("tolerance", 0.1)
+        assert ppl <= expected + tol, (
+            f"perplexity {ppl:.4f} exceeds expected {expected:.4f} "
+            f"+ {tol} tolerance"
+        )
+    return ppl
+
+
 CASE_RUNNERS = {
     "Inference": case_inference,
     "Tokens": case_tokens,
     "Delete": case_delete,
     "CanSend": case_can_send,
+    "Perplexity": case_perplexity,
 }
 
 
-def run_arch(arch: str, config_dir: Path) -> Report:
+def run_arch(arch: str, config_dir: Path, overrides: Optional[dict] = None,
+             extra_cases: Optional[list] = None,
+             config: Optional[dict] = None) -> Report:
     report = Report(architecture=arch)
-    config_path = config_dir / f"{arch}.json"
-    config = json.loads(config_path.read_text()) if config_path.exists() else {}
+    if config is None:
+        config_path = config_dir / f"{arch}.json"
+        config = (json.loads(config_path.read_text())
+                  if config_path.exists() else {})
+    else:
+        config = dict(config)
+    if overrides:
+        config.update({k: v for k, v in overrides.items() if v is not None})
 
+    real = bool(config.get("model_path") or config.get("url"))
     try:
         from llm_tpu.loader import ModelParameters, load
 
         path = _ensure_model(config, arch)
         model = load(
             path, arch,
-            params=ModelParameters(context_size=config.get("context_size", 64)),
+            params=ModelParameters(
+                context_size=config.get("context_size",
+                                        2048 if real else 64)
+            ),
         )
     except Exception as e:
         report.status = "load_fail"
         report.error = f"{e}\n{traceback.format_exc()}"
         return report
 
-    cases = [{"Hyperparameters": {}}, {"CanSend": {}}] + config.get(
-        "test_cases",
-        [{"Inference": {"input": "<t2><t3>", "maximum_token_count": 24}},
-         {"Tokens": {"input": "<t5><t7>"}},
-         {"Delete": {}}],
+    if real:
+        # real checkpoints default to the reference harness's prompts
+        # (binaries/llm-test/configs/*.json); synthetic tiny vocabs use
+        # <tN> markers instead
+        default_cases = [
+            {"Inference": {"input": "When a llama rides a crab, ",
+                           "maximum_token_count": 128}},
+            {"Tokens": {"input": "Rustformers is"}},
+            {"Delete": {}},
+        ]
+    else:
+        default_cases = [
+            {"Inference": {"input": "<t2><t3>", "maximum_token_count": 24}},
+            {"Tokens": {"input": "<t5><t7>"}},
+            {"Delete": {}},
+        ]
+    cases = (
+        [{"Hyperparameters": {}}, {"CanSend": {}}]
+        + config.get("test_cases", default_cases)
+        + (extra_cases or [])
     )
     for case in cases:
         (name, body), = case.items()
         runner = CASE_RUNNERS.get(name, case_hyperparameters_roundtrip)
         t0 = time.time()
         try:
-            runner(model, body)
+            res = runner(model, body)
             report.cases.append(
-                TestCaseReport(name, "passed", duration_s=time.time() - t0)
+                TestCaseReport(
+                    name, "passed",
+                    message=(f"{res:.4f}" if isinstance(res, float) else ""),
+                    duration_s=time.time() - t0,
+                )
             )
         except Exception as e:
             report.cases.append(
