@@ -22,6 +22,12 @@ Every metric is printed as its own JSON line as soon as it is computed
 written to BENCH_MATRIX.json, and the headline line is re-printed last.
 
 Metrics:
+  smoke                      variants_ok: every QFormat x kernel variant
+                             (flat/stacked) + dense-attention D=64/80/128
+                             really LOWERED on this chip before timing
+                             (vs_baseline 1.0 = full sweep, 0.0 = stopped
+                             at LLM_TPU_SMOKE_BUDGET); a lowering failure
+                             aborts the bench naming the variant
   llama7b_q4_0_load          seconds, full loader path at 7B scale
   llama7b_q4_0_load_packed   seconds, repeat load via the plane cache
                              (cli pack; vs_baseline = fraction of cold)
@@ -133,6 +139,139 @@ def _section(name):
         return wrapped
 
     return deco
+
+
+# ---------------------------------------------------------------------------
+# smoke gate (VERDICT r3 item 8): one real Mosaic lowering + numeric check
+# per quant format and kernel variant BEFORE any timing — a lowering
+# regression aborts the bench NAMING the variant instead of surfacing as a
+# cryptic mid-bench failure (interpret-mode CI proves semantics, not
+# lowering). Skippable with LLM_TPU_BENCH_SMOKE=0; `bench.py --smoke` runs
+# only this gate.
+
+
+def run_smoke() -> int:
+    prev_mode = os.environ.get("LLM_TPU_KERNELS")
+    # force the kernel path (the whole point is real Mosaic lowering);
+    # on CPU (logic tests) interpret mode stands in
+    os.environ["LLM_TPU_KERNELS"] = (
+        "interpret" if jax.default_backend() == "cpu" else "pallas"
+    )
+    try:
+        return _run_smoke_inner()
+    finally:
+        if prev_mode is None:
+            os.environ.pop("LLM_TPU_KERNELS", None)
+        else:
+            os.environ["LLM_TPU_KERNELS"] = prev_mode
+
+
+def _run_smoke_inner() -> int:
+    from types import SimpleNamespace
+
+    from llm_tpu.ggml.quant import quantize
+    from llm_tpu.ops import dense_attention as da
+    from llm_tpu.ops.packing import FORMATS, dequant_jnp, pack_ggml
+    from llm_tpu.ops.qmatmul import qmatmul
+
+    rng = np.random.default_rng(0)
+    K = R = 512  # covers the scale-pack granule (16g) and QK_K=256
+    x = jnp.asarray(rng.standard_normal((8, K)).astype(np.float32))
+    n_ok = 0
+    # Each variant is one remote Mosaic compile; on a healthy tunnel that
+    # is seconds, but the axon compile service degrades to MINUTES per
+    # compile at times (observed 2026-08-20). A lowering FAILURE always
+    # aborts; running out of budget mid-sweep just stops early so the
+    # gate can never eat the bench window.
+    budget = float(os.environ.get("LLM_TPU_SMOKE_BUDGET", "600"))
+    t_start = time.time()
+
+    def over_budget() -> bool:
+        if time.time() - t_start > budget:
+            note(f"smoke: budget ({budget:.0f}s) exhausted after "
+                 f"{n_ok} variants; continuing to the bench")
+            return True
+        return False
+
+    def fail(variant, e):
+        raise SystemExit(
+            f"SMOKE FAILED at {variant}: {type(e).__name__}: {e}"
+        )
+
+    for t, fmt in FORMATS.items():
+        if over_budget():
+            emit("smoke", n_ok, "variants_ok", 0.0)
+            return n_ok
+        w = (rng.standard_normal((R, K)) * 0.02).astype(np.float32)
+        qt = pack_ggml(t, quantize(t, w), (K, R))
+        want = np.asarray(
+            jnp.dot(x.astype(jnp.bfloat16),
+                    dequant_jnp(qt, jnp.float32).astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        )
+        scale = max(1.0, float(np.abs(want).max()))
+
+        def st(p):
+            return None if p is None else jnp.stack([p, p])
+
+        sq = QuantTensor(qt.fmt_name, qt.k, qt.r, st(qt.lo), st(qt.hi),
+                         st(qt.scale), st(qt.bias))
+        variants = (
+            (f"{fmt.name}/flat", lambda: qmatmul(x, qt)),
+            (f"{fmt.name}/stacked",
+             lambda: qmatmul(x, sq, layer=jnp.int32(1))),
+        )
+        for vname, call in variants:
+            try:
+                got = np.asarray(call())
+                err = float(np.abs(got - want).max()) / scale
+                assert err < 5e-2, f"rel-err {err:.3f} vs dequant reference"
+                n_ok += 1
+            except SystemExit:
+                raise
+            except Exception as e:  # noqa: BLE001
+                fail(vname, e)
+
+    # dense decode-attention kernel at every supported head geometry
+    # (D=64 GPT-2/Falcon-7B, D=80 NeoX family, D=128), int8 cache, vs the
+    # batched online-softmax jnp reference
+    from llm_tpu.models.forward import _online_cache_pass_batched
+
+    for D in (64, 80, 128):
+        if over_budget():
+            emit("smoke", n_ok, "variants_ok", 0.0)
+            return n_ok
+        L, B, Hkv, rep, S = 2, 2, 2, 2, 128
+        spec = SimpleNamespace(kq_scale=1.0 / np.sqrt(D))
+        qf = jnp.asarray(
+            rng.standard_normal((B, 1, Hkv, rep, D)).astype(np.float32))
+        ck = jnp.asarray(rng.integers(-127, 128, (L, B, Hkv, S, D),
+                                      dtype=np.int64).astype(np.int8))
+        cv = jnp.asarray(rng.integers(-127, 128, (L, B, Hkv, S, D),
+                                      dtype=np.int64).astype(np.int8))
+        ks = jnp.asarray(
+            rng.uniform(0.001, 0.02, (L, B, Hkv, S)).astype(np.float32))
+        vs = jnp.asarray(
+            rng.uniform(0.001, 0.02, (L, B, Hkv, S)).astype(np.float32))
+        n_past = jnp.asarray([64, 100], jnp.int32)
+        try:
+            m, l, acc = da.dense_attention_pass(
+                spec, ck, cv, ks, vs, n_past, S, jnp.int32(1), qf)
+            mr, lr, accr = _online_cache_pass_batched(
+                spec, qf, (ck[1], ks[1]), (cv[1], vs[1]), n_past, None, 64)
+            np.testing.assert_allclose(np.asarray(m), np.asarray(mr),
+                                       rtol=2e-2, atol=2e-2)
+            np.testing.assert_allclose(
+                np.asarray(acc / l[..., None]),
+                np.asarray(accr / lr[..., None]), rtol=2e-2, atol=2e-2)
+            n_ok += 1
+        except SystemExit:
+            raise
+        except Exception as e:  # noqa: BLE001
+            fail(f"dense-attention/D={D}", e)
+
+    emit("smoke", n_ok, "variants_ok", 1.0)
+    return n_ok
 
 
 # ---------------------------------------------------------------------------
@@ -900,6 +1039,10 @@ def llama13b_bench(roofline_bw):
 
 def main() -> None:
     t_all = time.time()
+    if os.environ.get("LLM_TPU_BENCH_SMOKE", "1") != "0":
+        t0 = time.time()
+        n = run_smoke()
+        note(f"smoke: ok ({n} variants, {time.time() - t0:.0f}s)")
     ensure_checkpoint()
     model = load_model()
     if model is None:
@@ -1010,4 +1153,8 @@ def _run_with_retry(fn, attempts: int = 3) -> None:
 
 if __name__ == "__main__":
     _wait_for_backend()
+    if "--smoke" in sys.argv:
+        n = run_smoke()
+        note(f"smoke: ok ({n} variants)")
+        raise SystemExit(0)
     _run_with_retry(main)
