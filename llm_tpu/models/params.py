@@ -146,9 +146,21 @@ def stack_layers(layers: list[LayerParams]) -> LayerParams:
     Requires homogeneous layers (same quant formats / shapes / bias
     presence) — true for every real GGML checkpoint, where the quantizer
     applies one target type to all matching 2-D tensors.
+
+    Host (numpy) leaves — the default load path — stack with np.stack and
+    upload in ONE transfer per stacked tensor; stacking device arrays
+    instead would hold every unstacked plane AND its stacked copy on
+    device at once (~2x param bytes transient: what OOM'd LLaMA-13B on a
+    memory-constrained chip slice).
     """
+
+    def st(*xs):
+        if isinstance(xs[0], np.ndarray):
+            return jnp.asarray(np.stack(xs))
+        return jnp.stack(xs)
+
     try:
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+        return jax.tree_util.tree_map(st, *layers)
     except ValueError as e:
         raise ValueError(
             "model layers are not homogeneous (mixed quant formats or "
@@ -164,10 +176,15 @@ class WeightSource:
     device tensors instead of arena copies.
     """
 
-    def __init__(self, reader: GgmlReader, progress=None, lora_adapters=None):
+    def __init__(self, reader: GgmlReader, progress=None, lora_adapters=None,
+                 to_device: bool = False):
+        # host-side packing by default: build_params stacks layers with
+        # numpy and uploads each stacked tensor ONCE, capping the device
+        # transient at ~1x the param bytes (see pack_ggml to_device)
         self.reader = reader
         self.progress = progress
         self.lora_adapters = lora_adapters or []
+        self.to_device = to_device
         self._loaded = 0
 
     def has(self, name: str) -> bool:
@@ -187,15 +204,19 @@ class WeightSource:
 
     def matrix(self, name: str, rows: Optional[np.ndarray] = None) -> Weight:
         info, data = self._raw(name)
-        return pack_ggml(info.element_type, data, info.dims, rows=rows)
+        return pack_ggml(info.element_type, data, info.dims, rows=rows,
+                         to_device=self.to_device)
 
     def vec(self, name: str, rows: Optional[np.ndarray] = None) -> jnp.ndarray:
-        """1-D tensor (norm weight / bias) as f32 on device."""
+        """1-D tensor (norm weight / bias) as f32 (host in the default
+        load path; _params_to_device uploads with everything else)."""
         info, data = self._raw(name)
         v = dequantize(info.element_type, data, info.n_elements)
         if rows is not None:
             v = v[rows]
-        return jnp.asarray(v, dtype=jnp.float32)
+        if self.to_device:
+            return jnp.asarray(v, dtype=jnp.float32)
+        return np.asarray(v, np.float32)
 
     def maybe_matrix(self, name: str) -> Optional[Weight]:
         return self.matrix(name) if self.has(name) else None
@@ -517,6 +538,19 @@ _BUILDERS = {
 }
 
 
+def _params_to_device(params: ModelParams) -> ModelParams:
+    """Upload any remaining host (numpy) leaves — non-layer tensors when
+    the WeightSource packed host-side. Stacked layers are already device
+    arrays (stack_layers uploads per stacked tensor)."""
+
+    def up(a):
+        if isinstance(a, np.ndarray):
+            return jnp.asarray(a)
+        return a
+
+    return jax.tree_util.tree_map(up, params)
+
+
 def build_params(ws: WeightSource, spec: ModelSpec) -> ModelParams:
     import dataclasses
     import os
@@ -529,4 +563,4 @@ def build_params(ws: WeightSource, spec: ModelSpec) -> ModelParams:
         params = dataclasses.replace(
             params, layers=fuse_layer_weights(params.layers)
         )
-    return params
+    return _params_to_device(params)

@@ -169,6 +169,8 @@ def fuse_quant(qts: "list[QuantTensor]") -> Optional[QuantTensor]:
         planes = [getattr(q, name) for q in qts]
         if planes[0] is None:
             return None
+        if isinstance(planes[0], np.ndarray):  # host-mode load path
+            return np.concatenate(planes, axis=-1)
         return jnp.concatenate(planes, axis=-1)
 
     splits = tuple((q.r, q.r_padded) for q in qts)
@@ -256,6 +258,7 @@ def pack_ggml(
     r_multiple: int = 128,
     k_multiple: int = 0,
     scale_dtype=None,
+    to_device: bool = True,
 ) -> "QuantTensor | jnp.ndarray":
     """Transcode raw GGML tensor bytes into the on-device representation.
 
@@ -267,7 +270,14 @@ def pack_ggml(
     (output features) before packing — this is how fused QKV tensors are
     split into canonical q/k/v at load time (quant blocks span K only, so
     row selection never crosses a block boundary).
+
+    `to_device=False` keeps the planes as HOST numpy arrays (same layout):
+    the loader stacks layers host-side and uploads each stacked tensor
+    ONCE, so the device-transient peak during a big load is ~1x the param
+    bytes instead of ~2x (the unstacked planes + stacked copies that
+    killed LLaMA-13B on a memory-constrained chip slice).
     """
+    dev = jnp.asarray if to_device else np.ascontiguousarray
     K = dims[0]
     R = dims[1] if len(dims) > 1 else 1
 
@@ -276,7 +286,7 @@ def pack_ggml(
         w = np.frombuffer(data, dtype=dt, count=K * R).reshape(R, K)
         if rows is not None:
             w = w[rows]
-        return jnp.asarray(np.ascontiguousarray(w.T))
+        return dev(np.ascontiguousarray(w.T))
 
     fmt = FORMATS[t]
     g = fmt.gsize
@@ -295,16 +305,15 @@ def pack_ggml(
 
     def _finish_scales(scale_np, bias_np):
         if not pack_f16:
-            s = jnp.asarray(np.asarray(scale_np, np.float32), dtype=scale_dtype)
-            b = (
-                jnp.asarray(np.asarray(bias_np, np.float32), dtype=scale_dtype)
-                if bias_np is not None
-                else None
-            )
+            cast = (lambda a: jnp.asarray(a, dtype=scale_dtype)) if to_device \
+                else (lambda a: np.asarray(a, np.dtype(scale_dtype)))
+            s = cast(np.asarray(scale_np, np.float32))
+            b = (cast(np.asarray(bias_np, np.float32))
+                 if bias_np is not None else None)
             return s, b
-        s = jnp.asarray(_pack_f16x2_np(np.asarray(scale_np, np.float32)))
+        s = dev(_pack_f16x2_np(np.asarray(scale_np, np.float32)))
         b = (
-            jnp.asarray(_pack_f16x2_np(np.asarray(bias_np, np.float32)))
+            dev(_pack_f16x2_np(np.asarray(bias_np, np.float32)))
             if bias_np is not None
             else None
         )
@@ -348,8 +357,8 @@ def pack_ggml(
             fmt_name=fmt.name,
             k=K,
             r=n_out,
-            lo=jnp.asarray(lo_np),
-            hi=jnp.asarray(hi_np) if hi_np is not None else None,
+            lo=dev(lo_np),
+            hi=dev(hi_np) if hi_np is not None else None,
             scale=s,
             bias=b,
         )
@@ -381,16 +390,16 @@ def pack_ggml(
             bias = np.pad(bias, ((0, Kp // g - K // g), (0, Rp - R)))
 
     if fmt.lo_bits == 8:
-        lo = jnp.asarray(q.astype(np.int8))
+        lo = dev(q.astype(np.int8))
         hi = None
     else:
         lo_mask = (1 << fmt.lo_bits) - 1
         lo_vals = q & lo_mask
         if fmt.signed_lo:
             lo_vals = lo_vals ^ fmt.zero  # store q - zero, two's complement
-        lo = jnp.asarray(_pack_bits_np(lo_vals, fmt.lo_bits))
+        lo = dev(_pack_bits_np(lo_vals, fmt.lo_bits))
         hi = (
-            jnp.asarray(_pack_bits_np(q >> fmt.lo_bits, fmt.hi_bits))
+            dev(_pack_bits_np(q >> fmt.lo_bits, fmt.hi_bits))
             if fmt.hi_bits
             else None
         )
