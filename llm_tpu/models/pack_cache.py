@@ -93,26 +93,46 @@ def _save_node(obj, arrays: list, counter: list) -> dict:
     return spec
 
 
-def _load_node(spec: dict, base: Path):
+def _array_specs(spec: dict, out: list) -> None:
+    """Collect array-leaf specs in manifest (load) order."""
+    t = spec["t"]
+    if t == "array":
+        out.append(spec)
+    elif t == "quant":
+        for s in spec["planes"].values():
+            _array_specs(s, out)
+    elif t in _NODE_TYPES:
+        for s in spec["fields"].values():
+            _array_specs(s, out)
+
+
+def _read_leaf(spec: dict, base: Path) -> np.ndarray:
+    # Eager read (not mmap): feeding a lazily-faulting memmap to
+    # jnp.asarray interleaves 4 KiB page faults with the host->device
+    # transfer — measured 89 s for a 3.9 GB pack vs ~31 s for the
+    # full COLD load. A sequential np.load hits disk readahead at
+    # full rate and hands the transfer a contiguous buffer.
+    # LLM_TPU_PACK_MMAP=1 restores the lazy path (memory-constrained
+    # hosts).
+    mm = "r" if os.environ.get("LLM_TPU_PACK_MMAP") == "1" else None
+    a = np.load(base / spec["file"], mmap_mode=mm)
+    if spec.get("view") == "bfloat16":
+        a = a.view(jnp.bfloat16)
+    return a
+
+
+def _load_node(spec: dict, base: Path, devices: Optional[dict] = None):
     t = spec["t"]
     if t == "none":
         return None
     if t == "array":
-        # Eager read (not mmap): feeding a lazily-faulting memmap to
-        # jnp.asarray interleaves 4 KiB page faults with the host->device
-        # transfer — measured 89 s for a 3.9 GB pack vs ~31 s for the
-        # full COLD load. A sequential np.load hits disk readahead at
-        # full rate and hands the transfer a contiguous buffer.
-        # LLM_TPU_PACK_MMAP=1 restores the lazy path (memory-constrained
-        # hosts).
-        mm = "r" if os.environ.get("LLM_TPU_PACK_MMAP") == "1" else None
-        a = np.load(base / spec["file"], mmap_mode=mm)
-        if spec.get("view") == "bfloat16":
-            a = a.view(jnp.bfloat16)
-        return jnp.asarray(a)
+        if devices is not None and spec["file"] in devices:
+            return devices[spec["file"]]
+        return jnp.asarray(_read_leaf(spec, base))
     if t == "quant":
         planes = {
-            n: _load_node(s, base) for n, s in spec["planes"].items()
+            n: _load_node(s, base, devices)
+            for n, s in spec["planes"].items()
         }
         splits = spec["splits"]
         if splits is not None:
@@ -120,7 +140,9 @@ def _load_node(spec: dict, base: Path):
         return QuantTensor(spec["fmt"], spec["k"], spec["r"],
                            splits=splits, **planes)
     cls = _NODE_TYPES[t]
-    return cls(**{n: _load_node(s, base) for n, s in spec["fields"].items()})
+    return cls(**{
+        n: _load_node(s, base, devices) for n, s in spec["fields"].items()
+    })
 
 
 def save_packed_params(params: ModelParams, path, key: dict) -> None:
@@ -143,7 +165,19 @@ def save_packed_params(params: ModelParams, path, key: dict) -> None:
 
 
 def load_packed_params(path, expected_key: dict) -> Optional[ModelParams]:
-    """Load the cache if present AND its key matches; None otherwise."""
+    """Load the cache if present AND its key matches; None otherwise.
+
+    Disk reads and host->device transfers are PIPELINED: a reader thread
+    np.loads the next leaves (bounded queue) while the main thread
+    uploads the current one, so wall time approaches
+    max(disk read, device transfer) instead of their sum — on the slow
+    access tunnel (~90 MB/s uploads) the serial version measured 33 s
+    read + 44 s transfer = 77 s for a 3.8 GB pack vs a 64 s cold load
+    (BENCH round 3's load_packed regression). LLM_TPU_PACK_PIPELINE=0
+    restores the serial path."""
+    import queue
+    import threading
+
     base = Path(path)
     try:
         manifest = json.loads((base / "manifest.json").read_text())
@@ -151,7 +185,31 @@ def load_packed_params(path, expected_key: dict) -> Optional[ModelParams]:
             return None
         if manifest.get("key") != expected_key:
             return None
-        return _load_node(manifest["tree"], base)
+        if (os.environ.get("LLM_TPU_PACK_PIPELINE", "1") == "0"
+                or os.environ.get("LLM_TPU_PACK_MMAP") == "1"):
+            return _load_node(manifest["tree"], base)
+
+        specs: list = []
+        _array_specs(manifest["tree"], specs)
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def reader():
+            try:
+                for sp in specs:
+                    q.put((sp["file"], _read_leaf(sp, base), None))
+            except Exception as e:  # noqa: BLE001 - surfaced by consumer
+                q.put((None, None, e))
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        devices: dict = {}
+        for _ in specs:
+            fname, host, err = q.get()
+            if err is not None:
+                raise err
+            devices[fname] = jnp.asarray(host)
+        th.join()
+        return _load_node(manifest["tree"], base, devices)
     except (OSError, ValueError, KeyError, TypeError):
         # any malformed cache (unreadable, bad JSON, structurally wrong
         # tree, missing arrays) falls back to the transcode path
