@@ -618,6 +618,22 @@ def paged_decode_loop(
 from llm_tpu.serve import Engine  # noqa: E402  (host-side plumbing shared)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _copy_page_jit(pool: PagedKVCache, src, dst) -> PagedKVCache:
+    """Copy one physical page's rows (all layers, K+V+scales) src -> dst
+    in place on the donated pool — the prefix cache's copy-on-write tail."""
+
+    def cp(a):
+        if a is None:
+            return None
+        return lax.dynamic_update_index_in_dim(
+            a, lax.dynamic_index_in_dim(a, src, 1, keepdims=False), dst, 1
+        )
+
+    return PagedKVCache(cp(pool.k), cp(pool.v), cp(pool.k_scale),
+                        cp(pool.v_scale))
+
+
 class PagedEngine(Engine):
     """Continuous batching over a shared page pool.
 
@@ -723,15 +739,45 @@ class PagedEngine(Engine):
         cache = self.prefix_cache
         if cache is None:
             return
-        chain = cache.match(stream.prefill_queue, self.page_size)
-        if not chain:
+        q = stream.prefill_queue
+        ps = self.page_size
+        chain = cache.match(q, ps)
+        # FULL-prefix hit, copy-on-write tail (round-4, VERDICT r3 item 6):
+        # when the prompt is page-aligned and its final page is cached too,
+        # a strict-prefix borrow would still re-prefill a whole page
+        # (~half the 2-page bench prompt -> warm TTFT barely beat cold).
+        # Instead COPY that cached page into a privately owned page and
+        # re-evaluate only the LAST prompt token (its write lands in the
+        # copy; last_logits comes from that real forward).
+        cow = None
+        if len(q) >= ps and len(q) % ps == 0 and len(chain) == len(q) // ps - 1:
+            dig = cache.digests(q, ps, len(q) // ps)[-1]
+            src = cache.by_key.get(dig)
+            if src is not None:
+                cache.acquire(src)  # pin across the alloc (eviction safety)
+                try:
+                    (dst,) = self._alloc(1)
+                except MemoryError:
+                    dst = None  # pool too tight; fall back to the chunk tail
+                if dst is not None:
+                    self.pool = _copy_page_jit(
+                        self.pool, jnp.int32(src), jnp.int32(dst)
+                    )
+                    cow = dst
+                cache.dec(src)
+        if not chain and cow is None:
             return
         for j, pid in enumerate(chain):
             self.tables[slot, j] = pid
-        # prefill resumes at the matched boundary; >=1 token remains (match
-        # covers a strict prefix), so last_logits still comes from a real
-        # forward over this stream's tail
-        stream.prefill_pos = len(chain) * self.page_size
+        if cow is not None:
+            self.tables[slot, len(chain)] = cow
+            self.stream_pages[slot].append(cow)  # owned, freed on release
+            stream.prefill_pos = len(q) - 1
+        else:
+            # prefill resumes at the matched boundary; >=1 token remains
+            # (match covers a strict prefix), so last_logits still comes
+            # from a real forward over this stream's tail
+            stream.prefill_pos = len(chain) * ps
         stream.n_past = stream.prefill_pos
 
     def _register_prompt_pages(self, stream, slot: int) -> None:

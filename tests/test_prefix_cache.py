@@ -249,3 +249,78 @@ def test_step_multi_block_never_writes_prefilling_slots_pages(model):
     # reference: B alone (no decodable stream -> no block runs while B
     # prefills, so its pages stay clean by construction)
     assert run(True) == run(False)
+
+
+def test_full_prefix_cow_tail(model):
+    """A PAGE-ALIGNED prompt whose every page is cached takes the
+    copy-on-write path (round 4): the admission copies the final cached
+    page into an owned page and re-evaluates ONLY the last prompt token,
+    and the output still matches a cold engine exactly."""
+    # 15 tokens + BOS = 16 = exactly 2 pages of 8
+    prompt = "".join(f"<t{i}>" for i in range(2, 17))
+    ref = _run(
+        PagedEngine(model, max_streams=1, page_size=8,
+                    kv_dtype=jnp.float32),
+        [prompt],
+    )[0]
+
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype=jnp.float32,
+        n_batch=8, prefix_cache=True,
+    )
+    first = _run(engine, [prompt])[0]
+    assert first == ref
+
+    calls = _count_prefill_chunks(engine)
+    warm = _run(engine, [prompt])[0]
+    assert warm == ref
+    # COW admission resumed at len-1: exactly one 1-token tail chunk
+    assert calls == [15], calls
+
+
+def test_full_prefix_cow_int8(model):
+    prompt = "".join(f"<t{i}>" for i in range(2, 17))
+    ref = _run(
+        PagedEngine(model, max_streams=1, page_size=8, kv_dtype="int8"),
+        [prompt],
+    )[0]
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype="int8",
+        n_batch=8, prefix_cache=True,
+    )
+    assert _run(engine, [prompt])[0] == ref
+    calls = _count_prefill_chunks(engine)
+    assert _run(engine, [prompt])[0] == ref
+    assert calls == [15], calls
+
+
+def test_full_prefix_cow_alloc_failure_falls_back(model):
+    """When no page can be allocated for the COW copy, admission falls
+    back to the strict-prefix borrow (page-boundary chunked tail) and the
+    output stays exact."""
+    prompt = "".join(f"<t{i}>" for i in range(2, 17))
+    ref = _run(
+        PagedEngine(model, max_streams=1, page_size=8,
+                    kv_dtype=jnp.float32),
+        [prompt],
+    )[0]
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype=jnp.float32,
+        n_batch=8, prefix_cache=True,
+    )
+    assert _run(engine, [prompt])[0] == ref  # populate the cache
+
+    orig = engine._alloc
+    state = {"failed": False}
+
+    def failing(n=1):
+        if not state["failed"]:
+            state["failed"] = True
+            raise MemoryError("no page for the COW copy")
+        return orig(n)
+
+    engine._alloc = failing
+    calls = _count_prefill_chunks(engine)
+    assert _run(engine, [prompt])[0] == ref
+    assert state["failed"]
+    assert calls[0] == 8, calls  # strict borrow: tail starts at page 1
