@@ -246,6 +246,28 @@ def batched_sampler(samplers, n_slots: int):
     return cfg, values
 
 
+def ensure_value_keys(values: dict, cfg: "BatchedDeviceSampler",
+                      n_slots: int) -> dict:
+    """Fill NEUTRAL per-stream value arrays for features the (agreed)
+    batched config enables but no local stream uses. Multi-host engines
+    build one jitted program from the allgathered static structure, so
+    every host's traced value pytree must be identical even when only
+    some hosts carry e.g. a tail-free or mirostat stream."""
+    v = dict(values)
+    if cfg.any_tail_free and "tail_free_z" not in v:
+        v["tail_free_z"] = jnp.ones(n_slots, jnp.float32)
+    if cfg.any_typical and "typical_p" not in v:
+        v["typical_p"] = jnp.ones(n_slots, jnp.float32)
+    if cfg.any_top_a and "top_a1" not in v:
+        v["top_a1"] = jnp.zeros(n_slots, jnp.float32)
+        v["top_a2"] = jnp.zeros(n_slots, jnp.float32)
+    if cfg.mirostat_kind and "mirostat_on" not in v:
+        v["mirostat_on"] = jnp.zeros(n_slots, bool)
+        v["mirostat_tau"] = jnp.full(n_slots, 5.0, jnp.float32)
+        v["mirostat_eta"] = jnp.full(n_slots, 0.1, jnp.float32)
+    return v
+
+
 def _top_p_truncate(x, p, iters: int = 24):
     """Nucleus truncation without a vocab sort: bisect the probability
     cutoff c — mass(c) = sum of probs >= c is monotone decreasing in c, so

@@ -214,11 +214,6 @@ class MultiHostEngine(_LocalEngine):
             ds = s.request.device_sampler
             assert ds is not None, "step_multi requires device_sampler"
             assert not ds.bias, "multi-host step_multi: bias unsupported"
-            assert not ds.mirostat, (
-                "multi-host step_multi: mirostat unsupported (its mu "
-                "carry is not threaded through the shard_map'd loop); "
-                "use the host sampler chain"
-            )
             per_slot[i] = ds
         _, values = batched_sampler(per_slot, self.max_streams)
 
@@ -247,7 +242,10 @@ class MultiHostEngine(_LocalEngine):
             sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
             bias_tokens=(), **_sampler_structure_cfg(g, 4),
         )
-        lpn = int(g[:, 8].max())
+        from llm_tpu.ops.sampling import ensure_value_keys
+
+        values = ensure_value_keys(values, cfg, self.max_streams)
+        lpn = int(g[:, 13].max())
         lpn = None if lpn < 0 else lpn
         gmax2 = int(g[:, 3].max())
         n_steps = min(n_steps, self.spec.n_ctx - 1 - gmax2)
@@ -263,7 +261,8 @@ class MultiHostEngine(_LocalEngine):
             mask[i] = True
 
         key = jax.random.PRNGKey(self._steps)  # same on every host
-        out = _decode_loop_batched_jit(
+        ret_state = cfg.mirostat_kind != 0
+        out = list(_decode_loop_batched_jit(
             self.spec,
             self.params,
             self._to_global(logits, ("data",)),
@@ -277,15 +276,20 @@ class MultiHostEngine(_LocalEngine):
                 {k: np.asarray(v) for k, v in values.items()}, ("data",)
             ),
             self._to_global(mask, ("data",)),
-            self._penalty_state_global(cfg, active),
+            self._sampler_state_global(cfg, active),
             lpn,
-        )
-        lp_l = None
-        if lpn is not None:
-            toks, last_logits, _, self.cache, lp_dev = out
-            lp_l = tuple(self._local_rows(a, axis=1) for a in lp_dev)
-        else:
-            toks, last_logits, _, self.cache = out
+            ret_state,
+        ))
+        toks, last_logits, _, self.cache = out[:4]
+        rest = out[4:]
+        if ret_state:
+            fstate = rest.pop(0)
+            mu_l = self._local_rows(fstate["mu"])
+            for i, s in active:
+                if s.request.device_sampler.mirostat:
+                    s.mirostat_mu = float(mu_l[i])
+        lp_l = (tuple(self._local_rows(a, axis=1) for a in rest.pop(0))
+                if lpn is not None else None)
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
         return events + self._postprocess_multi(
@@ -338,19 +342,34 @@ class MultiHostEngine(_LocalEngine):
             arr, self.mesh, P(*pspec_axes)
         )
 
-    def _penalty_state_global(self, cfg, active):
-        """Data-sharded windowed-penalty state when the agreed structure
-        includes penalties (every host builds its local rows from its own
-        streams' histories; the agreed window width keeps the jitted
-        program identical across hosts). None when no stream penalizes."""
-        if not cfg.any_penalty:
-            return None
-        from llm_tpu.ops.sampling import penalty_state
+    def _sampler_state_global(self, cfg, active):
+        """Data-sharded sampler state when the agreed structure needs one:
+        windowed-penalty counts (each host builds its local rows from its
+        own streams' histories; the agreed window width keeps the jitted
+        program identical across hosts) and/or the mirostat mu carry
+        (persisted on the streams between blocks). None when stateless."""
+        st = {}
+        if cfg.any_penalty:
+            from llm_tpu.ops.sampling import penalty_state
 
-        hist = [[] for _ in range(self.max_streams)]
-        for i, s in active:
-            hist[i] = s.tokens
-        st = penalty_state(hist, cfg.penalty_last_n, self.spec.n_vocab)
+            hist = [[] for _ in range(self.max_streams)]
+            for i, s in active:
+                hist[i] = s.tokens
+            st.update(penalty_state(hist, cfg.penalty_last_n,
+                                    self.spec.n_vocab))
+        if cfg.mirostat_kind:
+            from llm_tpu.ops.sampling import mirostat_mu_init
+
+            mu = np.zeros(self.max_streams, np.float32)
+            for i, s in active:
+                ds = s.request.device_sampler
+                if ds.mirostat and s.mirostat_mu is None:
+                    s.mirostat_mu = mirostat_mu_init(ds)
+                mu[i] = (s.mirostat_mu
+                         if s.mirostat_mu is not None else 0.0)
+            st["mu"] = mu
+        if not st:
+            return None
         return self._to_global(
             {k: np.asarray(v) for k, v in st.items()}, ("data",)
         )
@@ -524,9 +543,16 @@ def _mh_paged_step(
 
 def _sampler_structure_ints(per_slot) -> list:
     """Local contribution to the allgathered STATIC sampler structure:
-    [any top-p, any min-p, any penalty, penalty window]. Every host must
-    build the identical BatchedDeviceSampler (identical jitted program),
-    so booleans agree by max and the window by max."""
+    [any top-p, any min-p, any penalty, penalty window, any tail-free,
+    any typical, any top-a, mirostat kind bits, mirostat m]. Every host
+    must build the identical BatchedDeviceSampler (identical jitted
+    program), so booleans agree by max, windows/m by max, and mirostat
+    kinds as an OR'd bitmask (bit0 = kind 1, bit1 = kind 2; both set
+    after the allgather = an invalid mixed batch)."""
+    miro_bits = 0
+    for d in per_slot:
+        if d is not None and d.mirostat:
+            miro_bits |= 1 << (d.mirostat - 1)
     return [
         int(any(d is not None and d.kind == "sample" and d.top_p < 1.0
                 for d in per_slot)),
@@ -538,6 +564,15 @@ def _sampler_structure_ints(per_slot) -> list:
         max(((d.penalty_last_n if d.penalty_last_n > 0 else 1 << 30)
              for d in per_slot if d is not None and d.has_penalties),
             default=0),
+        int(any(d is not None and d.kind == "sample"
+                and d.tail_free_z < 1.0 for d in per_slot)),
+        int(any(d is not None and d.kind == "sample"
+                and d.typical_p < 1.0 for d in per_slot)),
+        int(any(d is not None and d.kind == "sample"
+                and d.top_a != (0.0, 0.0) for d in per_slot)),
+        miro_bits,
+        max((d.mirostat_m for d in per_slot
+             if d is not None and d.mirostat == 1), default=100),
     ]
 
 
@@ -553,21 +588,33 @@ def _logprobs_local(active) -> int:
 
 def _sampler_structure_cfg(g, col: int) -> dict:
     """Agreed BatchedDeviceSampler kwargs from the allgathered ints."""
+    bits = int(np.bitwise_or.reduce(g[:, col + 7].astype(np.int64)))
+    if bits == 3:
+        raise ValueError(
+            "streams mixing mirostat 1 and mirostat 2 cannot share one "
+            "globally-coordinated decode block"
+        )
     return {
         "any_top_p": bool(g[:, col].max()),
         "any_min_p": bool(g[:, col + 1].max()),
         "any_penalty": bool(g[:, col + 2].max()),
         "penalty_last_n": max(int(g[:, col + 3].max()), 1),
+        "any_tail_free": bool(g[:, col + 4].max()),
+        "any_typical": bool(g[:, col + 5].max()),
+        "any_top_a": bool(g[:, col + 6].max()),
+        "mirostat_kind": 2 if bits == 2 else (1 if bits == 1 else 0),
+        "mirostat_m": int(g[:, col + 8].max()),
     }
 
 
 @_partial(
-    jax.jit, static_argnums=(0, 6, 7, 8, 11, 12, 14), donate_argnums=(5,)
+    jax.jit, static_argnums=(0, 6, 7, 8, 11, 12, 14, 15),
+    donate_argnums=(5,),
 )
 def _mh_paged_loop(
     spec, params, logits, n_past, tables, pool, n_steps, window_pages,
     sampler_cfg, key, values, allow_kernel, mesh, penalty_state=None,
-    logprobs_n=None,
+    logprobs_n=None, return_state=False,
 ):
     from llm_tpu.paged import PagedKVCache, paged_decode_loop
 
@@ -575,6 +622,12 @@ def _mh_paged_loop(
         _P(None, "data"), _P(None, "data"), _P(None, "data"), _P(None, "data")
     )
     out_specs = (_P(None, "data"), _P("data"), _P("data"), pool_spec)
+    if return_state:
+        # the sampler-state pytree (penalty counts/ring/pos, mirostat mu)
+        # is per-stream: every leaf leads with the data-sharded batch axis
+        out_specs = out_specs + (
+            jax.tree_util.tree_map(lambda _: _P("data"), penalty_state),
+        )
     if logprobs_n is not None:
         # per-step logprob arrays ride the stream (data) axis too
         out_specs = out_specs + (
@@ -583,7 +636,7 @@ def _mh_paged_loop(
     fn = _shard_map(
         lambda p, lg, n, t, c, k, v, pst: paged_decode_loop(
             spec, p, lg, n, t, c, n_steps, window_pages,
-            sampler_cfg, k, v, allow_kernel, pst, logprobs_n,
+            sampler_cfg, k, v, allow_kernel, pst, logprobs_n, return_state,
         ),
         mesh=mesh,
         axis_names={"data"},
@@ -594,14 +647,14 @@ def _mh_paged_loop(
         out_specs=out_specs,
         check_vma=False,
     )
-    out = fn(
+    out = list(fn(
         params, logits, n_past, tables, pool, key, values, penalty_state
-    )
-    if logprobs_n is not None:
-        toks, last_logits, _, new_pool, lp = out
-        return toks, last_logits, new_pool, lp
-    toks, last_logits, _, new_pool = out
-    return toks, last_logits, new_pool, None
+    ))
+    toks, last_logits, _, new_pool = out[:4]
+    rest = out[4:]
+    fstate = rest.pop(0) if return_state else None
+    lp = rest.pop(0) if logprobs_n is not None else None
+    return toks, last_logits, new_pool, lp, fstate
 
 
 class MultiHostPagedEngine(MultiHostEngine):
@@ -825,11 +878,6 @@ class MultiHostPagedEngine(MultiHostEngine):
             ds = s.request.device_sampler
             assert ds is not None, "step_multi requires device_sampler"
             assert not ds.bias, "multi-host step_multi: bias unsupported"
-            assert not ds.mirostat, (
-                "multi-host step_multi: mirostat unsupported (its mu "
-                "carry is not threaded through the shard_map'd loop); "
-                "use the host sampler chain"
-            )
             per_slot[i] = ds
         _, values = batched_sampler(per_slot, self.max_streams)
 
@@ -862,6 +910,9 @@ class MultiHostPagedEngine(MultiHostEngine):
             sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
             bias_tokens=(), **_sampler_structure_cfg(g, 5),
         )
+        from llm_tpu.ops.sampling import ensure_value_keys
+
+        values = ensure_value_keys(values, cfg, self.max_streams)
         for i, s in active:  # feasibility-checked above; cannot raise
             self._ensure_pages(
                 i, min(s.n_past + n_steps, self.spec.n_ctx) - 1
@@ -872,10 +923,11 @@ class MultiHostPagedEngine(MultiHostEngine):
         for i, s in active:
             logits[i] = s.last_logits
 
-        lpn = int(g[:, 9].max())
+        lpn = int(g[:, 14].max())
         lpn = None if lpn < 0 else lpn
         key = jax.random.PRNGKey(self._steps)  # same on every host
-        toks, last_logits, self.pool, lp = _mh_paged_loop(
+        ret_state = cfg.mirostat_kind != 0
+        toks, last_logits, self.pool, lp, fstate = _mh_paged_loop(
             self.spec,
             self.params,
             self._to_global(logits, ("data",)),
@@ -891,9 +943,15 @@ class MultiHostPagedEngine(MultiHostEngine):
             ),
             self._allow_kernel,
             self.mesh,
-            self._penalty_state_global(cfg, active),
+            self._sampler_state_global(cfg, active),
             lpn,
+            ret_state,
         )
+        if fstate is not None:
+            mu_l = self._local_rows(fstate["mu"])
+            for i, s in active:
+                if s.request.device_sampler.mirostat:
+                    s.mirostat_mu = float(mu_l[i])
         lp_l = (
             tuple(self._local_rows(a, axis=1) for a in lp)
             if lp is not None else None

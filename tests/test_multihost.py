@@ -440,3 +440,62 @@ def test_multihost_paged_step_multi_penalties(model):
     while engine.has_work_global():
         engine.step_multi(4)
     assert "".join(engine.finished[rid].text) == ref
+
+
+def test_multihost_step_multi_mirostat(model):
+    """Mirostat streams ride the multi-host block path (round 4): the mu
+    carry threads through the globally-coordinated decode and persists on
+    the stream; a greedy batchmate still matches the dense reference."""
+    from llm_tpu.ops.sampling import DeviceSampler, mirostat_mu_init
+    from llm_tpu.samplers import GreedySampler
+
+    ref_engine = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    ref = ref_engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=8,
+                           sampler=GreedySampler())]
+    )[0]
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=2,
+                             kv_dtype=jnp.float32, n_batch=4)
+    ms = DeviceSampler(kind="sample", temperature=0.9, mirostat=2,
+                       mirostat_tau=4.0)
+    g = engine.submit(GenerationRequest(
+        prompt=[2, 3], max_tokens=8, device_sampler=DeviceSampler.greedy()))
+    m = engine.submit(GenerationRequest(
+        prompt=[9, 4, 5], max_tokens=8, device_sampler=ms))
+    mus = []
+    while engine.has_work_global():
+        engine.step_multi(4)
+        for s in engine.slots:
+            if s is not None and s.request.device_sampler.mirostat:
+                mus.append(s.mirostat_mu)
+    assert "".join(engine.finished[g].text) == ref
+    assert len("".join(engine.finished[m].text)) > 0
+    assert mus and any(x != mirostat_mu_init(ms) for x in mus), mus
+
+
+def test_multihost_paged_step_multi_mirostat(model):
+    from llm_tpu.ops.sampling import DeviceSampler
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+    from llm_tpu.samplers import GreedySampler
+
+    ref_engine = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    ref = ref_engine.generate_all(
+        [GenerationRequest(prompt=[2, 3], max_tokens=6,
+                           sampler=GreedySampler())]
+    )[0]
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(model, mesh, global_streams=2,
+                                  kv_dtype="int8", n_batch=4, page_size=8)
+    g = engine.submit(GenerationRequest(
+        prompt=[2, 3], max_tokens=6, device_sampler=DeviceSampler.greedy()))
+    m = engine.submit(GenerationRequest(
+        prompt=[9, 4, 5], max_tokens=6,
+        device_sampler=DeviceSampler(kind="sample", temperature=0.9,
+                                     mirostat=1)))
+    while engine.has_work_global():
+        engine.step_multi(4)
+    assert "".join(engine.finished[g].text) == ref
+    assert len("".join(engine.finished[m].text)) > 0
