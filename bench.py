@@ -655,7 +655,11 @@ def ttft_bench(model):
 
 
 @_section("serve")
-def serve_bench(model, decode_rec):
+def serve_bench(model, decode_rec, roofline_bw):
+    """8-stream int8-KV multi-step decode (dense slots, Pallas
+    dense-attention kernel). vs_baseline = the step's required-traffic
+    roofline (weights + per-stream int8 KV window reads at the measured
+    kernel rate); the naive 8x-single ratio is printed as a note."""
     spec, params = model.spec, model.params
     Bs, N = 8, 64
     cache = init_cache_batched(spec, Bs, "int8")
@@ -680,10 +684,20 @@ def serve_bench(model, decode_rec):
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     single = decode_rec["value"] if decode_rec else 35.0
+    kv_bytes = (
+        spec.n_layer * Bs * window * spec.n_head_kv
+        * (2 * spec.head_dim + 2 * 4)  # int8 k+v rows + f32 scales
+    )
+    step_bytes = weight_stream_bytes(params) + kv_bytes
+    roofline_agg = Bs / (step_bytes / roofline_bw)
+    agg = Bs * N / dt
+    note(f"serve-8: {dt / N * 1e3:.1f} ms/step, traffic "
+         f"{step_bytes / 1e9:.2f} GB/step, naive 8x-single ratio "
+         f"{agg / (8 * single):.2f}")
     del cache
     return emit(
-        "llama7b_q4_0_serve_8streams_int8kv", Bs * N / dt, "tokens/s/chip",
-        (Bs * N / dt) / (8 * single),  # batching efficiency vs 8x single
+        "llama7b_q4_0_serve_8streams_int8kv", agg, "tokens/s/chip",
+        agg / roofline_agg,
     )
 
 
@@ -1078,7 +1092,7 @@ def main() -> None:
     prefill_bench(model)
     prefill_8k_bench(model)
     ttft_bench(model)
-    serve_bench(model, headline)
+    serve_bench(model, headline, roofline_bw)
     paged_serve_bench(model, headline, roofline_bw)
     prefix_cache_ttft_bench(model)
     perplexity_bench(model)
