@@ -81,12 +81,23 @@ def sampler_from_params(params: dict, n_vocab: int = 0):
         fp = float(params.get("frequency_penalty") or 0.0)
         pp = float(params.get("presence_penalty") or 0.0)
         args.append(f"freqpresence:frequency={fp}:presence={pp}")
-    if params.get("top_k") is not None:
-        args.append(f"topk:k={int(params['top_k'])}")
-    if params.get("top_p") is not None:
-        args.append(f"topp:p={float(params['top_p'])}")
-    if params.get("min_p") is not None:
-        args.append(f"minp:p={float(params['min_p'])}")
+    miro = int(params.get("mirostat") or 0)
+    if miro:
+        # mirostat excludes the truncation samplers (host DSL validation)
+        tau = float(params.get("mirostat_tau") or 5.0)
+        eta = float(params.get("mirostat_eta") or 0.1)
+        args.append(f"mirostat{miro}:tau={tau}:eta={eta}")
+    else:
+        if params.get("top_k") is not None:
+            args.append(f"topk:k={int(params['top_k'])}")
+        if params.get("top_p") is not None:
+            args.append(f"topp:p={float(params['top_p'])}")
+        if params.get("min_p") is not None:
+            args.append(f"minp:p={float(params['min_p'])}")
+        if params.get("tfs_z") is not None:
+            args.append(f"tailfree:z={float(params['tfs_z'])}")
+        if params.get("typical_p") is not None:
+            args.append(f"locallytypical:p={float(params['typical_p'])}")
     if temp is not None:
         args.append(f"temperature:{float(temp)}")
     if not args and not bias:
@@ -128,10 +139,22 @@ def device_sampler_from_params(params: dict, allow_logprobs: bool = False,
     }
     if float(temp) <= 0.0:
         return DeviceSampler(kind="greedy", **penalties)
+    # llama.cpp-server-style extension params (not in the OpenAI schema but
+    # the de-facto ecosystem surface): tfs_z, typical_p, mirostat/
+    # mirostat_tau/mirostat_eta — all ride the on-device block path
+    miro = int(_f("mirostat", 0))
+    if miro:
+        return DeviceSampler(kind="sample", temperature=float(temp),
+                             mirostat=miro,
+                             mirostat_tau=_f("mirostat_tau", 5.0),
+                             mirostat_eta=_f("mirostat_eta", 0.1),
+                             **penalties)
     return DeviceSampler(kind="sample", temperature=float(temp),
                          top_k=int(_f("top_k", 0)),
                          top_p=_f("top_p", 1.0),
                          min_p=_f("min_p", 0.0),
+                         tail_free_z=_f("tfs_z", 1.0),
+                         typical_p=_f("typical_p", 1.0),
                          **penalties)
 
 

@@ -863,3 +863,17 @@ def test_client_disconnect_cancels_all_n_choices(model):
         srv.httpd.shutdown()
         srv.loop.shutdown()
         srv.loop.join(timeout=60)
+
+
+def test_device_sampler_extension_params(model):
+    """llama.cpp-server-style extension params (tfs_z, typical_p,
+    mirostat) map onto the on-device block sampler (round 4)."""
+    from llm_tpu.server import device_sampler_from_params
+
+    ds = device_sampler_from_params(
+        {"temperature": 0.8, "tfs_z": 0.9, "typical_p": 0.7})
+    assert ds is not None and ds.tail_free_z == 0.9 and ds.typical_p == 0.7
+
+    ms = device_sampler_from_params(
+        {"temperature": 0.9, "mirostat": 2, "mirostat_tau": 4.0})
+    assert ms is not None and ms.mirostat == 2 and ms.mirostat_tau == 4.0
