@@ -170,6 +170,9 @@ def _dump_stream(s, slot: Optional[int], arrays: dict) -> dict:
             else None
         ),
         "kv_wait": s.kv_wait,
+        # device-mirostat mu carry (the one piece of device-sampler state
+        # not reconstructible from token history)
+        "mirostat_mu": s.mirostat_mu,
     }
     if s.last_logits is not None:
         arrays[f"stream{s.request_id}.last_logits"] = np.asarray(
@@ -218,6 +221,7 @@ def _load_stream(d: dict, arrays: dict, on_token):
             list(d["prefill_queue"]) if d["prefill_queue"] is not None else None
         ),
         kv_wait=d["kv_wait"],
+        mirostat_mu=d.get("mirostat_mu"),  # absent in pre-r4 checkpoints
     )
     req.sampler = s.sampler
     return s

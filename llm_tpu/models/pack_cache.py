@@ -192,10 +192,13 @@ def load_packed_params(path, expected_key: dict) -> Optional[ModelParams]:
         specs: list = []
         _array_specs(manifest["tree"], specs)
         q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
 
         def reader():
             try:
                 for sp in specs:
+                    if stop.is_set():
+                        return
                     q.put((sp["file"], _read_leaf(sp, base), None))
             except Exception as e:  # noqa: BLE001 - surfaced by consumer
                 q.put((None, None, e))
@@ -203,12 +206,23 @@ def load_packed_params(path, expected_key: dict) -> Optional[ModelParams]:
         th = threading.Thread(target=reader, daemon=True)
         th.start()
         devices: dict = {}
-        for _ in specs:
-            fname, host, err = q.get()
-            if err is not None:
-                raise err
-            devices[fname] = jnp.asarray(host)
-        th.join()
+        try:
+            for _ in specs:
+                fname, host, err = q.get()
+                if err is not None:
+                    raise err
+                devices[fname] = jnp.asarray(host)
+        finally:
+            # a consumer failure (e.g. device OOM mid-upload) must not
+            # leave the reader blocked on the bounded queue pinning
+            # GB-scale host buffers and streaming the rest of the pack
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:  # racing reader; nothing left
+                    break
+            th.join(timeout=30)
         return _load_node(manifest["tree"], base, devices)
     except (OSError, ValueError, KeyError, TypeError):
         # any malformed cache (unreadable, bad JSON, structurally wrong

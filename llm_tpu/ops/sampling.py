@@ -446,6 +446,29 @@ def _top_a_truncate(x, a1, a2):
     return jnp.where(active[..., None] & ~keep, -jnp.inf, x)
 
 
+def collect_mu(active, n_slots: int):
+    """[n_slots] f32 mu vector for a decode block from the streams'
+    persisted `mirostat_mu`, initializing first-block mirostat streams at
+    2*tau. `active` yields (slot, stream) pairs (engine convention)."""
+    import numpy as np
+
+    mu = np.zeros(n_slots, np.float32)
+    for slot, s in active:
+        ds = s.request.device_sampler
+        if ds is not None and ds.mirostat and s.mirostat_mu is None:
+            s.mirostat_mu = mirostat_mu_init(ds)
+        mu[slot] = s.mirostat_mu if s.mirostat_mu is not None else 0.0
+    return mu
+
+
+def store_mu(active, mu_row) -> None:
+    """Persist a block's final mu values back onto the mirostat streams."""
+    for slot, s in active:
+        ds = s.request.device_sampler
+        if ds is not None and ds.mirostat:
+            s.mirostat_mu = float(mu_row[slot])
+
+
 def mirostat_mu_init(cfg) -> float:
     """Initial mu carry for a mirostat sampler (host: mu = 2 * tau)."""
     return 2.0 * cfg.mirostat_tau

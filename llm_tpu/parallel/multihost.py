@@ -238,10 +238,16 @@ class MultiHostEngine(_LocalEngine):
         n_dec = int(g[:, 0].sum())
         if n_dec == 0:
             return events
-        cfg = BatchedDeviceSampler(
-            sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
-            bias_tokens=(), **_sampler_structure_cfg(g, 4),
-        )
+        try:
+            cfg = BatchedDeviceSampler(
+                sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
+                bias_tokens=(), **_sampler_structure_cfg(g, 4),
+            )
+        except ValueError:
+            # mixed mirostat kinds across the global batch: every host
+            # computed the same allgathered bits, so every host takes this
+            # same coordinated per-token fallback
+            return events + self.step()
         from llm_tpu.ops.sampling import ensure_value_keys
 
         values = ensure_value_keys(values, cfg, self.max_streams)
@@ -283,11 +289,10 @@ class MultiHostEngine(_LocalEngine):
         toks, last_logits, _, self.cache = out[:4]
         rest = out[4:]
         if ret_state:
+            from llm_tpu.ops.sampling import store_mu
+
             fstate = rest.pop(0)
-            mu_l = self._local_rows(fstate["mu"])
-            for i, s in active:
-                if s.request.device_sampler.mirostat:
-                    s.mirostat_mu = float(mu_l[i])
+            store_mu(active, self._local_rows(fstate["mu"]))
         lp_l = (tuple(self._local_rows(a, axis=1) for a in rest.pop(0))
                 if lpn is not None else None)
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
@@ -358,16 +363,9 @@ class MultiHostEngine(_LocalEngine):
             st.update(penalty_state(hist, cfg.penalty_last_n,
                                     self.spec.n_vocab))
         if cfg.mirostat_kind:
-            from llm_tpu.ops.sampling import mirostat_mu_init
+            from llm_tpu.ops.sampling import collect_mu
 
-            mu = np.zeros(self.max_streams, np.float32)
-            for i, s in active:
-                ds = s.request.device_sampler
-                if ds.mirostat and s.mirostat_mu is None:
-                    s.mirostat_mu = mirostat_mu_init(ds)
-                mu[i] = (s.mirostat_mu
-                         if s.mirostat_mu is not None else 0.0)
-            st["mu"] = mu
+            st["mu"] = collect_mu(active, self.max_streams)
         if not st:
             return None
         return self._to_global(
@@ -906,10 +904,13 @@ class MultiHostPagedEngine(MultiHostEngine):
         n_steps = min(int(g[:, 4].min()), self.spec.n_ctx - 1 - gmax2)
         if n_steps <= 1:
             return events + self.step()
-        cfg = BatchedDeviceSampler(
-            sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
-            bias_tokens=(), **_sampler_structure_cfg(g, 5),
-        )
+        try:
+            cfg = BatchedDeviceSampler(
+                sample=bool(g[:, 1].max()), top_k_max=int(g[:, 2].max()),
+                bias_tokens=(), **_sampler_structure_cfg(g, 5),
+            )
+        except ValueError:
+            return events + self.step()  # same agreed fallback on all hosts
         from llm_tpu.ops.sampling import ensure_value_keys
 
         values = ensure_value_keys(values, cfg, self.max_streams)
@@ -948,10 +949,9 @@ class MultiHostPagedEngine(MultiHostEngine):
             ret_state,
         )
         if fstate is not None:
-            mu_l = self._local_rows(fstate["mu"])
-            for i, s in active:
-                if s.request.device_sampler.mirostat:
-                    s.mirostat_mu = float(mu_l[i])
+            from llm_tpu.ops.sampling import store_mu
+
+            store_mu(active, self._local_rows(fstate["mu"]))
         lp_l = (
             tuple(self._local_rows(a, axis=1) for a in lp)
             if lp is not None else None

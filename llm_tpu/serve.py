@@ -481,7 +481,15 @@ class Engine:
             per_slot = [None] * self.max_streams
             for slot, s in active:
                 per_slot[slot] = s.request.device_sampler
-            sampler, values = batched_sampler(per_slot, self.max_streams)
+            try:
+                sampler, values = batched_sampler(per_slot, self.max_streams)
+            except ValueError:
+                # a batch mixing mirostat 1 and 2 cannot share one block:
+                # fall back to per-token sampling via each stream's HOST
+                # chain for this step instead of wedging the engine loop
+                # (the server always builds the matching host chain; direct
+                # Engine users supply `sampler` alongside device_sampler)
+                return retired + self.step()
 
         max_past = max(s.n_past for _, s in active)
         n_steps = min(n_steps, spec.n_ctx - 1 - max_past)
@@ -515,15 +523,12 @@ class Engine:
         # block and persist it on the stream between blocks
         miro = any(s.request.device_sampler.mirostat for _, s in active)
         if miro:
-            from llm_tpu.ops.sampling import mirostat_mu_init
+            from llm_tpu.ops.sampling import collect_mu
 
-            mu = np.zeros(self.max_streams, np.float32)
-            for slot, s in active:
-                ds = s.request.device_sampler
-                if ds.mirostat and s.mirostat_mu is None:
-                    s.mirostat_mu = mirostat_mu_init(ds)
-                mu[slot] = s.mirostat_mu if s.mirostat_mu is not None else 0.0
-            pstate = {**(pstate or {}), "mu": jnp.asarray(mu)}
+            pstate = {
+                **(pstate or {}),
+                "mu": jnp.asarray(collect_mu(active, self.max_streams)),
+            }
 
         # logprob requests: top-N gathered on device per step (the full
         # [B, V] rows never cross to the host)
@@ -542,10 +547,9 @@ class Engine:
             return retired + self.step()  # pool too tight): single-step
         toks, last_logits, n_steps, lp, fstate = dispatched
         if fstate is not None:
-            mu_out = np.asarray(fstate["mu"])
-            for slot, s in active:
-                if s.request.device_sampler.mirostat:
-                    s.mirostat_mu = float(mu_out[slot])
+            from llm_tpu.ops.sampling import store_mu
+
+            store_mu(active, np.asarray(fstate["mu"]))
         return retired + self._postprocess_multi(
             active, toks, last_logits, n_steps, lp
         )

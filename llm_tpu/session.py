@@ -482,11 +482,16 @@ class InferenceSession:
             miro = sampler is not None and sampler.mirostat != 0
             if miro:
                 # mirostat terminal: mu persists on the session across
-                # blocks (and calls), like the host Mirostat dataclasses
+                # blocks and calls WITH THE SAME SAMPLER (like the host
+                # Mirostat dataclasses); a different sampler starts fresh
+                # at 2*tau rather than inheriting a stale carry
                 from llm_tpu.ops.sampling import mirostat_mu_init
 
-                if getattr(self, "_mirostat_mu", None) is None:
+                if (getattr(self, "_mirostat_mu", None) is None
+                        or getattr(self, "_mirostat_sampler", None)
+                        != sampler):
                     self._mirostat_mu = mirostat_mu_init(sampler)
+                    self._mirostat_sampler = sampler
                 pstate = {
                     **(pstate or {}),
                     "mu": jnp.float32(self._mirostat_mu),

@@ -665,6 +665,18 @@ class SampledSpeculativeEngine(SpeculativeEngine):
                 "speculative serving does not support mirostat; use the "
                 "non-speculative engine for mirostat requests"
             )
+        if (getattr(ds, "tail_free_z", 1.0) < 1.0
+                or getattr(ds, "typical_p", 1.0) < 1.0
+                or getattr(ds, "top_a", (0.0, 0.0)) != (0.0, 0.0)):
+            # the acceptance math (_sampling_probs) reconstructs q from
+            # temperature/top-k/top-p/min-p/bias only; a proposal drawn
+            # under additional truncations would no longer match the q it
+            # is scored against, silently breaking the exactness identity
+            raise ValueError(
+                "speculative serving does not support tail-free/"
+                "locally-typical/top-a truncations; use the "
+                "non-speculative engine for those requests"
+            )
         # bypass SpeculativeEngine's greedy guard; Engine.submit defaults
         # the (unused) host sampler chain
         return Engine.submit(self, request)

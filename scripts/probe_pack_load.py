@@ -49,8 +49,16 @@ def main() -> None:
     print(f"cold load: {cold_s:.1f}s", flush=True)
 
     # --- stage 2: pack write (re-pack when the existing pack is stale —
-    # key mismatch makes load_packed_params return None)
-    if load_packed_params(pp, cache_key(CKPT)) is None:
+    # compare the manifest key only; a full load_packed_params here would
+    # read+upload the whole multi-GB pack just to answer yes/no)
+    def _pack_fresh() -> bool:
+        try:
+            manifest = json.loads((pp / "manifest.json").read_text())
+        except (OSError, ValueError):
+            return False
+        return manifest.get("key") == cache_key(CKPT)
+
+    if not _pack_fresh():
         t0 = time.time()
         save_packed_params(model.params, pp, cache_key(CKPT))
         print(f"pack write: {time.time() - t0:.1f}s", flush=True)

@@ -695,3 +695,32 @@ def test_mirostat_incompatible_with_truncations():
         DeviceSampler(kind="sample", mirostat=2, top_k=40)
     with pytest.raises(ValueError):
         DeviceSampler(kind="sample", mirostat=1, tail_free_z=0.9)
+
+
+def test_mixed_mirostat_kinds_fall_back_not_wedge(model):
+    """A batch mixing mirostat-1 and mirostat-2 streams cannot share one
+    decode block; step_multi must fall back to per-token host sampling
+    for that step instead of raising out of the engine loop forever
+    (round-4 review finding)."""
+    from llm_tpu.samplers import GreedySampler
+
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    ids = [
+        engine.submit(GenerationRequest(
+            prompt=[2, 3], max_tokens=5, sampler=GreedySampler(),
+            device_sampler=DeviceSampler(kind="sample", temperature=0.9,
+                                         mirostat=1),
+        )),
+        engine.submit(GenerationRequest(
+            prompt=[5, 6], max_tokens=5, sampler=GreedySampler(),
+            device_sampler=DeviceSampler(kind="sample", temperature=0.9,
+                                         mirostat=2),
+        )),
+    ]
+    for _ in range(40):
+        if not engine.has_work():
+            break
+        engine.step_multi(4)  # must not raise
+    assert not engine.has_work()
+    for rid in ids:
+        assert len("".join(engine.finished[rid].text)) > 0

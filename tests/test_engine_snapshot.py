@@ -382,3 +382,29 @@ def test_failed_restore_leaves_engine_intact(model, tmp_path):
     out = eng.generate_all([GenerationRequest(
         prompt="<t5>", max_tokens=4, sampler=DeterministicSampler())])
     assert out[0]
+
+
+def test_mirostat_mu_survives_checkpoint(model, tmp_path):
+    """The device-mirostat mu carry persists through write/read_engine
+    (round-4 review finding: it is the one piece of device-sampler state
+    not reconstructible from token history)."""
+    from llm_tpu.ops.sampling import DeviceSampler
+
+    engine = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    engine.submit(GenerationRequest(
+        prompt=[2, 3], max_tokens=20,
+        device_sampler=DeviceSampler(kind="sample", temperature=0.9,
+                                     mirostat=2, mirostat_tau=4.0),
+    ))
+    for _ in range(3):
+        engine.step_multi(3)
+    live = [s for s in engine.slots if s is not None]
+    assert live and live[0].mirostat_mu is not None
+    mu = live[0].mirostat_mu
+
+    path = tmp_path / "miro.ckpt"
+    write_engine(engine, path)
+    fresh = Engine(model, max_streams=2, kv_dtype=jnp.float32)
+    read_engine(fresh, path)
+    restored = [s for s in fresh.slots if s is not None]
+    assert restored and restored[0].mirostat_mu == mu
