@@ -151,21 +151,63 @@ def stack_layers(layers: list[LayerParams]) -> LayerParams:
     upload in ONE transfer per stacked tensor; stacking device arrays
     instead would hold every unstacked plane AND its stacked copy on
     device at once (~2x param bytes transient: what OOM'd LLaMA-13B on a
-    memory-constrained chip slice).
+    memory-constrained chip slice). The host-side np.stack of the NEXT
+    tensor runs on a worker thread while the current one uploads (same
+    bounded-queue pattern as the pack-cache loader), so the stacking
+    memcpy hides under the transfer.
     """
+    import queue
+    import threading
 
-    def st(*xs):
-        if isinstance(xs[0], np.ndarray):
-            return jnp.asarray(np.stack(xs))
-        return jnp.stack(xs)
-
-    try:
-        return jax.tree_util.tree_map(st, *layers)
-    except ValueError as e:
+    flats = [jax.tree_util.tree_flatten(l) for l in layers]
+    treedef = flats[0][1]
+    if any(f[1] != treedef for f in flats[1:]):
         raise ValueError(
             "model layers are not homogeneous (mixed quant formats or "
-            f"shapes across layers); cannot build scan-stacked params: {e}"
-        ) from e
+            "bias presence across layers); cannot build scan-stacked params"
+        )
+    # leaves[i] = the i-th leaf across all layers, stacking order = tree order
+    leaves = list(zip(*(f[0] for f in flats)))
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def stacker():
+        try:
+            for i, xs in enumerate(leaves):
+                if stop.is_set():
+                    return
+                if isinstance(xs[0], np.ndarray):
+                    q.put((i, np.stack(xs), None))
+                else:
+                    q.put((i, None, None))  # device leaves stack inline
+        except Exception as e:  # noqa: BLE001 - surfaced by consumer
+            q.put((None, None, e))
+
+    th = threading.Thread(target=stacker, daemon=True)
+    th.start()
+    out: list = [None] * len(leaves)
+    try:
+        for _ in leaves:
+            i, stacked, err = q.get()
+            if err is not None:
+                if isinstance(err, ValueError):  # np.stack shape mismatch
+                    raise ValueError(
+                        "model layers are not homogeneous (mixed quant "
+                        "formats or shapes across layers); cannot build "
+                        f"scan-stacked params: {err}"
+                    ) from err
+                raise err
+            out[i] = (jnp.asarray(stacked) if stacked is not None
+                      else jnp.stack(leaves[i]))
+    finally:
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        th.join(timeout=30)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 class WeightSource:
