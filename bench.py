@@ -507,9 +507,11 @@ def load_model():
     from llm_tpu.loader import ModelParameters, load
 
     os.environ["LLM_TPU_PACK_CACHE"] = "0"  # time the COLD path even if a
-    t0 = time.time()  # plane cache from a previous bench run sits in /tmp
-    model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
-    os.environ.pop("LLM_TPU_PACK_CACHE", None)
+    try:  # plane cache from a previous bench run sits in /tmp
+        t0 = time.time()
+        model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
+    finally:
+        os.environ.pop("LLM_TPU_PACK_CACHE", None)
     jax.block_until_ready(model.params.layers.wq.lo)
     load_s = time.time() - t0
     size_gb = os.path.getsize(CKPT) / 1e9
