@@ -769,11 +769,11 @@ def paged_serve_bench(model, decode_rec, roofline_bw):
 @_section("prefix-cache-ttft")
 def prefix_cache_ttft_bench(model):
     """Serving TTFT for a REPEATED 512-token prompt through the paged
-    engine's prompt-prefix cache: the second request borrows every full
-    page and (since round 4) copy-on-writes the final cached page, so it
-    re-evaluates only the LAST prompt token — TTFT approaches the
-    dispatch floor instead of paying a whole tail chunk (measured
-    127 -> 103 ms; cold 162 ms, 64-token TTFT 75 ms)."""
+    engine's prompt-prefix cache: the repeat is an EXACT page-aligned hit
+    (round 4), so admission borrows every page read-only AND restores the
+    final-position logits from the cache — ZERO prefill dispatches; TTFT
+    is one decode dispatch plus admission hashing (measured trajectory
+    127 -> 103 ms with the CoW tail -> exact-hit; cold 162 ms)."""
     from llm_tpu.paged import PagedEngine
     from llm_tpu.samplers import GreedySampler
     from llm_tpu.serve import GenerationRequest

@@ -129,20 +129,33 @@ class PrefixCache:
     Pages are refcounted by the number of page-table rows pointing at them;
     at refcount 0 they stay cached (LRU) and are evicted back to the free
     list only under pool pressure. Shared pages are never written: a borrow
-    is always a whole-page-aligned prefix strictly shorter than the prompt,
-    so every write position of the borrowing stream lands in pages past the
-    borrowed chain (and decode overshoot in step_multi only writes at
-    positions >= n_past, past every full page).
+    is a whole-page-aligned prefix no longer than the prompt, so every
+    write position of the borrowing stream lands in pages past the
+    borrowed chain — a strict-prefix borrow prefills its tail into owned
+    pages, and an EXACT borrow (all pages + cached final logits) starts
+    decoding at position len(prompt), i.e. the next page (decode overshoot
+    in step_multi only writes at positions >= n_past, past every full
+    page).
 
     No reference analog (the reference is single-stream); this is the
     standard production-serving optimization for repeated system prompts.
     """
+
+    #: bound on cached last-token logits rows (host RAM: ~V floats each).
+    LOGITS_CAP = 32
 
     def __init__(self):
         self.by_key: dict[bytes, int] = {}  # prefix digest -> page id
         self.key_of: dict[int, bytes] = {}
         self.refs: dict[int, int] = {}  # page id -> #table rows using it
         self.lru: dict[int, None] = {}  # refcount-0 pages, insertion-ordered
+        # full-prompt digest -> last-token logits row (np [V]), LRU-bounded.
+        # Lets an EXACT page-aligned repeat skip prefill entirely: the
+        # borrowed pages already hold every KV row of the prompt, and the
+        # only other thing admission needs is the logits of the final
+        # prompt position — a pure function of the tokens, so it is as
+        # content-addressable as the pages are.
+        self.logits_by_key: dict[bytes, np.ndarray] = {}
 
     @staticmethod
     def digests(tokens, page_size: int, n_pages: int) -> list[bytes]:
@@ -183,6 +196,23 @@ class PrefixCache:
         for pid in chain:
             self.acquire(pid)
         return chain
+
+    def register_logits(self, digest: bytes, row) -> None:
+        """Cache the last-token logits of an exactly page-aligned prompt
+        under its full-prompt digest (LRU-bounded at LOGITS_CAP rows)."""
+        self.logits_by_key.pop(digest, None)
+        self.logits_by_key[digest] = np.array(row, np.float32)
+        while len(self.logits_by_key) > self.LOGITS_CAP:
+            del self.logits_by_key[next(iter(self.logits_by_key))]
+
+    def match_logits(self, digest: bytes):
+        """Cached last-token logits for this exact prompt, or None. A hit
+        refreshes LRU order; the caller gets a private copy."""
+        row = self.logits_by_key.pop(digest, None)
+        if row is None:
+            return None
+        self.logits_by_key[digest] = row
+        return np.array(row)
 
     def acquire(self, pid: int) -> None:
         self.refs[pid] += 1
@@ -741,10 +771,31 @@ class PagedEngine(Engine):
             return
         q = stream.prefill_queue
         ps = self.page_size
+        # EXACT-hit fast path (round 4): a page-aligned prompt whose every
+        # page AND final-position logits are cached needs no forward pass
+        # at all. The pages are borrowed read-only (decode writes start at
+        # position len(q), i.e. the next page), and last_logits comes from
+        # the logits cache — admission to first sampled token is ONE
+        # decode dispatch.
+        if len(q) >= ps and len(q) % ps == 0:
+            digs = cache.digests(q, ps, len(q) // ps)
+            row = cache.match_logits(digs[-1])
+            if row is not None:
+                pids = [cache.by_key.get(d) for d in digs]
+                if all(p is not None for p in pids):
+                    for pid in pids:
+                        cache.acquire(pid)
+                    for j, pid in enumerate(pids):
+                        self.tables[slot, j] = pid
+                    stream.prefill_pos = len(q)
+                    stream.n_past = len(q)
+                    stream.last_logits = row
+                    stream.prefilling = False
+                    return
         chain = cache.match(q, ps)
-        # FULL-prefix hit, copy-on-write tail (round-4, VERDICT r3 item 6):
-        # when the prompt is page-aligned and its final page is cached too,
-        # a strict-prefix borrow would still re-prefill a whole page
+        # FULL-prefix hit, copy-on-write tail (round-4, VERDICT r3 item 6)
+        # — the fallback when the pages survived but the logits row was
+        # evicted: a strict-prefix borrow would re-prefill a whole page
         # (~half the 2-page bench prompt -> warm TTFT barely beat cold).
         # Instead COPY that cached page into a privately owned page and
         # re-evaluate only the LAST prompt token (its write lands in the
@@ -835,6 +886,14 @@ class PagedEngine(Engine):
         self._register_prompt_pages(stream, slot)
         if stream.prefill_pos >= len(toks):
             stream.prefilling = False
+            cache = self.prefix_cache
+            if cache is not None and len(toks) % self.page_size == 0:
+                # page-aligned completion: cache the final-position logits
+                # so an exact repeat skips prefill entirely
+                dig = cache.digests(
+                    toks, self.page_size, len(toks) // self.page_size
+                )[-1]
+                cache.register_logits(dig, stream.last_logits)
 
     def step(self):
         """One decode step across decode-ready streams (host sampling);

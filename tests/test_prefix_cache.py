@@ -251,11 +251,12 @@ def test_step_multi_block_never_writes_prefilling_slots_pages(model):
     assert run(True) == run(False)
 
 
-def test_full_prefix_cow_tail(model):
-    """A PAGE-ALIGNED prompt whose every page is cached takes the
-    copy-on-write path (round 4): the admission copies the final cached
-    page into an owned page and re-evaluates ONLY the last prompt token,
-    and the output still matches a cold engine exactly."""
+def test_full_prefix_exact_hit_skips_all_prefill(model):
+    """A PAGE-ALIGNED prompt whose every page AND final logits row are
+    cached skips prefill entirely (round 4): admission borrows all pages
+    read-only, restores last_logits from the logits cache, and the first
+    generated token comes from a single decode dispatch — with output
+    exactly matching a cold engine."""
     # 15 tokens + BOS = 16 = exactly 2 pages of 8
     prompt = "".join(f"<t{i}>" for i in range(2, 17))
     ref = _run(
@@ -270,12 +271,49 @@ def test_full_prefix_cow_tail(model):
     )
     first = _run(engine, [prompt])[0]
     assert first == ref
+    assert len(engine.prefix_cache.logits_by_key) == 1
 
+    calls = _count_prefill_chunks(engine)
+    warm = _run(engine, [prompt])[0]
+    assert warm == ref
+    assert calls == [], calls  # ZERO prefill dispatches
+    # accounting: all pages back to refcount 0, none leaked
+    cache = engine.prefix_cache
+    assert all(v == 0 for v in cache.refs.values())
+    assert (
+        engine.allocator.available + cache.evictable
+        == engine.pool.n_pages - 1
+    )
+
+
+def test_full_prefix_cow_tail(model):
+    """When the final page is cached but its logits row was evicted, the
+    copy-on-write fallback copies that page into an owned page and
+    re-evaluates ONLY the last prompt token, matching a cold engine."""
+    prompt = "".join(f"<t{i}>" for i in range(2, 17))
+    ref = _run(
+        PagedEngine(model, max_streams=1, page_size=8,
+                    kv_dtype=jnp.float32),
+        [prompt],
+    )[0]
+
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype=jnp.float32,
+        n_batch=8, prefix_cache=True,
+    )
+    first = _run(engine, [prompt])[0]
+    assert first == ref
+
+    engine.prefix_cache.logits_by_key.clear()  # simulate LRU eviction
     calls = _count_prefill_chunks(engine)
     warm = _run(engine, [prompt])[0]
     assert warm == ref
     # COW admission resumed at len-1: exactly one 1-token tail chunk
     assert calls == [15], calls
+    # ... which re-registered the logits row: the NEXT repeat is exact-hit
+    calls.clear()
+    assert _run(engine, [prompt])[0] == ref
+    assert calls == [], calls
 
 
 def test_full_prefix_cow_int8(model):
@@ -289,9 +327,26 @@ def test_full_prefix_cow_int8(model):
         n_batch=8, prefix_cache=True,
     )
     assert _run(engine, [prompt])[0] == ref
+    engine.prefix_cache.logits_by_key.clear()
     calls = _count_prefill_chunks(engine)
     assert _run(engine, [prompt])[0] == ref
     assert calls == [15], calls
+
+
+def test_full_prefix_exact_hit_int8(model):
+    prompt = "".join(f"<t{i}>" for i in range(2, 17))
+    ref = _run(
+        PagedEngine(model, max_streams=1, page_size=8, kv_dtype="int8"),
+        [prompt],
+    )[0]
+    engine = PagedEngine(
+        model, max_streams=1, page_size=8, kv_dtype="int8",
+        n_batch=8, prefix_cache=True,
+    )
+    assert _run(engine, [prompt])[0] == ref
+    calls = _count_prefill_chunks(engine)
+    assert _run(engine, [prompt])[0] == ref
+    assert calls == [], calls
 
 
 def test_full_prefix_cow_alloc_failure_falls_back(model):
@@ -309,6 +364,7 @@ def test_full_prefix_cow_alloc_failure_falls_back(model):
         n_batch=8, prefix_cache=True,
     )
     assert _run(engine, [prompt])[0] == ref  # populate the cache
+    engine.prefix_cache.logits_by_key.clear()  # force the COW path
 
     orig = engine._alloc
     state = {"failed": False}
@@ -324,3 +380,23 @@ def test_full_prefix_cow_alloc_failure_falls_back(model):
     assert _run(engine, [prompt])[0] == ref
     assert state["failed"]
     assert calls[0] == 8, calls  # strict borrow: tail starts at page 1
+
+
+def test_prefix_cache_logits_unit():
+    c = PrefixCache()
+    c.LOGITS_CAP = 3
+    rows = {i: np.full(4, float(i), np.float32) for i in range(5)}
+    for i in range(4):
+        c.register_logits(bytes([i]), rows[i])
+    # cap 3: oldest (0) evicted
+    assert c.match_logits(bytes([0])) is None
+    got = c.match_logits(bytes([1]))
+    assert got is not None and got[0] == 1.0
+    # a hit returns a PRIVATE copy (mutation must not poison the cache)
+    got[:] = -1
+    again = c.match_logits(bytes([1]))
+    assert again is not None and again[0] == 1.0
+    # hit refreshed LRU order: inserting one more evicts 2, not 1
+    c.register_logits(bytes([4]), rows[4])
+    assert c.match_logits(bytes([2])) is None
+    assert c.match_logits(bytes([1])) is not None
