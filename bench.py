@@ -266,6 +266,57 @@ def _run_smoke_inner() -> int:
         except Exception as e:  # noqa: BLE001
             fail(f"dense-attention/D={D}", e)
 
+    # paged-attention kernel: int8 and nibble-packed int4 pools vs the
+    # jnp page-scan pass (the int4 path has its own in-kernel unpack —
+    # f32 floor-divide, the one form Mosaic legalizes — so it gets its
+    # own lowering check)
+    from llm_tpu.ops import paged_attention as pa
+    from llm_tpu.ops.packing import pack_int4_rows
+    from llm_tpu.paged import _paged_online_pass
+
+    for bits in (8, 4):
+        if over_budget():
+            emit("smoke", n_ok, "variants_ok", 0.0)
+            return n_ok
+        L, NP, Hkv, page, D, B = 2, 5, 2, 16, 128, 2
+        spec = SimpleNamespace(kq_scale=1.0 / np.sqrt(D), head_dim=D)
+        qmaxi = 127 if bits == 8 else 7
+        ck = rng.integers(-qmaxi, qmaxi + 1, (L, NP, Hkv, page, D),
+                          dtype=np.int64).astype(np.int8)
+        cv = rng.integers(-qmaxi, qmaxi + 1, (L, NP, Hkv, page, D),
+                          dtype=np.int64).astype(np.int8)
+        if bits == 4:
+            pool_k = pack_int4_rows(jnp.asarray(ck))
+            pool_v = pack_int4_rows(jnp.asarray(cv))
+        else:
+            pool_k, pool_v = jnp.asarray(ck), jnp.asarray(cv)
+        ks = jnp.asarray(
+            rng.uniform(0.001, 0.02, (L, NP, Hkv, page)).astype(np.float32))
+        vs = jnp.asarray(
+            rng.uniform(0.001, 0.02, (L, NP, Hkv, page)).astype(np.float32))
+        tables = jnp.asarray([[1, 2, 0], [3, 4, 0]], jnp.int32)
+        n_past = jnp.asarray([20, 30], jnp.int32)
+        qf = jnp.asarray(
+            rng.standard_normal((B, 1, Hkv, 1, D)).astype(np.float32))
+        try:
+            m, l, acc = pa.paged_attention_pass(
+                spec, pool_k, pool_v, ks, vs, tables, n_past, None, 2,
+                jnp.int32(1), qf)
+            mr, lr, accr = _paged_online_pass(
+                spec, qf, pool_k=pool_k, pool_v=pool_v, ks=ks, vs=vs,
+                layer=jnp.int32(1), tables=tables, n_past=n_past,
+                slopes=None, window_pages=2)
+            np.testing.assert_allclose(np.asarray(m), np.asarray(mr),
+                                       rtol=2e-2, atol=2e-2)
+            np.testing.assert_allclose(
+                np.asarray(acc / l[..., None]),
+                np.asarray(accr / lr[..., None]), rtol=2e-2, atol=2e-2)
+            n_ok += 1
+        except SystemExit:
+            raise
+        except Exception as e:  # noqa: BLE001
+            fail(f"paged-attention/int{bits}", e)
+
     emit("smoke", n_ok, "variants_ok", 1.0)
     return n_ok
 

@@ -729,13 +729,16 @@ def cmd_serve(args) -> None:
             tokenizer_source=tokenizer_source(args),
             params=ModelParameters(context_size=args.num_ctx_tokens),
         )
+    if args.kv_int4 and not args.paged:
+        raise SystemExit("--kv-int4 requires --paged (pool-only format)")
     try:
         serve_forever(
             model,
             host=args.host,
             port=args.port,
             max_streams=args.max_streams,
-            kv_dtype="int8" if args.kv_int8 else None,
+            kv_dtype=("int4" if args.kv_int4 else
+                      "int8" if args.kv_int8 else None),
             n_batch=args.batch_size,
             paged=args.paged,
             page_size=args.page_size,
@@ -935,6 +938,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continuous-batching slots")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache (halves KV memory vs bf16)")
+    p.add_argument("--kv-int4", action="store_true",
+                   help="int4 paged KV pool (quarter of bf16: nibble-packed "
+                   "codes + per-row scales); requires --paged. Halves KV "
+                   "page traffic vs int8 for high-batch serving at a "
+                   "further small quality cost")
     p.add_argument("--batch-size", type=int, default=64,
                    help="prefill chunk size per engine step")
     p.add_argument("--paged", action="store_true",

@@ -90,12 +90,15 @@ def _dequant_kv(codes: jnp.ndarray, scale: Optional[jnp.ndarray]) -> jnp.ndarray
     return x
 
 
-def _quant_kv(x: jnp.ndarray):
-    """f32 [.., H, D] -> (int8 codes, f32 scales [.., H]) per head-row."""
+def _quant_kv(x: jnp.ndarray, qmax: float = 127.0):
+    """f32 [.., H, D] -> (int8 codes, f32 scales [.., H]) per head-row.
+
+    qmax picks the code range: 127 for int8 caches, 7 for int4 paged
+    pools (codes still travel as int8; the pool scatter nibble-packs)."""
     amax = jnp.max(jnp.abs(x), axis=-1)
-    scale = amax / 127.0
+    scale = amax / qmax
     inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
-    q = jnp.clip(jnp.round(x * inv[..., None]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(x * inv[..., None]), -qmax, qmax).astype(jnp.int8)
     return q, scale
 
 
@@ -526,8 +529,9 @@ def _attention_batched(
     v_cache,
     online_pass=None,  # callable qf -> (m, l, acc): external cached-KV
     #                    attention (paged pools); replaces the dense cache
-    quantize_kv: Optional[bool] = None,  # int8-roundtrip in-flight kv;
-    #                    defaults to "cache carries scales"
+    quantize_kv=None,  # falsy: raw kv; True/127.0: int8 roundtrip; 7.0:
+    #                    int4-range roundtrip (paged int4 pools). Defaults
+    #                    to "cache carries scales" (int8)
 ):
     B, T, E = a.shape
     S = k_cache[0].shape[2] if k_cache[0] is not None else 0
@@ -550,9 +554,10 @@ def _attention_batched(
                  spec.rope_freq_base, spec.rope_freq_scale)
 
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, rep, D)
-    if quantize_kv:  # int8 cache: in-flight kv must round-trip
-        k_out = _quant_kv(k.astype(jnp.float32))
-        v_out = _quant_kv(v.astype(jnp.float32))
+    if quantize_kv:  # quantized cache: in-flight kv must round-trip
+        qmax = 127.0 if quantize_kv is True else float(quantize_kv)
+        k_out = _quant_kv(k.astype(jnp.float32), qmax)
+        v_out = _quant_kv(v.astype(jnp.float32), qmax)
         kf = _dequant_kv(*k_out)
         vf = _dequant_kv(*v_out)
     else:
@@ -695,6 +700,12 @@ def init_cache_batched(spec: ModelSpec, batch: int, dtype=jnp.bfloat16) -> KVCac
       all-layers): 4.8 ms/step vs 9.0 ms for position-major blocks
       (in-VMEM relayout) and vs the 4.3 ms pure-DMA ceiling."""
     shape = (spec.n_layer, batch, spec.n_head_kv, spec.n_ctx, spec.head_dim)
+    if dtype == "int4":
+        raise ValueError(
+            "int4 KV is supported on the PAGED pool only "
+            "(PagedEngine(kv_dtype='int4')); dense caches take "
+            "bf16/f32/int8"
+        )
     if dtype in (jnp.int8, "int8"):
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),

@@ -507,3 +507,35 @@ def dequant_jnp(qt: QuantTensor, dtype=jnp.float32, trim: bool = True) -> jnp.nd
     if trim:
         w = w[: qt.k, : qt.r]
     return w.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 KV packing (paged pools)
+
+
+def pack_int4_rows(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 codes in [-7, 7] [..., D] -> planar-packed uint8 [..., D//2].
+
+    Byte j holds element j in its low nibble and element j + D/2 in its
+    high nibble (PLANAR, not interleaved: unpack is two sign-extending
+    shifts plus ONE lane-dim concatenate — the same idiom as the q4_0
+    signed-nibble weight planes in qmatmul, proven to lower on Mosaic).
+    Packing along D (not along the page/position axis) keeps KV writes
+    row-granular: one position's row is D//2 contiguous bytes, so the
+    scatter path never read-modify-writes a byte shared by two positions.
+    """
+    D = q.shape[-1]
+    lo = q[..., : D // 2].astype(jnp.int32) & 0xF
+    hi = (q[..., D // 2 :].astype(jnp.int32) & 0xF) << 4
+    return (lo | hi).astype(jnp.uint8)  # 0..255: in-range, defined convert
+
+
+def unpack_int4_rows(b: jnp.ndarray) -> jnp.ndarray:
+    """planar-packed uint8 [..., D//2] -> f32 codes [..., D] in [-7, 7].
+
+    Two arithmetic-shift sign extensions per nibble; the halves concatenate
+    on the minor (lane) dim, restoring original element order."""
+    x = b.astype(jnp.int32)
+    lo = (x << 28) >> 28
+    hi = (x << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)

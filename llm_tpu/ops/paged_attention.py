@@ -62,8 +62,27 @@ def kernel_ok(spec, T: int, page: int) -> bool:
 
 def _make_kernel(
     nw: int, kq_scale: float, quantized: bool, has_alibi: bool, pps: int,
-    hc: int,
+    hc: int, packed: bool = False,
 ):
+    def halves(block):
+        """packed uint8 [.., dp] -> (lo, hi) f32 [.., dp] D-halves.
+
+        One bitcast + int8->f32 convert, then pure f32 arithmetic: Mosaic
+        legalizes neither 8-bit vector shifts (arith.shli on
+        vector<..xi8>) nor a direct uint8->f32 cast, and the int32-widen
+        + lane-concat form measured SLOWER than int8 on chip. On the
+        SIGNED byte value v, floor(v/16) IS the arithmetic >>4, so the
+        high nibble needs no fold; the low nibble is v mod 16 folded
+        once. The callers dot each half against the matching half of q /
+        accumulate output halves separately, so the full-D f32 block
+        never materializes."""
+        vf = jax.lax.bitcast_convert_type(block, jnp.int8).astype(
+            jnp.float32)  # signed byte value, exact in f32
+        hi = jnp.floor(vf * (1.0 / 16.0))  # == arithmetic v >> 4: signed
+        lo = vf - hi * 16.0  # v mod 16: 0..15
+        lo = lo - jnp.where(lo >= 8.0, 16.0, 0.0)  # two's-complement fold
+        return lo, hi
+
     def kernel(*refs):
         # scalar prefetch: tables [B, P], n_past [B], layer [1]
         tbl_ref, npast_ref, _layer_ref = refs[0], refs[1], refs[2]
@@ -114,14 +133,26 @@ def _make_kernel(
 
             s_parts, valid_parts = [], []
             for o in range(pps):
-                ko = k_refs[o][0, 0, h0:h1].astype(jnp.float32)
                 # MXU batched dot (batch dims in equal positions — Mosaic's
                 # requirement): measured 2x the VPU broadcast-reduce form
                 # on the dense-cache kernel at 7B decode shapes
-                so = lax.dot_general(
-                    qh, ko, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ) * kq_scale
+                if packed:
+                    dh = k_refs[o].shape[4]
+                    klo, khi = halves(k_refs[o][0, 0, h0:h1])
+                    so = lax.dot_general(
+                        qh[:, :, :dh], klo, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ) + lax.dot_general(
+                        qh[:, :, dh:], khi, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    so = so * kq_scale
+                else:
+                    ko = k_refs[o][0, 0, h0:h1].astype(jnp.float32)
+                    so = lax.dot_general(
+                        qh, ko, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ) * kq_scale
                 if quantized:
                     # dequant folded around the dot: k scale scales the
                     # SCORES per key position; v scale the probabilities
@@ -147,14 +178,30 @@ def _make_kernel(
 
             pv = None
             for o in range(pps):
-                vh = v_refs[o][0, 0, h0:h1].astype(jnp.float32)
                 po = p[:, :, o * page : (o + 1) * page]
                 if quantized:
                     po = po * vs_refs[o][0, 0, h0:h1][:, None, :]
-                part = lax.dot_general(
-                    po, vh, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
+                if packed:
+                    vlo, vhi = halves(v_refs[o][0, 0, h0:h1])
+                    part = jnp.concatenate(
+                        [
+                            lax.dot_general(
+                                po, vlo, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                            ),
+                            lax.dot_general(
+                                po, vhi, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                            ),
+                        ],
+                        axis=-1,
+                    )  # [hc, rep, D]: tiny (rep rows), cheap concat
+                else:
+                    vh = v_refs[o][0, 0, h0:h1].astype(jnp.float32)
+                    part = lax.dot_general(
+                        po, vh, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
                 pv = part if pv is None else pv + part
             acc_s[h0:h1] = acc_s[h0:h1] * corr + pv
 
@@ -182,12 +229,15 @@ def _paged_attention_call(
     page = pool_k.shape[3]
     quantized = ks is not None
     has_alibi = slopes is not None
+    packed = pool_k.dtype == jnp.uint8  # int4 pool: blocks are d//2 wide
+    dp = pool_k.shape[4]
     nw = -(-window_pages // pps)  # page-GROUPS in the grid's minor dim
 
     # hc is static so callers (and the LLM_TPU_PAGED_HC override, resolved
     # OUTSIDE jit in paged_attention_pass) retrigger compilation on change.
     kernel = _make_kernel(nw, kq_scale, quantized, has_alibi, pps,
-                          hc if hc is not None else _head_chunk(hkv, page, d))
+                          hc if hc is not None else _head_chunk(hkv, page, d),
+                          packed)
 
     P = tables.shape[1]
 
@@ -211,11 +261,11 @@ def _paged_attention_call(
     in_specs = [pl.BlockSpec((1, hkv, rep, d), im_q)]
     operands = [q]
     in_specs += [
-        pl.BlockSpec((1, 1, hkv, page, d), im_pool(i)) for i in range(pps)
+        pl.BlockSpec((1, 1, hkv, page, dp), im_pool(i)) for i in range(pps)
     ]
     operands += [pool_k] * pps
     in_specs += [
-        pl.BlockSpec((1, 1, hkv, page, d), im_pool(i)) for i in range(pps)
+        pl.BlockSpec((1, 1, hkv, page, dp), im_pool(i)) for i in range(pps)
     ]
     operands += [pool_v] * pps
     if quantized:
@@ -254,9 +304,8 @@ def _paged_attention_call(
             pltpu.VMEM((hkv, rep, d), jnp.float32),
         ],
     )
-    itemsize = pool_k.dtype.itemsize
     bytes_accessed = (
-        B * window_pages * page * hkv * d * 2 * itemsize
+        B * window_pages * page * hkv * dp * 2 * pool_k.dtype.itemsize
         + (B * window_pages * page * hkv * 2 * 4 if quantized else 0)
         + q.size * 4
         + B * hkv * rep * (d + 2) * 4

@@ -71,11 +71,38 @@ class PagedKVCache:
     def quantized(self) -> bool:
         return self.k_scale is not None
 
+    @property
+    def bits(self) -> Optional[int]:
+        """Quantized pool width: 8 (int8 codes), 4 (planar nibble-packed
+        uint8, ops/packing.pack_int4_rows layout), None (bf16/f32)."""
+        if self.k_scale is None:
+            return None
+        return 4 if self.k.dtype == jnp.uint8 else 8
+
+    @property
+    def qmax(self) -> Optional[float]:
+        """Code range of the quantized pool (scale = amax / qmax)."""
+        bits = self.bits
+        return None if bits is None else (7.0 if bits == 4 else 127.0)
+
 
 def init_paged_cache(
     spec: ModelSpec, n_pages: int, page_size: int = 256, dtype=jnp.bfloat16
 ) -> PagedKVCache:
     shape = (spec.n_layer, n_pages, spec.n_head_kv, page_size, spec.head_dim)
+    if dtype == "int4":
+        # planar nibble packing halves the page bytes vs int8 — at 64-
+        # stream 7B serving the KV page reads are ~55% of step traffic,
+        # so this is the big serving-throughput lever (scales stay f32
+        # per row: their traffic is D/2-fold smaller than the codes)
+        assert spec.head_dim % 2 == 0
+        packed = shape[:-1] + (spec.head_dim // 2,)
+        return PagedKVCache(
+            k=jnp.zeros(packed, jnp.uint8),
+            v=jnp.zeros(packed, jnp.uint8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
     if dtype in (jnp.int8, "int8"):
         return PagedKVCache(
             k=jnp.zeros(shape, jnp.int8),
@@ -263,11 +290,19 @@ def _paged_online_pass(
     B, T, Hkv, rep, D = qf.shape
     page = pool_k.shape[3]
 
+    packed = pool_k.dtype == jnp.uint8  # int4 pool (planar nibbles)
+
     def body(carry, j):
         m, l, acc = carry
         sel = jnp.take(tables, j, axis=1)  # [B] physical page ids
-        kf = pool_k[layer, sel].astype(jnp.float32)  # [B, Hkv, page, D]
-        vf = pool_v[layer, sel].astype(jnp.float32)
+        if packed:
+            from llm_tpu.ops.packing import unpack_int4_rows
+
+            kf = unpack_int4_rows(pool_k[layer, sel])  # [B, Hkv, page, D]
+            vf = unpack_int4_rows(pool_v[layer, sel])
+        else:
+            kf = pool_k[layer, sel].astype(jnp.float32)  # [B, Hkv, page, D]
+            vf = pool_v[layer, sel].astype(jnp.float32)
         if ks is not None:
             kf = kf * ks[layer, sel][..., None]
             vf = vf * vs[layer, sel][..., None]
@@ -431,7 +466,10 @@ def paged_forward_batched(
                 )
         hh, k_new, v_new = _layer_batched(
             spec, carry, layer, positions, n_past, (None, None), (None, None),
-            online_pass=online, quantize_kv=quantized,
+            online_pass=online,
+            # int4 pools quantize in-flight rows at qmax=7 so the scores
+            # seen this step bit-match the codes the pool will hold
+            quantize_kv=(cache.qmax if quantized else False),
         )
         return hh, (k_new, v_new)
 
@@ -493,6 +531,10 @@ def scatter_rows(cache, k_news, v_news, positions, tables):
     if quantized:
         kq, ks = k_news  # attention already emits (codes, scales)
         vq, vs = v_news
+        if cache.bits == 4:  # planar-pack rows to the pool's nibble layout
+            from llm_tpu.ops.packing import pack_int4_rows
+
+            kq, vq = pack_int4_rows(kq), pack_int4_rows(vq)
         return PagedKVCache(
             scatter(cache.k, kq),
             scatter(cache.v, vq),
@@ -570,7 +612,9 @@ def paged_decode_loop(
     B = n_past.shape[0]
     Hkv, D = spec.n_head_kv, spec.head_dim
     quantized = cache.quantized
-    kdt = cache.k.dtype
+    # int4 pools keep block-local rows as UNPACKED int8 codes (the block
+    # buffer is small); only the end-of-block scatter packs nibbles
+    kdt = jnp.int8 if cache.bits == 4 else cache.k.dtype
     blk_shape = (n_steps, L, B, Hkv, D)
     blk0 = (
         jnp.zeros(blk_shape, kdt),

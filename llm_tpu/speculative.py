@@ -428,8 +428,11 @@ class SpeculativeEngine(Engine):
         self.draft = draft
         self.k = k
         super().__init__(model, **kw)
+        # the small draft keeps a DENSE cache; an int4 target pool pairs
+        # it with int8 (int4 is a paged-pool-only format)
+        d_kv = kw.get("kv_dtype", jnp.bfloat16)
         self.d_cache = init_cache_batched(
-            draft.spec, self.max_streams, kw.get("kv_dtype", jnp.bfloat16)
+            draft.spec, self.max_streams, "int8" if d_kv == "int4" else d_kv
         )
         self.d_params = draft.params
         mesh = kw.get("mesh")
