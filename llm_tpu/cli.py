@@ -718,6 +718,12 @@ def cmd_serve(args) -> None:
 
     from llm_tpu.server import serve_forever
 
+    # pure-argument validation BEFORE the multi-GB model load
+    if args.kv_int4 and not args.paged:
+        raise SystemExit("--kv-int4 requires --paged (pool-only format)")
+    if args.kv_int4 and args.kv_int8:
+        raise SystemExit("--kv-int4 and --kv-int8 conflict; pick one")
+
     model = load_model(args)
     draft = None
     if args.draft_model:
@@ -729,8 +735,6 @@ def cmd_serve(args) -> None:
             tokenizer_source=tokenizer_source(args),
             params=ModelParameters(context_size=args.num_ctx_tokens),
         )
-    if args.kv_int4 and not args.paged:
-        raise SystemExit("--kv-int4 requires --paged (pool-only format)")
     try:
         serve_forever(
             model,

@@ -448,11 +448,19 @@ def write_engine(engine, path: str | Path) -> None:
                     ],
                     "refs": {str(pid): n for pid, n in pc.refs.items()},
                     "lru": list(pc.lru),
+                    # exact-hit logits rows ride the binary payload (V
+                    # floats each); order in the list IS the LRU order
+                    "logits_keys": [k.hex() for k in pc.logits_by_key],
                 }
                 if pc is not None
                 else None
             ),
         }
+        if pc is not None:
+            for k, row in pc.logits_by_key.items():
+                arrays[f"prefix_logits.{k.hex()}"] = np.asarray(
+                    row, np.float32
+                )
 
     names = sorted(arrays)
     header["arrays"] = [
@@ -658,6 +666,11 @@ def read_engine(
                     int(pid): n for pid, n in p["prefix"]["refs"].items()
                 },
                 "lru": {int(pid): None for pid in p["prefix"]["lru"]},
+                # list order restores the LRU order (insertion-ordered)
+                "logits": {
+                    bytes.fromhex(k): arrays[f"prefix_logits.{k}"].copy()
+                    for k in p["prefix"].get("logits_keys", ())
+                },
             }
     else:
         quant = "cache.k_scale" in arrays
@@ -692,6 +705,10 @@ def read_engine(
             pc.key_of = {pid: k for k, pid in pc.by_key.items()}
             pc.refs = prefix_state["refs"]
             pc.lru = prefix_state["lru"]
+            pc.logits_by_key = prefix_state["logits"]
+        elif getattr(engine, "prefix_cache", None) is not None:
+            # checkpoint carries no prefix state: leave nothing stale
+            engine.prefix_cache = type(engine.prefix_cache)()
 
     engine.slots = slots
     engine.pending = pending

@@ -197,8 +197,17 @@ def stack_layers(layers: list[LayerParams]) -> LayerParams:
                         f"scan-stacked params: {err}"
                     ) from err
                 raise err
-            out[i] = (jnp.asarray(stacked) if stacked is not None
-                      else jnp.stack(leaves[i]))
+            if stacked is not None:
+                out[i] = jnp.asarray(stacked)
+            else:
+                try:  # device leaves stack inline
+                    out[i] = jnp.stack(leaves[i])
+                except (ValueError, TypeError) as e:  # shape mismatch
+                    raise ValueError(
+                        "model layers are not homogeneous (mixed quant "
+                        "formats or shapes across layers); cannot build "
+                        f"scan-stacked params: {e}"
+                    ) from e
     finally:
         stop.set()
         while not q.empty():

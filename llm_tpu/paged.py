@@ -214,8 +214,13 @@ class PrefixCache:
         of `tokens` (at least one token is always left to prefill, so the
         borrower never writes into a shared page). Takes references."""
         limit = (len(tokens) - 1) // page_size
+        return self.match_digests(self.digests(tokens, page_size, limit))
+
+    def match_digests(self, digests) -> list[int]:
+        """match() on a precomputed digest chain (admission hashes the
+        prompt ONCE and feeds every lookup from the same list)."""
         chain: list[int] = []
-        for d in self.digests(tokens, page_size, limit):
+        for d in digests:
             pid = self.by_key.get(d)
             if pid is None:
                 break  # a chain with a hole is unusable past the hole
@@ -815,28 +820,33 @@ class PagedEngine(Engine):
             return
         q = stream.prefill_queue
         ps = self.page_size
+        # ONE hashing pass feeds every lookup below (exact-hit, strict
+        # borrow, and CoW previously each re-digested the whole prompt on
+        # this TTFT-critical path — advisor r4)
+        aligned = len(q) >= ps and len(q) % ps == 0
+        digs = cache.digests(q, ps, len(q) // ps)
         # EXACT-hit fast path (round 4): a page-aligned prompt whose every
         # page AND final-position logits are cached needs no forward pass
         # at all. The pages are borrowed read-only (decode writes start at
         # position len(q), i.e. the next page), and last_logits comes from
         # the logits cache — admission to first sampled token is ONE
-        # decode dispatch.
-        if len(q) >= ps and len(q) % ps == 0:
-            digs = cache.digests(q, ps, len(q) // ps)
+        # decode dispatch. Pages are checked FIRST: without them the
+        # logits row is useless, and a miss then skips the row copy +
+        # LRU churn.
+        if aligned and all(d in cache.by_key for d in digs):
             row = cache.match_logits(digs[-1])
             if row is not None:
-                pids = [cache.by_key.get(d) for d in digs]
-                if all(p is not None for p in pids):
-                    for pid in pids:
-                        cache.acquire(pid)
-                    for j, pid in enumerate(pids):
-                        self.tables[slot, j] = pid
-                    stream.prefill_pos = len(q)
-                    stream.n_past = len(q)
-                    stream.last_logits = row
-                    stream.prefilling = False
-                    return
-        chain = cache.match(q, ps)
+                pids = [cache.by_key[d] for d in digs]
+                for pid in pids:
+                    cache.acquire(pid)
+                for j, pid in enumerate(pids):
+                    self.tables[slot, j] = pid
+                stream.prefill_pos = len(q)
+                stream.n_past = len(q)
+                stream.last_logits = row
+                stream.prefilling = False
+                return
+        chain = cache.match_digests(digs[: (len(q) - 1) // ps])
         # FULL-prefix hit, copy-on-write tail (round-4, VERDICT r3 item 6)
         # — the fallback when the pages survived but the logits row was
         # evicted: a strict-prefix borrow would re-prefill a whole page
@@ -845,9 +855,8 @@ class PagedEngine(Engine):
         # re-evaluate only the LAST prompt token (its write lands in the
         # copy; last_logits comes from that real forward).
         cow = None
-        if len(q) >= ps and len(q) % ps == 0 and len(chain) == len(q) // ps - 1:
-            dig = cache.digests(q, ps, len(q) // ps)[-1]
-            src = cache.by_key.get(dig)
+        if aligned and len(chain) == len(q) // ps - 1:
+            src = cache.by_key.get(digs[-1])
             if src is not None:
                 cache.acquire(src)  # pin across the alloc (eviction safety)
                 try:

@@ -130,6 +130,55 @@ def test_paged_state_restored_exactly(model, tmp_path):
     )
 
 
+def test_prefix_logits_cache_roundtrip(model, tmp_path):
+    """The exact-hit logits rows survive checkpoint/restore (and a
+    restore of a logits-free checkpoint clears any stale rows)."""
+    from llm_tpu.samplers import DeterministicSampler
+    from llm_tpu.serve import GenerationRequest
+
+    def aligned_req():
+        # 15 tokens + BOS = 16 = exactly one page of 16
+        return GenerationRequest(
+            prompt="".join(f"<t{i}>" for i in range(2, 17)),
+            max_tokens=2, sampler=DeterministicSampler(),
+        )
+
+    eng = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                      n_batch=16, prefix_cache=True)
+    eng.generate_all([aligned_req()])
+    assert len(eng.prefix_cache.logits_by_key) == 1
+    path = tmp_path / "pl.ckpt"
+    write_engine(eng, path)
+
+    fresh = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                        n_batch=16, prefix_cache=True)
+    read_engine(fresh, path)
+    assert set(fresh.prefix_cache.logits_by_key) == \
+        set(eng.prefix_cache.logits_by_key)
+    for k, row in eng.prefix_cache.logits_by_key.items():
+        assert np.array_equal(fresh.prefix_cache.logits_by_key[k], row)
+    # the restored engine takes the exact-hit path: zero prefill chunks
+    calls = []
+    orig = fresh._prefill_chunk
+    fresh._prefill_chunk = lambda s, sl: (calls.append(1), orig(s, sl))
+    out = fresh.generate_all([aligned_req()])
+    assert calls == []
+    ref = eng.generate_all([aligned_req()])
+    assert sorted(out.values()) == sorted(ref.values())
+
+    # restoring a checkpoint with NO prefix state resets stale rows
+    plain = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                        n_batch=16)
+    write_engine(plain, path2 := tmp_path / "noprefix.ckpt")
+    stale = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8",
+                        n_batch=16, prefix_cache=True)
+    stale.generate_all([aligned_req()])
+    assert stale.prefix_cache.logits_by_key
+    read_engine(stale, path2)
+    assert not stale.prefix_cache.logits_by_key
+    assert not stale.prefix_cache.by_key
+
+
 def test_geometry_mismatch_rejected(model, tmp_path):
     eng = PagedEngine(model, max_streams=2, page_size=16, kv_dtype="int8")
     path = tmp_path / "geom.ckpt"
