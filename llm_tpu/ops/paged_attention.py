@@ -397,5 +397,12 @@ def _pages_per_step(pool_k, pool_v, window_pages: int) -> int:
         except ValueError:
             pass
     hkv, page, d = pool_k.shape[2], pool_k.shape[3], pool_k.shape[4]
+    if page < 128:
+        # grouping concatenates per-page score parts along lanes; with
+        # sub-128 pages Mosaic fails the relayout ("invalid vector
+        # register cast", measured on chip at page 16 and 64 with pps=2;
+        # page 128 and 256 lower fine). One page per step is correct at
+        # any page size.
+        return 1
     per_page = hkv * page * d * (pool_k.dtype.itemsize + pool_v.dtype.itemsize)
     return max(1, min(window_pages, (4 << 20) // per_page, 8))

@@ -248,6 +248,28 @@ def test_multihost_paged_int8(model):
     assert list(texts.values()) == [refs[0]]
 
 
+def test_multihost_paged_int4(model):
+    """Nibble-packed pools under the manual-`data` shard_map + `model`-TP
+    jnp page-scan path (the Pallas kernel is gated off on a mesh)."""
+    from llm_tpu.parallel.multihost import MultiHostPagedEngine
+    from llm_tpu.paged import PagedEngine
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(
+        model, mesh, global_streams=2, kv_dtype="int4", n_batch=4,
+        page_size=8,
+    )
+    ref_engine = PagedEngine(
+        model, max_streams=1, kv_dtype="int4", n_batch=4, page_size=8
+    )
+    req = lambda: GenerationRequest(
+        prompt=[2, 3, 4], max_tokens=8, sampler=DeterministicSampler()
+    )
+    refs = ref_engine.generate_all([req()])
+    texts = engine.generate_all([req()])
+    assert list(texts.values()) == [refs[0]]
+
+
 def test_multihost_paged_kv_oom_retires(model):
     """A pool too small for the prompt retires the stream with kv_oom
     instead of deadlocking the global lockstep."""
