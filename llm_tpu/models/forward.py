@@ -813,7 +813,22 @@ def scan_layers_batched(
         xs = xs + (cache.k, cache.v)
         if quantized:
             xs = xs + (cache.k_scale, cache.v_scale)
-    return lax.scan(body, h, xs)
+    return lax.scan(body, h, xs, unroll=_layer_unroll(n))
+
+
+def _layer_unroll(n_layer: int) -> int:
+    """Bodies inlined per layer-scan iteration (env LLM_TPU_UNROLL_LAYERS,
+    read at TRACE time — set it before the first dispatch). Small models
+    are scan-overhead-bound at decode (GPT-2: 12 iterations of ~tens of
+    us dispatch overhead vs a ~0.5 ms roofline step); unrolling trades
+    compile time for letting XLA schedule across layer boundaries."""
+    import os
+
+    try:
+        u = int(os.environ.get("LLM_TPU_UNROLL_LAYERS", "1"))
+    except ValueError:
+        return 1
+    return max(1, min(u if u > 0 else n_layer, n_layer))
 
 
 def write_cache_batched(

@@ -297,3 +297,36 @@ def test_model_shared_across_threads(llama_model):
     assert not errors
     for r in results:
         np.testing.assert_allclose(r, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_layer_unroll_knob_matches_scan(llama_model, monkeypatch):
+    """LLM_TPU_UNROLL_LAYERS (trace-time env) inlines layer-scan bodies
+    without changing results — the knob trades compile time for
+    cross-layer XLA scheduling on scan-overhead-bound small models."""
+    import jax
+
+    from llm_tpu.session import (
+        InferenceSession,
+        InferenceSessionConfig,
+        ModelKVMemoryType,
+    )
+
+    def run():
+        s = InferenceSession(
+            llama_model,
+            InferenceSessionConfig(
+                memory_k_type=ModelKVMemoryType.Int8,
+                memory_v_type=ModelKVMemoryType.Int8,
+            ),
+        )
+        out = []
+        s.infer_device("<t2><t3><t4>", 8, n_steps=4, callback=out.append)
+        return "".join(out)
+
+    ref = run()
+    monkeypatch.setenv("LLM_TPU_UNROLL_LAYERS", "0")  # full unroll
+    jax.clear_caches()  # env is read at trace time; force a re-trace
+    try:
+        assert run() == ref
+    finally:
+        jax.clear_caches()  # don't leak unrolled traces to other tests
