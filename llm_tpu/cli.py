@@ -395,13 +395,18 @@ def cmd_infer(args) -> None:
             sampler = DeviceSampler(kind="greedy", bias=dev_bias,
                                     **penalties)
         else:
-            sampler = DeviceSampler(
-                kind="sample", temperature=temp or 0.8, top_k=topk,
-                top_p=topp, min_p=minp, tail_free_z=tfz, typical_p=typ,
-                top_a=topa, mirostat=miro, mirostat_tau=mtau,
-                mirostat_eta=meta, mirostat_m=mm, bias=dev_bias,
-                **penalties,
-            )
+            try:
+                sampler = DeviceSampler(
+                    kind="sample", temperature=temp or 0.8, top_k=topk,
+                    top_p=topp, min_p=minp, tail_free_z=tfz, typical_p=typ,
+                    top_a=topa, mirostat=miro, mirostat_tau=mtau,
+                    mirostat_eta=meta, mirostat_m=mm, bias=dev_bias,
+                    **penalties,
+                )
+            except ValueError as e:
+                # same clean exit as the host DSL's mirostat-compatibility
+                # check (reference samplers.rs:215-226), not a traceback
+                raise SystemExit(f"invalid sampler combination: {e}")
         try:
             stats = sess.infer_device(
                 prompt,

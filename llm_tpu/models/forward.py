@@ -298,21 +298,33 @@ def _decode_loop_jit(
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
+    # mirostat: emit the PER-STEP mu trajectory so the host can persist
+    # the mu at the truncation point — the block-final mu folds in
+    # surprises of overshoot tokens the host then discards (EoT/budget),
+    # which would permanently skew the carry (advisor r4)
+    has_mu = (return_state and isinstance(penalty_state, dict)
+              and "mu" in penalty_state)
 
     def step(carry, _):
         logits, npast, c, k, pst = carry
         k, sub = jax.random.split(k)
         tok, pst = device_sample_step(logits, sub, sampler, None, pst)
         new_logits, _, c = forward(spec, params, tok[None], npast, c, window)
-        return (new_logits[-1], npast + 1, c, k, pst), tok
+        y = (tok, pst["mu"]) if has_mu else tok
+        return (new_logits[-1], npast + 1, c, k, pst), y
 
-    (logits, npast, cache, _, pst), toks = lax.scan(
+    (logits, npast, cache, _, pst), ys = lax.scan(
         step,
         (jnp.asarray(last_logits, jnp.float32), n_past, cache, key,
          penalty_state),
         None,
         length=n_steps,
     )
+    if has_mu:
+        toks, mus = ys
+        pst = dict(pst, mu_steps=mus)  # [n_steps]: mu AFTER step i
+    else:
+        toks = ys
     if return_state:
         return toks, logits, npast, cache, pst
     return toks, logits, npast, cache
@@ -355,6 +367,8 @@ def _decode_loop_batched_jit(
 
     sampler = sampler or DeviceSampler.greedy()
     key = key if key is not None else jax.random.PRNGKey(0)
+    has_mu = (return_state and isinstance(penalty_state, dict)
+              and "mu" in penalty_state)  # emit per-step mu (see decode_loop)
 
     def step(carry, _):
         logits, npast, c, k, pst = carry
@@ -369,6 +383,8 @@ def _decode_loop_batched_jit(
             lp = jnp.take_along_axis(logz, toks[:, None], axis=1)[:, 0]
             topv, topi = lax.top_k(logz, max(logprobs_n, 1))
             out = (toks, lp, topv, topi)
+        if has_mu:
+            out = (out, pst["mu"])
         new_logits, _, c = forward_batched(
             spec, params, toks[:, None], npast, c, window, write_mask
         )
@@ -381,6 +397,9 @@ def _decode_loop_batched_jit(
         None,
         length=n_steps,
     )
+    if has_mu:
+        ys, mus = ys
+        pst = dict(pst, mu_steps=mus)  # [n_steps, B]: mu AFTER step i
     extras = (pst,) if return_state else ()
     if logprobs_n is not None:
         all_toks, lp, topv, topi = ys

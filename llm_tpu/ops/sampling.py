@@ -243,6 +243,15 @@ def batched_sampler(samplers, n_slots: int):
         values["mirostat_on"] = jnp.asarray(miro)
         values["mirostat_tau"] = jnp.asarray(taus)
         values["mirostat_eta"] = jnp.asarray(etas)
+        if mirostat_kind == 1:
+            # per-stream Zipf depth (cfg.mirostat_m is only the static
+            # bound): a stream's smaller m must not be silently widened
+            # to a batchmate's
+            ms = np.full(n_slots, mirostat_m, np.int32)
+            for i, s in enumerate(samplers):
+                if s is not None and s.mirostat == 1:
+                    ms[i] = s.mirostat_m
+            values["mirostat_m"] = jnp.asarray(ms)
     return cfg, values
 
 
@@ -265,6 +274,8 @@ def ensure_value_keys(values: dict, cfg: "BatchedDeviceSampler",
         v["mirostat_on"] = jnp.zeros(n_slots, bool)
         v["mirostat_tau"] = jnp.full(n_slots, 5.0, jnp.float32)
         v["mirostat_eta"] = jnp.full(n_slots, 0.1, jnp.float32)
+    if cfg.mirostat_kind == 1 and "mirostat_m" not in v:
+        v["mirostat_m"] = jnp.full(n_slots, cfg.mirostat_m, jnp.int32)
     return v
 
 
@@ -461,12 +472,27 @@ def collect_mu(active, n_slots: int):
     return mu
 
 
-def store_mu(active, mu_row) -> None:
-    """Persist a block's final mu values back onto the mirostat streams."""
+def store_mu(active, mu_state, keep_by_slot=None) -> None:
+    """Persist each mirostat stream's mu from a decode block.
+
+    `mu_state` is either the block-final [n_slots] row or the PER-STEP
+    trajectory [n_steps, n_slots] (state["mu_steps"] from the decode
+    loops). With a trajectory, `keep_by_slot` gives each stream's kept
+    token count so the persisted mu stops at the truncation point — the
+    block-final mu folds in surprises of overshoot tokens the host
+    discards (EoT / max_tokens), permanently skewing the carry."""
+    import numpy as np
+
+    mu_state = np.asarray(mu_state)
     for slot, s in active:
         ds = s.request.device_sampler
         if ds is not None and ds.mirostat:
-            s.mirostat_mu = float(mu_row[slot])
+            if mu_state.ndim == 2:
+                k = (keep_by_slot[slot] if keep_by_slot is not None
+                     else mu_state.shape[0])
+                s.mirostat_mu = float(mu_state[k - 1, slot])
+            else:
+                s.mirostat_mu = float(mu_state[slot])
 
 
 def mirostat_mu_init(cfg) -> float:
@@ -484,7 +510,7 @@ def _gumbel_pick(x, key):
 _LOG2E = 1.4426950408889634
 
 
-def _mirostat_sample(x, key, mu, tau, eta, kind: int, m: int):
+def _mirostat_sample(x, key, mu, tau, eta, kind: int, m: int, m_vals=None):
     """Mirostat 1/2 terminal over (temperature-scaled) logits `x` [.., V]
     with per-row mu [..]; returns (tok [..], new mu [..]).
 
@@ -514,15 +540,24 @@ def _mirostat_sample(x, key, mu, tau, eta, kind: int, m: int):
     else:
         svals = jnp.flip(jnp.sort(x, axis=-1), axis=-1)
         sp = jax.nn.softmax(svals, axis=-1)
-        mm = min(m, V - 1)
-        i = jnp.arange(mm - 1, dtype=jnp.float32)
+        mm = min(m, V - 1)  # static bound; per-stream m masks below it
+        i = jnp.arange(max(mm - 1, 0), dtype=jnp.float32)
         t_i = jnp.log((i + 2.0) / (i + 1.0))
         pi = sp[..., : mm - 1]
         pj = sp[..., 1:mm]
         b_i = jnp.where(pj > 0,
                         jnp.log(pi / jnp.where(pj > 0, pj, 1.0)), 0.0)
-        den = jnp.sum(t_i * t_i)
-        s_hat = jnp.sum(t_i * b_i, axis=-1) / den
+        if m_vals is None:
+            den = jnp.sum(t_i * t_i)
+            num = jnp.sum(t_i * b_i, axis=-1)
+        else:  # per-stream m: mask estimate terms past each stream's m
+            mv = jnp.minimum(m_vals.astype(jnp.float32), float(V - 1))
+            wm = (i < mv[..., None] - 1.0).astype(jnp.float32)
+            den = jnp.sum(t_i * t_i * wm, axis=-1)
+            num = jnp.sum(t_i * b_i * wm, axis=-1)
+        # den == 0 (m <= 1 or V == 2): no estimate terms — the host
+        # guards with s_hat = 1 (keep the full vocab); mirror it
+        s_hat = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 1.0)
         eps = s_hat - 1.0
         k_f = ((eps * jnp.exp2(mu)) / (1.0 - float(V) ** -eps)) ** (
             1.0 / s_hat
@@ -670,6 +705,7 @@ def _device_sample_batched(logits, key, cfg: BatchedDeviceSampler, values,
     m_tok, m_mu = _mirostat_sample(
         x, key, state["mu"], values["mirostat_tau"],
         values["mirostat_eta"], cfg.mirostat_kind, cfg.mirostat_m,
+        m_vals=values.get("mirostat_m"),  # [B] per-stream Zipf depth
     )
     tok = jnp.where(on, m_tok, std_tok)
     return tok, jnp.where(on, m_mu, state["mu"])

@@ -629,6 +629,9 @@ def paged_decode_loop(
     )
     base = n_past
 
+    has_mu = (return_state and isinstance(penalty_state, dict)
+              and "mu" in penalty_state)  # per-step mu (see decode_loop)
+
     def step(carry, i):
         logits, npast, blk, k, pst = carry
         k, sub = jax.random.split(k)
@@ -640,6 +643,8 @@ def paged_decode_loop(
             lp = jnp.take_along_axis(logz, toks[:, None], axis=1)[:, 0]
             topv, topi = lax.top_k(logz, max(logprobs_n, 1))
             out = (toks, lp, topv, topi)
+        if has_mu:
+            out = (out, pst["mu"])
         new_logits, _, (k_new, v_new) = paged_forward_batched(
             spec, params, toks[:, None], npast, tables, cache, window_pages,
             allow_kernel, block_kv=blk + (base,), return_rows=True,
@@ -681,6 +686,9 @@ def paged_decode_loop(
     else:
         cache = scatter_rows(cache, to_lbt(bk), to_lbt(bv), positions,
                              tables)
+    if has_mu:
+        ys, mus = ys
+        pst = dict(pst, mu_steps=mus)  # [n_steps, B]: mu AFTER step i
     extras = (pst,) if return_state else ()
     if logprobs_n is not None:
         all_toks, lp, topv, topi = ys
@@ -884,18 +892,20 @@ class PagedEngine(Engine):
             stream.prefill_pos = len(chain) * ps
         stream.n_past = stream.prefill_pos
 
-    def _register_prompt_pages(self, stream, slot: int) -> None:
+    def _register_prompt_pages(self, stream, slot: int) -> list:
         """Publish this stream's freshly-filled FULL prompt pages (their
-        covering token prefix is final once written)."""
+        covering token prefix is final once written). Returns the digest
+        chain so completion can reuse it (one hashing pass)."""
         cache = self.prefix_cache
         if cache is None:
-            return
+            return []
         full = stream.prefill_pos // self.page_size
         digests = cache.digests(stream.prefill_queue, self.page_size, full)
         for j in range(full):
             pid = int(self.tables[slot, j])
             if pid != PageAllocator.TRASH:
                 cache.register(digests[j], pid)
+        return digests
 
     def _window_pages(self, extra: int = 1) -> int:
         max_past = max(
@@ -936,22 +946,21 @@ class PagedEngine(Engine):
         # at 7B/512; fetching them to use one row measured ~1.4 s per
         # prefill chunk on the axon tunnel)
         stream.last_logits = np.asarray(logits[0, len(chunk) - 1])
-        self._register_prompt_pages(stream, slot)
+        digests = self._register_prompt_pages(stream, slot)
         if stream.prefill_pos >= len(toks):
             stream.prefilling = False
             cache = self.prefix_cache
-            if cache is not None and len(toks) % self.page_size == 0:
+            if (cache is not None and digests
+                    and len(toks) % self.page_size == 0):
                 # page-aligned completion: cache the final-position logits
-                # so an exact repeat skips prefill entirely
-                dig = cache.digests(
-                    toks, self.page_size, len(toks) // self.page_size
-                )[-1]
-                cache.register_logits(dig, stream.last_logits)
+                # so an exact repeat skips prefill entirely (digests[-1]
+                # covers the whole prompt exactly here: prefill_pos ==
+                # len(toks) and both are page-multiples)
+                cache.register_logits(digests[-1], stream.last_logits)
 
     def step(self):
         """One decode step across decode-ready streams (host sampling);
         prefilling streams advance one chunk first."""
-        from llm_tpu.samplers import sample_token
 
         self._admit()
         self._advance_prefills()
@@ -969,9 +978,7 @@ class PagedEngine(Engine):
                 n_past[slot] = s.prefill_pos
         sampled = {}
         for slot, stream in decodable:
-            tok = sample_token(
-                stream.sampler, stream.rng, stream.tokens, stream.last_logits
-            )
+            tok = self._host_sample(stream)
             try:
                 self._ensure_pages(slot, stream.n_past)
             except MemoryError:

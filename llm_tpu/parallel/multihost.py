@@ -215,7 +215,6 @@ class MultiHostEngine(_LocalEngine):
             assert ds is not None, "step_multi requires device_sampler"
             assert not ds.bias, "multi-host step_multi: bias unsupported"
             per_slot[i] = ds
-        _, values = batched_sampler(per_slot, self.max_streams)
 
         # agree on (any decodable, static sampler structure, global max)
         local = np.array(
@@ -250,6 +249,11 @@ class MultiHostEngine(_LocalEngine):
             return events + self.step()
         from llm_tpu.ops.sampling import ensure_value_keys
 
+        # built only AFTER the coordinated mixed-mirostat decision: a
+        # host whose OWN streams mix kinds must reach the allgather (a
+        # local raise here would desync it from its peers and deadlock
+        # the collective — advisor r4)
+        _, values = batched_sampler(per_slot, self.max_streams)
         values = ensure_value_keys(values, cfg, self.max_streams)
         lpn = int(g[:, 13].max())
         lpn = None if lpn < 0 else lpn
@@ -292,11 +296,13 @@ class MultiHostEngine(_LocalEngine):
             from llm_tpu.ops.sampling import store_mu
 
             fstate = rest.pop(0)
-            store_mu(active, self._local_rows(fstate["mu"]))
+            mu_steps = self._local_rows(fstate["mu_steps"], axis=1)
         lp_l = (tuple(self._local_rows(a, axis=1) for a in rest.pop(0))
                 if lpn is not None else None)
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
+        if ret_state:
+            store_mu(active, mu_steps, self._block_keeps(active, toks_l))
         return events + self._postprocess_multi(
             active, toks_l, ll_l, n_steps, lp_l
         )
@@ -437,7 +443,6 @@ class MultiHostEngine(_LocalEngine):
 
     def _global_decode(self, gmax: int) -> list:
         from llm_tpu.models.forward import window_bucket
-        from llm_tpu.samplers import sample_token
 
         spec = self.spec
         ids = np.zeros((self.max_streams, 1), np.int32)
@@ -445,7 +450,7 @@ class MultiHostEngine(_LocalEngine):
         mask = np.zeros(self.max_streams, bool)
         sampled = {}
         for i, s in self._decodable():
-            tok = sample_token(s.sampler, s.rng, s.tokens, s.last_logits)
+            tok = self._host_sample(s)
             sampled[i] = tok
             ids[i, 0] = tok
             n_past[i] = s.n_past
@@ -623,9 +628,13 @@ def _mh_paged_loop(
     if return_state:
         # the sampler-state pytree (penalty counts/ring/pos, mirostat mu)
         # is per-stream: every leaf leads with the data-sharded batch axis
-        out_specs = out_specs + (
-            jax.tree_util.tree_map(lambda _: _P("data"), penalty_state),
+        state_spec = jax.tree_util.tree_map(
+            lambda _: _P("data"), penalty_state
         )
+        if isinstance(penalty_state, dict) and "mu" in penalty_state:
+            # the loop appends the per-step mu trajectory [n_steps, B]
+            state_spec = dict(state_spec, mu_steps=_P(None, "data"))
+        out_specs = out_specs + (state_spec,)
     if logprobs_n is not None:
         # per-step logprob arrays ride the stream (data) axis too
         out_specs = out_specs + (
@@ -826,13 +835,12 @@ class MultiHostPagedEngine(MultiHostEngine):
                 s.prefilling = False
 
     def _global_decode(self, gmax: int) -> list:
-        from llm_tpu.samplers import sample_token
 
         ids = np.zeros((self.max_streams, 1), np.int32)
         n_past = self._frontiers()
         sampled = {}
         for i, s in self._decodable():
-            tok = sample_token(s.sampler, s.rng, s.tokens, s.last_logits)
+            tok = self._host_sample(s)
             try:
                 self._ensure_pages(i, s.n_past)
             except MemoryError:
@@ -877,7 +885,6 @@ class MultiHostPagedEngine(MultiHostEngine):
             assert ds is not None, "step_multi requires device_sampler"
             assert not ds.bias, "multi-host step_multi: bias unsupported"
             per_slot[i] = ds
-        _, values = batched_sampler(per_slot, self.max_streams)
 
         local = np.array(
             [
@@ -913,6 +920,8 @@ class MultiHostPagedEngine(MultiHostEngine):
             return events + self.step()  # same agreed fallback on all hosts
         from llm_tpu.ops.sampling import ensure_value_keys
 
+        # after the coordinated decision (see MultiHostEngine.step_multi)
+        _, values = batched_sampler(per_slot, self.max_streams)
         values = ensure_value_keys(values, cfg, self.max_streams)
         for i, s in active:  # feasibility-checked above; cannot raise
             self._ensure_pages(
@@ -948,16 +957,17 @@ class MultiHostPagedEngine(MultiHostEngine):
             lpn,
             ret_state,
         )
-        if fstate is not None:
-            from llm_tpu.ops.sampling import store_mu
-
-            store_mu(active, self._local_rows(fstate["mu"]))
         lp_l = (
             tuple(self._local_rows(a, axis=1) for a in lp)
             if lp is not None else None
         )
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
+        if fstate is not None:
+            from llm_tpu.ops.sampling import store_mu
+
+            store_mu(active, self._local_rows(fstate["mu_steps"], axis=1),
+                     self._block_keeps(active, toks_l))
         return events + self._postprocess_multi(
             active, toks_l, ll_l, n_steps, lp_l
         )

@@ -257,6 +257,28 @@ class Engine:
         ev, self._retired_events = self._retired_events, []
         return ev
 
+    def _host_sample(self, stream: _Stream) -> int:
+        """Host-chain sampling for one stream, with the mirostat mu carry
+        SYNCED both ways: a stream that usually decodes in device blocks
+        (mu in stream.mirostat_mu) must not restart the surprise
+        controller from scratch when a single-step fallback (tight pool /
+        mixed batch / context boundary) routes one token through the host
+        chain — and the host-updated mu must flow back so the next device
+        block resumes from it."""
+        from llm_tpu.samplers import Mirostat1, Mirostat2, SamplerChain
+
+        t = (stream.sampler.terminal
+             if isinstance(stream.sampler, SamplerChain) else stream.sampler)
+        miro = t if isinstance(t, (Mirostat1, Mirostat2)) else None
+        if miro is not None and stream.mirostat_mu is not None:
+            miro.mu = stream.mirostat_mu
+        tok = sample_token(
+            stream.sampler, stream.rng, stream.tokens, stream.last_logits
+        )
+        if miro is not None and miro.mu is not None:
+            stream.mirostat_mu = float(miro.mu)
+        return tok
+
     def _record_logprob(self, stream: _Stream, tok: int) -> None:
         """Model logprob of the sampled token (from the PRE-update logits
         row it was sampled from) + optional top-N alternatives."""
@@ -426,9 +448,7 @@ class Engine:
         mask = np.zeros(self.max_streams, bool)
         sampled: dict[int, int] = {}
         for slot, stream in decodable:
-            tok = sample_token(
-                stream.sampler, stream.rng, stream.tokens, stream.last_logits
-            )
+            tok = self._host_sample(stream)
             sampled[slot] = tok
             ids[slot] = tok
             n_past[slot] = stream.n_past
@@ -549,10 +569,28 @@ class Engine:
         if fstate is not None:
             from llm_tpu.ops.sampling import store_mu
 
-            store_mu(active, np.asarray(fstate["mu"]))
+            store_mu(active, np.asarray(fstate["mu_steps"]),
+                     self._block_keeps(active, toks))
         return retired + self._postprocess_multi(
             active, toks, last_logits, n_steps, lp
         )
+
+    def _block_keeps(self, active, toks) -> dict:
+        """Per-slot kept-token count for a decode block — the same
+        truncation rule _postprocess_multi applies (EoT first, then the
+        max_tokens budget); used to persist sampler carries (mirostat mu)
+        at the truncation point rather than the block end."""
+        keeps = {}
+        n_steps = toks.shape[0]
+        for slot, stream in active:
+            col = toks[:, slot]
+            hit = np.nonzero(col == self._eot)[0]
+            n_keep = int(hit[0]) + 1 if hit.size else n_steps
+            limit = stream.request.max_tokens
+            if limit is not None:
+                n_keep = min(n_keep, max(limit - stream.generated, 1))
+            keeps[slot] = n_keep
+        return keeps
 
     def _postprocess_multi(self, active, toks, last_logits, n_steps,
                            lp=None) -> list:

@@ -511,12 +511,18 @@ class InferenceSession:
             )
             if miro:
                 toks, logits, _, self.cache, fstate = out
-                self._mirostat_mu = float(fstate["mu"])
             else:
                 toks, logits, _, self.cache = out
             toks = np.asarray(toks)
             hit = np.nonzero(toks == eot)[0] if halt_on_eot else np.array([])
             n_keep = int(hit[0]) + 1 if hit.size else steps
+            if miro:
+                # persist mu AT THE TRUNCATION POINT: the block-final mu
+                # folds in surprises of discarded overshoot tokens, which
+                # would permanently skew the carry (advisor r4)
+                self._mirostat_mu = float(
+                    np.asarray(fstate["mu_steps"])[n_keep - 1]
+                )
             for t in toks[:n_keep]:
                 t = int(t)
                 self.tokens.append(t)

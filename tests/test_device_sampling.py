@@ -724,3 +724,99 @@ def test_mixed_mirostat_kinds_fall_back_not_wedge(model):
     assert not engine.has_work()
     for rid in ids:
         assert len("".join(engine.finished[rid].text)) > 0
+
+
+def test_store_mu_trajectory_truncation():
+    """store_mu with a per-step trajectory persists the mu AT each
+    stream's truncation point, not the block-final value (overshoot
+    surprises must not pollute the carry)."""
+    from types import SimpleNamespace
+
+    from llm_tpu.ops.sampling import store_mu
+
+    def stream():
+        return SimpleNamespace(
+            request=SimpleNamespace(
+                device_sampler=DeviceSampler(kind="sample", mirostat=2)
+            ),
+            mirostat_mu=None,
+        )
+
+    a, b = stream(), stream()
+    traj = np.array([[10.0, 9.0], [8.0, 7.0], [6.0, 5.0]], np.float32)
+    store_mu([(0, a), (1, b)], traj, {0: 2, 1: 3})
+    assert a.mirostat_mu == 8.0  # truncated after step 2
+    assert b.mirostat_mu == 5.0  # kept the whole block
+    # final-row fallback (no keeps given) and 1-D compatibility
+    store_mu([(0, a)], traj)
+    assert a.mirostat_mu == 6.0
+    store_mu([(1, b)], np.array([1.5, 2.5], np.float32))
+    assert b.mirostat_mu == 2.5
+
+
+def test_mirostat1_per_stream_m_matches_static():
+    """Per-stream mirostat_m via m_vals: rows whose m equals the static
+    config must sample and update mu IDENTICALLY to the m_vals=None path
+    (the mask reduces to the full estimate)."""
+    import jax
+
+    from llm_tpu.ops.sampling import _mirostat_sample
+
+    V, m = 64, 20
+    logits = jnp.asarray(_rand_logits(2, V, seed=11))
+    mu0 = jnp.asarray([9.0, 5.0], jnp.float32)
+    key = jax.random.PRNGKey(3)
+    tok_a, mu_a = _mirostat_sample(logits, key, mu0, 5.0, 0.1, kind=1, m=m)
+    tok_b, mu_b = _mirostat_sample(
+        logits, key, mu0, 5.0, 0.1, kind=1, m=m,
+        m_vals=jnp.asarray([m, m], jnp.int32),
+    )
+    assert np.array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu_b))
+    # differing per-stream m changes the estimate (and hence k) for that
+    # row only — it must not crash or produce NaN
+    tok_c, mu_c = _mirostat_sample(
+        logits, key, mu0, 5.0, 0.1, kind=1, m=m,
+        m_vals=jnp.asarray([m, 5], jnp.int32),
+    )
+    assert np.isfinite(np.asarray(mu_c)).all()
+    assert np.array_equal(np.asarray(tok_c)[:1], np.asarray(tok_a)[:1])
+
+
+def test_mirostat1_m1_no_nan():
+    """m=1 (or V=2) leaves no Zipf-estimate terms: den=0 must take the
+    host's s_hat=1 guard (keep full vocab), never NaN."""
+    import jax
+
+    from llm_tpu.ops.sampling import _mirostat_sample
+
+    logits = jnp.asarray(_rand_logits(1, 16, seed=5))
+    tok, mu1 = _mirostat_sample(
+        logits, jax.random.PRNGKey(0), jnp.asarray([8.0], jnp.float32),
+        5.0, 0.1, kind=1, m=1,
+    )
+    assert np.isfinite(np.asarray(mu1)).all()
+    assert 0 <= int(np.asarray(tok)[0]) < 16
+
+
+def test_host_fallback_syncs_mirostat_mu(model):
+    """A mirostat stream sampled through the per-token HOST path (engine
+    fallbacks) must read and write the same mu carry the device blocks
+    use (stream.mirostat_mu), not a private chain-internal mu."""
+    from llm_tpu.samplers import Mirostat2, SamplerChain
+
+    engine = Engine(model, max_streams=1, kv_dtype=jnp.float32)
+    chain = SamplerChain([], Mirostat2(tau=4.0, eta=0.5))
+    rid = engine.submit(GenerationRequest(
+        prompt="<t2><t3>", max_tokens=4, sampler=chain,
+        device_sampler=DeviceSampler(kind="sample", temperature=0.9,
+                                     mirostat=2, mirostat_tau=4.0,
+                                     mirostat_eta=0.5),
+    ))
+    # per-token host path (engine.step, not step_multi)
+    while engine.has_work():
+        engine.step()
+    s = engine.finished[rid]
+    assert s.mirostat_mu is not None  # host updates flowed into the carry
+    assert s.mirostat_mu != 2.0 * 4.0  # and mu moved from its init
+    assert chain.terminal.mu == s.mirostat_mu  # both views agree
