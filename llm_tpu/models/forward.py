@@ -421,6 +421,19 @@ def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
                                     penalty_state, logprobs_n, return_state)
 
 
+def unpack_decode_out(out, return_state: bool, logprobs_n):
+    """The ONE place that knows a decode loop's variadic tail order —
+    (toks, logits, n_past, cache[, sampler_state][, logprob_arrays]),
+    state BEFORE logprobs. Returns the 6-tuple with None for absent
+    extras; every engine dispatch site unpacks through here."""
+    out = list(out)
+    toks, logits, npast, cache = out[:4]
+    rest = out[4:]
+    fstate = rest.pop(0) if return_state else None
+    lp = rest.pop(0) if logprobs_n is not None else None
+    return toks, logits, npast, cache, fstate, lp
+
+
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(6,))
 def _nll_step_jit(spec, params, ids, targets, valid, n_past, cache, window=None):
     logits, _, cache = forward(spec, params, ids, n_past, cache, window)

@@ -290,19 +290,20 @@ class MultiHostEngine(_LocalEngine):
             lpn,
             ret_state,
         ))
-        toks, last_logits, _, self.cache = out[:4]
-        rest = out[4:]
-        if ret_state:
-            from llm_tpu.ops.sampling import store_mu
+        from llm_tpu.models.forward import unpack_decode_out
 
-            fstate = rest.pop(0)
-            mu_steps = self._local_rows(fstate["mu_steps"], axis=1)
-        lp_l = (tuple(self._local_rows(a, axis=1) for a in rest.pop(0))
-                if lpn is not None else None)
+        toks, last_logits, _, self.cache, fstate, lp = unpack_decode_out(
+            out, ret_state, lpn
+        )
+        lp_l = (tuple(self._local_rows(a, axis=1) for a in lp)
+                if lp is not None else None)
         toks_l = self._local_rows(toks, axis=1)  # [n_steps, B_local]
         ll_l = self._local_rows(last_logits)
-        if ret_state:
-            store_mu(active, mu_steps, self._block_keeps(active, toks_l))
+        if fstate is not None:
+            from llm_tpu.ops.sampling import store_mu
+
+            store_mu(active, self._local_rows(fstate["mu_steps"], axis=1),
+                     self._block_keeps(active, toks_l))
         return events + self._postprocess_multi(
             active, toks_l, ll_l, n_steps, lp_l
         )
@@ -657,10 +658,11 @@ def _mh_paged_loop(
     out = list(fn(
         params, logits, n_past, tables, pool, key, values, penalty_state
     ))
-    toks, last_logits, _, new_pool = out[:4]
-    rest = out[4:]
-    fstate = rest.pop(0) if return_state else None
-    lp = rest.pop(0) if logprobs_n is not None else None
+    from llm_tpu.models.forward import unpack_decode_out
+
+    toks, last_logits, _, new_pool, fstate, lp = unpack_decode_out(
+        out, return_state, logprobs_n
+    )
     return toks, last_logits, new_pool, lp, fstate
 
 

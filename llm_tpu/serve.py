@@ -687,11 +687,13 @@ class Engine:
             logprobs_n,
             return_state,
         ))
-        toks, last_logits, _, self.cache = out[:4]
-        rest = out[4:]
-        fstate = rest.pop(0) if return_state else None
-        lp = (tuple(np.asarray(a) for a in rest.pop(0))
-              if logprobs_n is not None else None)
+        from llm_tpu.models.forward import unpack_decode_out
+
+        toks, last_logits, _, self.cache, fstate, lp = unpack_decode_out(
+            out, return_state, logprobs_n
+        )
+        if lp is not None:
+            lp = tuple(np.asarray(a) for a in lp)
         return np.asarray(toks), np.asarray(last_logits), n_steps, lp, fstate
 
     # -- convenience --------------------------------------------------------
