@@ -122,3 +122,38 @@ def test_model_architecture_string_roundtrip():
     assert get_arch("Llama").name == "llama"
     with _pytest.raises(UnsupportedModelArchitecture):
         get_arch("not-an-arch")
+
+
+def test_corrupt_ggjt_load_fails_cleanly(tmp_path):
+    """Fuzz of the FULL model-load path over a GGJT checkpoint:
+    truncations and header bit-flips must raise the typed error family
+    (FormatError / LoadError / ValueError) — never struct.error,
+    MemoryError allocation bombs, or hangs. Data-region flips load
+    (quant blocks carry no checksum — same contract as the reference,
+    format/loader.rs has none either)."""
+    import random
+
+    from llm_tpu.loader import LoadError, ModelParameters, load
+    from llm_tpu.testing import make_tiny_file
+
+    src = tmp_path / "m.bin"
+    make_tiny_file("llama", src)
+    data = src.read_bytes()
+    rng = random.Random(0)
+    p = tmp_path / "fuzz.bin"
+    for trial in range(45):
+        buf = bytearray(data)
+        mode = trial % 3
+        if mode == 0:
+            buf = buf[: rng.randrange(0, len(buf))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 8)):
+                buf[rng.randrange(0, min(len(buf), 512))] = rng.randrange(256)
+        else:
+            for _ in range(rng.randrange(1, 8)):
+                buf[rng.randrange(0, len(buf))] = rng.randrange(256)
+        p.write_bytes(bytes(buf))
+        try:
+            load(p, "llama", params=ModelParameters(context_size=32))
+        except (FormatError, LoadError, ValueError):
+            pass  # clean typed failure (or the flip was harmless)
