@@ -30,6 +30,7 @@ import numpy as np
 
 from llm_tpu.ggml.reader import FormatError, TensorInfo, Vocabulary
 from llm_tpu.ggml.types import ContainerType, FileType, GgmlType
+from llm_tpu.ggml.writer import SaveError
 
 GGUF_MAGIC = b"GGUF"
 
@@ -347,6 +348,10 @@ class GgufReader:
                 infos.append((name, n_dims, dims, element_type, offset))
 
             align = int(self.metadata.get("general.alignment", 32))
+            if align < 1:  # untrusted header: 0 would ZeroDivisionError,
+                raise FormatError(  # negative would corrupt every offset
+                    f"invalid general.alignment {align}"
+                )
             data_start = (f.tell() + align - 1) // align * align
 
             table = _name_table(arch, self.metadata)
@@ -420,6 +425,8 @@ class GgufReader:
             "rope.scaling.factor", None
         )
         st = get("rope.scaling.type", "linear")
+        if isinstance(st, bytes):  # GGUF strings decode to bytes
+            st = st.decode("utf-8", errors="replace")
         if factor and float(factor) > 0 and st in ("linear", "", None):
             h.rope_freq_scale = 1.0 / float(factor)
         ft = md.get("general.file_type")
@@ -442,7 +449,16 @@ class GgufReader:
         info = self.tensors[name]
         if self._mmap is None:
             self._mmap = np.memmap(self.path, dtype=np.uint8, mode="r")
-        return self._mmap[info.start_offset : info.start_offset + info.calc_size()]
+        end = info.start_offset + info.calc_size()
+        if info.start_offset < 0 or end > self._mmap.size:
+            # offsets come from the untrusted header; a memmap slice would
+            # silently clamp at EOF and feed a SHORT buffer to the native
+            # transcoder (out-of-bounds C reads)
+            raise FormatError(
+                f"tensor {name!r} data [{info.start_offset}, {end}) exceeds "
+                f"file size {self._mmap.size}"
+            )
+        return self._mmap[info.start_offset : end]
 
     def fetch_f32(self, name: str) -> np.ndarray:
         info = self.tensors[name]
@@ -517,6 +533,14 @@ class GgufWriter:
         f.write(GGUF_MAGIC)
         md = dict(self._metadata)
         md.setdefault("general.alignment", self.ALIGN)
+        if int(md["general.alignment"]) != self.ALIGN:
+            # offsets/padding below are computed with ALIGN; honoring a
+            # different declared value would shift the whole data section
+            # for any conforming reader
+            raise SaveError(
+                f"GgufWriter pads with alignment {self.ALIGN}; "
+                f"general.alignment={md['general.alignment']} unsupported"
+            )
         f.write(struct.pack("<IQQ", 3, len(self._tensors), len(md)))
         for k, v in md.items():
             _w_string(f, k.encode())

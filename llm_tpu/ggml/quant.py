@@ -306,6 +306,8 @@ def dequantize(t: GgmlType, data: bytes | np.ndarray, n_elements: int) -> np.nda
         return np.frombuffer(data, dtype="<f2", count=n_elements).astype(np.float32)
     if t == GgmlType.I8:
         return np.frombuffer(data, dtype=np.int8, count=n_elements).astype(np.float32)
+    if t == GgmlType.I16:
+        return np.frombuffer(data, dtype="<i2", count=n_elements).astype(np.float32)
     if t == GgmlType.I32:
         return np.frombuffer(data, dtype="<i4", count=n_elements).astype(np.float32)
     from llm_tpu import native

@@ -171,7 +171,10 @@ class ContainerType:
 
     @classmethod
     def read(cls, f) -> "ContainerType":
-        magic = struct.unpack("<I", f.read(4))[0]
+        head = f.read(4)
+        if len(head) < 4:  # typed error, not struct.error, on truncation
+            raise FormatMagicError(0)
+        magic = struct.unpack("<I", head)[0]
         if magic == FILE_MAGIC_GGML:
             return cls("ggml")
         kind = {
@@ -181,8 +184,10 @@ class ContainerType:
         }.get(magic)
         if kind is None:
             raise FormatMagicError(magic)
-        version = struct.unpack("<I", f.read(4))[0]
-        return cls(kind, version)
+        ver = f.read(4)
+        if len(ver) < 4:
+            raise FormatMagicError(magic)
+        return cls(kind, struct.unpack("<I", ver)[0])
 
     def write(self, f) -> None:
         magic = {

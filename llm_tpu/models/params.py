@@ -242,12 +242,19 @@ class WeightSource:
         return name in self.reader.tensors
 
     def _raw(self, name: str) -> tuple[TensorInfo, np.ndarray]:
+        # one-entry memo: fused QKV tensors are fetched three times in a
+        # row (rows=q|k|v); without it every call re-applies the full
+        # LoRA patch and triple-counts the progress callback
+        memo = getattr(self, "_raw_memo", None)
+        if memo is not None and memo[0] == name:
+            return memo[1], memo[2]
         info = self.reader.tensors[name]
         data = self.reader.fetch(name)
         for lora in self.lora_adapters:
             patched = lora.patch(name, info, data)
             if patched is not None:
                 info, data = patched
+        self._raw_memo = (name, info, data)
         self._loaded += 1
         if self.progress is not None:
             self.progress(name, self._loaded, len(self.reader.tensors))

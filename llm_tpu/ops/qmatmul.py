@@ -64,8 +64,7 @@ def _use_pallas() -> bool:
 # Pallas kernel
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from llm_tpu.ops.packing import _round_up  # noqa: E402  (shared helper)
 
 
 def _tile_prefs(Mp: int, tile_r: Optional[int], tile_k: Optional[int]):

@@ -426,3 +426,115 @@ def test_corrupt_gguf_fails_cleanly(tmp_path):
             GgufReader(p).load("llama")
         except (FormatError, ValueError, KeyError):
             pass  # clean typed failure (or the flip was harmless)
+
+
+def _rewrite_gguf(src_gguf, out, extra_md=(), drop_tail_bytes=0):
+    """Re-emit a GGUF with extra metadata (and optionally truncate)."""
+    from llm_tpu.ggml.gguf import GgufReader, GgufWriter, gguf_name_fn
+
+    r = GgufReader(src_gguf).load("llama")
+    to_gguf = gguf_name_fn("llama")
+    with open(out, "wb") as f:
+        w = GgufWriter(f)
+        for k, v in r.metadata.items():
+            if k != "general.alignment":
+                w.add_metadata(k, v)
+        for k, v in extra_md:
+            w.add_metadata(k, v)
+        for name, info in r.tensors.items():
+            w.add_tensor(to_gguf(name), info.element_type, info.dims,
+                         bytes(r.fetch(name)))
+        w.finish()
+    if drop_tail_bytes:
+        data = out.read_bytes()
+        out.write_bytes(data[:-drop_tail_bytes])
+
+
+def test_rope_scaling_type_bytes(tmp_path):
+    """GGUF strings decode to BYTES; a llama.cpp-style
+    rope.scaling.type="linear" + scaling.factor must still apply (it was
+    silently dropped by a str comparison — advisor r4)."""
+    from llm_tpu.ggml.gguf import GgufReader, convert_ggml_to_gguf
+
+    ggjt = tmp_path / "m.bin"
+    make_tiny_file("llama", ggjt)
+    base = tmp_path / "m.gguf"
+    convert_ggml_to_gguf(ggjt, base, "llama")
+    out = tmp_path / "scaled.gguf"
+    _rewrite_gguf(base, out, extra_md=[
+        ("llama.rope.scaling.type", "linear"),
+        ("llama.rope.scaling.factor", 4.0),
+    ])
+    r = GgufReader(out).load("llama")
+    assert isinstance(r.metadata["llama.rope.scaling.type"], bytes)
+    assert r.hyperparameters.rope_freq_scale == 0.25
+
+
+def test_gguf_truncated_data_region_fetch_raises(tmp_path):
+    """Tensor offsets/sizes are untrusted: a file truncated mid-data must
+    raise FormatError from fetch(), never hand a SHORT buffer to the
+    native transcoder (out-of-bounds C reads)."""
+    from llm_tpu.ggml.gguf import FormatError, GgufReader, convert_ggml_to_gguf
+
+    ggjt = tmp_path / "m.bin"
+    make_tiny_file("llama", ggjt)
+    base = tmp_path / "m.gguf"
+    convert_ggml_to_gguf(ggjt, base, "llama")
+    out = tmp_path / "short.gguf"
+    _rewrite_gguf(base, out, drop_tail_bytes=64)
+    r = GgufReader(out).load("llama")  # header parses fine
+    last = max(r.tensors, key=lambda n: r.tensors[n].start_offset)
+    with pytest.raises(FormatError, match="exceeds"):
+        r.fetch(last)
+
+
+def test_gguf_writer_rejects_foreign_alignment(tmp_path):
+    """GgufWriter pads with ALIGN=32; declaring a different
+    general.alignment would shift the data section for conforming
+    readers — reject instead of writing a broken file."""
+    from llm_tpu.ggml.gguf import GgufWriter, SaveError
+
+    with open(tmp_path / "x.gguf", "wb") as f:
+        w = GgufWriter(f)
+        w.add_metadata("general.architecture", "llama")
+        w.add_metadata("general.alignment", 64)
+        with pytest.raises(SaveError, match="alignment"):
+            w.finish()
+
+
+def test_gguf_zero_alignment_clean_error(tmp_path):
+    """general.alignment=0 in a corrupt header must be a FormatError, not
+    ZeroDivisionError."""
+    import io
+    import struct as _s
+
+    from llm_tpu.ggml.gguf import GGUF_MAGIC, FormatError, GgufReader, \
+        _w_string, _w_value
+
+    buf = io.BytesIO()
+    buf.write(GGUF_MAGIC)
+    buf.write(_s.pack("<IQQ", 3, 0, 2))  # v3, 0 tensors, 2 kv
+    _w_string(buf, b"general.architecture")
+    _w_value(buf, "llama")
+    _w_string(buf, b"general.alignment")
+    _w_value(buf, 0)
+    p = tmp_path / "zero.gguf"
+    p.write_bytes(buf.getvalue())
+    with pytest.raises(FormatError, match="alignment"):
+        GgufReader(p).load("llama")
+
+
+def test_container_truncated_magic_typed_error(tmp_path):
+    """0-7 byte files raise the typed magic error, not struct.error."""
+    from llm_tpu.ggml.reader import GgmlReader
+    from llm_tpu.ggml.types import FormatMagicError
+
+    for n in (0, 3, 5):  # short magic and short version reads
+        p = tmp_path / f"tiny{n}.bin"
+        p.write_bytes(b"\x67\x67\x6a\x74"[:n])  # ggjt magic prefix
+        with pytest.raises((FormatMagicError, ValueError)):
+            GgmlReader(p).load(lambda f: (None, 0))
+    p = tmp_path / "magic_only.bin"
+    p.write_bytes(bytes.fromhex("67676a74"))  # full magic, no version
+    with pytest.raises((FormatMagicError, ValueError)):
+        GgmlReader(p).load(lambda f: (None, 0))
