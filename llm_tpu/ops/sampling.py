@@ -303,7 +303,8 @@ def _top_p_truncate(x, p, iters: int = 24):
     return jnp.where(probs >= lo[..., None], x, -jnp.inf)
 
 
-def penalty_state(histories, last_n: int, n_vocab: int):
+def penalty_state(histories, last_n: int, n_vocab: int,
+                  unbounded_floor: int = 0):
     """Host-built device state for windowed penalties: per-stream token
     counts over the last `last_n` tokens plus the window itself as a ring
     buffer (so in-loop updates can expire the oldest token). `histories` is
@@ -319,7 +320,12 @@ def penalty_state(histories, last_n: int, n_vocab: int):
 
     B = len(histories)
     if last_n <= 0 or last_n >= 1 << 30:
-        longest = max((len(h) for h in histories), default=0)
+        # multi-host callers pass the ALLGATHERED global max position as
+        # unbounded_floor: the ring width must be identical on every host
+        # (identical jitted program / consistent global array shapes), and
+        # a local-longest sizing would differ per host
+        longest = max(max((len(h) for h in histories), default=0),
+                      unbounded_floor)
         last_n = max(64, -(-(longest + 256) // 64) * 64)
     counts = np.zeros((B, n_vocab), np.float32)
     ring = np.full((B, last_n), -1, np.int32)

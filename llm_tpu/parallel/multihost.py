@@ -286,7 +286,7 @@ class MultiHostEngine(_LocalEngine):
                 {k: np.asarray(v) for k, v in values.items()}, ("data",)
             ),
             self._to_global(mask, ("data",)),
-            self._sampler_state_global(cfg, active),
+            self._sampler_state_global(cfg, active, gmax2),
             lpn,
             ret_state,
         ))
@@ -354,12 +354,15 @@ class MultiHostEngine(_LocalEngine):
             arr, self.mesh, P(*pspec_axes)
         )
 
-    def _sampler_state_global(self, cfg, active):
+    def _sampler_state_global(self, cfg, active, global_max: int = 0):
         """Data-sharded sampler state when the agreed structure needs one:
         windowed-penalty counts (each host builds its local rows from its
         own streams' histories; the agreed window width keeps the jitted
-        program identical across hosts) and/or the mirostat mu carry
-        (persisted on the streams between blocks). None when stateless."""
+        program identical across hosts — for the UNBOUNDED window the
+        allgathered `global_max` position sizes the ring, since a
+        local-longest sizing would give hosts different state shapes and
+        desync the collective) and/or the mirostat mu carry (persisted on
+        the streams between blocks). None when stateless."""
         st = {}
         if cfg.any_penalty:
             from llm_tpu.ops.sampling import penalty_state
@@ -368,7 +371,8 @@ class MultiHostEngine(_LocalEngine):
             for i, s in active:
                 hist[i] = s.tokens
             st.update(penalty_state(hist, cfg.penalty_last_n,
-                                    self.spec.n_vocab))
+                                    self.spec.n_vocab,
+                                    unbounded_floor=global_max))
         if cfg.mirostat_kind:
             from llm_tpu.ops.sampling import collect_mu
 
@@ -955,7 +959,7 @@ class MultiHostPagedEngine(MultiHostEngine):
             ),
             self._allow_kernel,
             self.mesh,
-            self._sampler_state_global(cfg, active),
+            self._sampler_state_global(cfg, active, gmax2),
             lpn,
             ret_state,
         )

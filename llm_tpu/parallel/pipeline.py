@@ -98,7 +98,7 @@ def shard_params_pipeline(params, mesh: Mesh):
 
 
 def shard_cache_pipeline(cache: KVCache, mesh: Mesh) -> KVCache:
-    """[L, B, S_ctx, H, D] cache: layers over `pipe`, batch over `data`."""
+    """[L, B, H_kv, S, D] head-major cache: layers over `pipe`, batch over `data`."""
     ns = NamedSharding(mesh, P("pipe", "data"))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, ns), cache)
 
@@ -108,7 +108,7 @@ def pipeline_forward_batched(
     params,
     ids: jnp.ndarray,  # [B, T] int32
     n_past: jnp.ndarray,  # [B] int32
-    cache: KVCache,  # [L, B, S_ctx, H, D], L sharded over `pipe`
+    cache: KVCache,  # [L, B, H_kv, S, D] head-major, L sharded over `pipe`
     mesh: Mesh,
     n_microbatches: int,
     window: Optional[int] = None,

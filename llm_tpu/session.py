@@ -300,12 +300,18 @@ class InferenceSession:
                 self.decoded_tokens.extend(token)
 
     def _decode_incremental(self, tk: TokenId) -> bytes:
-        """Token bytes for callbacks; HF tokenizers re-decode the whole
-        sequence and diff (inference_session.rs:667-681, U+FFFD guard)."""
+        """Token bytes for callbacks BEFORE tk is appended to self.tokens;
+        HF tokenizers re-decode the whole sequence and diff
+        (inference_session.rs:667-681, U+FFFD guard). ONE implementation
+        of the diff rule: _decode_token_bytes is the already-appended
+        variant."""
+        return self._diff_decode([*self.tokens, tk], tk)
+
+    def _diff_decode(self, all_ids, tk: TokenId) -> bytes:
         tokenizer = self.model.tokenizer
         if tokenizer.is_embedded:
             return tokenizer.token(tk)
-        all_tokens = tokenizer.decode([*self.tokens, tk], True)
+        all_tokens = tokenizer.decode(all_ids, True)
         text = all_tokens.decode("utf-8", errors="replace")
         if text.endswith("�"):
             return b""
@@ -318,8 +324,20 @@ class InferenceSession:
             raise NotEnoughTokens()
         deleted = self.tokens[len(self.tokens) - num :]
         del self.tokens[len(self.tokens) - num :]
-        removed_len = sum(len(self.model.tokenizer.token(t)) for t in deleted)
-        del self.decoded_tokens[len(self.decoded_tokens) - removed_len :]
+        tokenizer = self.model.tokenizer
+        if tokenizer.is_embedded:
+            # decoded_tokens was built from token() bytes: the sum is exact
+            # (this is the reference's rule, inference_session.rs:369-372)
+            removed_len = sum(len(tokenizer.token(t)) for t in deleted)
+            del self.decoded_tokens[len(self.decoded_tokens) - removed_len :]
+        else:
+            # diff-decoded (HF/BPE) baselines: standalone token() lengths
+            # do NOT equal the appended diff bytes (leading-space merges,
+            # U+FFFD holdbacks), so the reference's sum would misalign the
+            # incremental decode forever — recompute the baseline instead
+            # (documented deviation; the reference only exercises rewind
+            # with embedded tokenizers in its Delete tests)
+            self.decoded_tokens = bytearray(tokenizer.decode(self.tokens, True))
         self.n_past -= num
         return deleted
 
@@ -345,14 +363,9 @@ class InferenceSession:
         return bytes(res)
 
     def _decode_token_bytes(self, tk: TokenId) -> bytes:
-        tokenizer = self.model.tokenizer
-        if tokenizer.is_embedded:
-            return tokenizer.token(tk)
-        all_tokens = tokenizer.decode(self.tokens, True)
-        text = all_tokens.decode("utf-8", errors="replace")
-        if text.endswith("�"):
-            return b""
-        return all_tokens[len(self.decoded_tokens) :]
+        """Variant of _decode_incremental for a token ALREADY appended to
+        self.tokens."""
+        return self._diff_decode(self.tokens, tk)
 
     def infer(
         self,
@@ -387,15 +400,14 @@ class InferenceSession:
 
         prompt = Prompt.of(request.prompt)
         if not prompt.is_empty():
-            halted = [False]
-
             def feed_cb(token_bytes: bytes):
                 buf_text = token_bytes.decode("utf-8", errors="replace")
-                fb = callback(InferenceResponse("prompt_token", buf_text))
-                if fb is InferenceFeedback.Halt:
-                    halted[0] = True
-                return fb
+                return callback(InferenceResponse("prompt_token", buf_text))
 
+            # a Halt during prompt feeding stops the FEED only; generation
+            # still proceeds, exactly like the reference (feed_prompt
+            # returns Ok on `break 'outer`, inference_session.rs:337-339,
+            # and infer() continues into the decode loop at :481)
             self.feed_prompt(prompt, output_request, feed_cb)
 
         stats.feed_prompt_duration = time.monotonic() - start_at

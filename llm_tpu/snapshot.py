@@ -26,7 +26,7 @@ from llm_tpu.session import (
 )
 
 MAGIC = b"LTSN"
-VERSION = 1
+VERSION = 2
 
 
 def _compress(data: bytes) -> tuple[bytes, str]:
@@ -48,10 +48,13 @@ def _decompress(data: bytes, codec: str) -> bytes:
 
 def write_session(session: InferenceSession, path: str | Path) -> None:
     snap = session.get_snapshot()
+    last_logits = np.asarray(snap.last_logits, np.float32).tobytes()
     header = {
         "npast": snap.npast,
         "tokens": snap.tokens,
-        "last_logits": snap.last_logits.tolist(),
+        # v2: last_logits rides the binary blob (v1 stored ~600 KB of
+        # decimal JSON text per save)
+        "ll_len": len(last_logits),
         "k_shape": list(snap.k_shape),
         "v_shape": list(snap.v_shape),
         "k_dtype": snap.k_dtype,
@@ -66,7 +69,7 @@ def write_session(session: InferenceSession, path: str | Path) -> None:
         "ks_len": len(snap.memory_k_scale) if snap.memory_k_scale else 0,
     }
     hb = json.dumps(header).encode()
-    blob = snap.memory_k + snap.memory_v
+    blob = last_logits + snap.memory_k + snap.memory_v
     if snap.memory_k_scale:
         blob += snap.memory_k_scale + snap.memory_v_scale
     payload, codec = _compress(blob)
@@ -84,7 +87,7 @@ def read_session(model, path: str | Path) -> InferenceSession:
         if f.read(4) != MAGIC:
             raise SnapshotError(f"{path} is not a session snapshot")
         (version,) = struct.unpack("<I", f.read(4))
-        if version != VERSION:
+        if version not in (1, VERSION):  # v1 read-compat: JSON logits
             raise SnapshotError(f"unsupported snapshot version {version}")
         (codec_byte,) = struct.unpack("<B", f.read(1))
         (hlen,) = struct.unpack("<I", f.read(4))
@@ -97,6 +100,13 @@ def read_session(model, path: str | Path) -> InferenceSession:
         n_batch=header["n_batch"],
         n_threads=header["n_threads"],
     )
+    ll_len = header.get("ll_len", 0)  # 0: v1 header-JSON logits
+    last_logits = (
+        np.frombuffer(payload[:ll_len], np.float32).copy()
+        if ll_len
+        else np.asarray(header["last_logits"], np.float32)
+    )
+    payload = payload[ll_len:]
     k_len = header["k_len"]
     v_len = header.get("v_len", len(payload) - k_len)
     ks_len = header.get("ks_len", 0)
@@ -105,7 +115,7 @@ def read_session(model, path: str | Path) -> InferenceSession:
         npast=header["npast"],
         config=config,
         tokens=header["tokens"],
-        last_logits=np.asarray(header["last_logits"], np.float32),
+        last_logits=last_logits,
         memory_k=payload[:k_len],
         memory_v=payload[k_len:kv_end],
         k_shape=tuple(header["k_shape"]),

@@ -81,6 +81,13 @@ class SpeculativeSession:
         toks = [int(t) for t in tokens]
         spec_t, spec_d = self.target.spec, self.draft.spec
         ctx = min(spec_t.n_ctx, spec_d.n_ctx)
+        if self.n_past + len(toks) >= ctx:
+            # same guard as InferenceSession.feed_prompt
+            # (inference_session.rs:311-313): without it the clamped
+            # dynamic_update_slice writes would silently clobber live KV
+            from llm_tpu.session import ContextFull
+
+            raise ContextFull()
         for start in range(0, len(toks), self.n_batch):
             chunk = toks[start : start + self.n_batch]
             n = len(chunk)
@@ -505,8 +512,38 @@ class SpeculativeEngine(Engine):
 
     def _fallback_step(self):
         """Per-token progress when a speculative round cannot run (context
-        boundary / page pool too tight)."""
-        return super().step()
+        boundary / page pool too tight / argmax tie)."""
+        events = super().step()
+        self._draft_catchup()
+        return events
+
+    def _draft_catchup(self):
+        """A fallback step advanced streams through the TARGET only; the
+        emitted token must also be evaluated into the dense DRAFT cache,
+        or the next round's proposals would condition on whatever stale
+        row the last draft block wrote at that position (its rejected
+        proposal). The sampled engines' tail eval performs the same
+        repair for their correction/bonus token; re-evaluating an
+        already-consistent row (fresh prefill) writes identical KV."""
+        B = self.max_streams
+        ids = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        mask = np.zeros(B, bool)
+        n_any = 0
+        for slot, s in enumerate(self.slots):
+            if (s is not None and not s.prefilling and s.tokens
+                    and s.n_past > 0):
+                ids[slot] = s.tokens[-1]
+                pos[slot] = s.n_past - 1
+                mask[slot] = True
+                n_any += 1
+        if not n_any:
+            return
+        window = window_bucket(int(pos.max()) + 1, self.draft.spec.n_ctx)
+        _, self.d_cache = _tail_eval(
+            self.draft.spec, self.d_params, jnp.asarray(ids),
+            jnp.asarray(pos), self.d_cache, window, jnp.asarray(mask),
+        )
 
     def step(self):
         self._admit()
@@ -530,7 +567,7 @@ class SpeculativeEngine(Engine):
         if k <= 0 or not self._reserve_round(decodable, k):
             # at the context boundary (or a page pool too tight for the
             # round) the plain path makes progress / retires cleanly
-            return events + super().step()
+            return events + self._fallback_step()
         window = window_bucket(max_past + k, spec.n_ctx)
 
         # 1. draft proposes k tokens per stream (proposal 0 chains from
@@ -565,7 +602,7 @@ class SpeculativeEngine(Engine):
         if min(accepted.values()) == 0:
             # argmax-tie flip under bf16 reduction order (TPU-only
             # possibility): make progress with one plain step instead
-            return events + super().step()
+            return events + self._fallback_step()
 
         for slot, stream in decodable:
             for i in range(accepted[slot]):
@@ -833,7 +870,9 @@ class _PagedSpeculativeMixin:
         return True
 
     def _fallback_step(self):
-        return PagedEngine.step(self)
+        events = PagedEngine.step(self)
+        self._draft_catchup()  # dense draft cache: same repair as dense
+        return events
 
     def _begin_prefill(self, stream, slot: int) -> None:
         super()._begin_prefill(stream, slot)

@@ -117,8 +117,13 @@ class Prompt:
         if self.text is not None:
             return [tid for _, tid in tokenizer.tokenize(self.text, beginning_of_sentence)]
         assert self.tokens is not None
+        # empty-bytes rule is the reference's (tokenizer/mod.rs:221-228);
+        # the range check keeps embedded vocab indexing from raising a raw
+        # IndexError (or silently wrapping a NEGATIVE id to the vocab end)
+        emb_n = len(tokenizer) if tokenizer.is_embedded else None
         for t in self.tokens:
-            if len(tokenizer.token(t)) == 0:
+            if (t < 0 or (emb_n is not None and t >= emb_n)
+                    or len(tokenizer.token(t)) == 0):
                 raise InvalidTokenId(t)
         return list(self.tokens)
 

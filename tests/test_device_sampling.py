@@ -820,3 +820,22 @@ def test_host_fallback_syncs_mirostat_mu(model):
     assert s.mirostat_mu is not None  # host updates flowed into the carry
     assert s.mirostat_mu != 2.0 * 4.0  # and mu moved from its init
     assert chain.terminal.mu == s.mirostat_mu  # both views agree
+
+
+def test_penalty_state_unbounded_floor_shapes_agree():
+    """Unbounded penalty windows (last_n <= 0 / the 1<<30 sentinel) must
+    size the ring from the allgathered floor, not each caller's local
+    longest history — multihost SPMD needs identical state shapes on
+    every host (advisor r4)."""
+    from llm_tpu.ops.sampling import penalty_state
+
+    host_a = penalty_state([[1] * 100], 0, 32, unbounded_floor=1200)
+    host_b = penalty_state([[1] * 1200], 0, 32, unbounded_floor=1200)
+    assert host_a["ring"].shape == host_b["ring"].shape
+    # sentinel form agrees with the <=0 form
+    host_c = penalty_state([[1] * 100], 1 << 30, 32, unbounded_floor=1200)
+    assert host_c["ring"].shape == host_a["ring"].shape
+    # single-host behavior (no floor) unchanged: sized from local longest
+    local = penalty_state([[1] * 100], 0, 32)
+    assert local["ring"].shape[1] >= 100
+    assert local["ring"].shape[1] < host_a["ring"].shape[1]

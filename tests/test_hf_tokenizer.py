@@ -83,3 +83,37 @@ def test_session_with_hf_tokenizer(tmp_path):
         callback=lambda r: out.append(r.text),
     )
     assert len(session.tokens) >= 4
+
+
+def test_hf_rewind_keeps_decoded_baseline_aligned(tmp_path):
+    """rewind() under a diff-decoded tokenizer must leave decoded_tokens
+    == decode(tokens): the reference truncates by standalone token()
+    lengths, which misalign whenever the diff bytes differ (leading-space
+    merges) and corrupt every later incremental slice (advisor r4;
+    documented deviation from inference_session.rs:369-372)."""
+    tok_path = _make_tokenizer_json(tmp_path)
+    model_path = tmp_path / "llama.bin"
+    make_tiny_file("llama", model_path)
+    model = load(
+        model_path, "llama",
+        tokenizer_source=TokenizerSource.hf_tokenizer_file(tok_path),
+        params=ModelParameters(context_size=64),
+    )
+    session = InferenceSession(
+        model,
+        InferenceSessionConfig(
+            memory_k_type=ModelKVMemoryType.Float32,
+            memory_v_type=ModelKVMemoryType.Float32,
+        ),
+    )
+    session.feed_prompt("hello world again")
+    assert bytes(session.decoded_tokens) == \
+        model.tokenizer.decode(session.tokens, True)
+    session.rewind(2)
+    assert session.tokens == [5]
+    assert bytes(session.decoded_tokens) == \
+        model.tokenizer.decode(session.tokens, True)
+    # the incremental diff still works after the rewind
+    session.feed_prompt([9])
+    assert bytes(session.decoded_tokens) == \
+        model.tokenizer.decode(session.tokens, True)

@@ -588,3 +588,57 @@ def test_sampling_probs_matches_device_transform():
             lambda k: device_sample(jnp.asarray(row), k, ds)
         )(keys))
         assert set(int(t) for t in toks) <= support, trial
+
+
+def test_speculative_session_context_full(models):
+    from llm_tpu.session import ContextFull
+
+    target, draft = models
+    s = SpeculativeSession(target, draft, k=4)
+    with pytest.raises(ContextFull):
+        s.feed_prompt([2] * 64)  # n_ctx = 64: silent KV clobber before
+
+
+def test_fallback_step_repairs_draft_cache(models):
+    """After a per-token fallback (no speculative round ran), the emitted
+    token must be evaluated into the DRAFT cache too: with draft==target
+    the acceptance rate stays 100% — a stale draft row at the fallback
+    position would diverge later proposals (advisor r4)."""
+    from llm_tpu.samplers import GreedySampler
+    from llm_tpu.serve import GenerationRequest
+    from llm_tpu.speculative import SpeculativeEngine
+
+    target, _ = models
+    ref = _greedy_reference(target, [2, 9], 12)
+
+    engine = SpeculativeEngine(target, target, k=4, max_streams=2)
+    forced = {"n": 2}
+    orig = engine._reserve_round
+
+    def deny_twice(decodable, k):
+        if forced["n"] > 0:
+            forced["n"] -= 1
+            return False  # forces _fallback_step (target-only progress)
+        return orig(decodable, k)
+
+    engine._reserve_round = deny_twice
+    rid = engine.submit(GenerationRequest(
+        prompt=[2, 9], max_tokens=12, sampler=GreedySampler()))
+    rounds = []
+    prev = (0, 0)
+    while engine.has_work():
+        engine.step()
+        d, a = engine.drafted - prev[0], engine.accepted - prev[1]
+        prev = (engine.drafted, engine.accepted)
+        if d:
+            rounds.append((d, a))
+    toks = engine.finished[rid].tokens[2:]  # strip the prompt
+    assert toks == ref[: len(toks)]
+    assert forced["n"] == 0  # both fallbacks actually happened
+    # self-draft: every speculative round fully accepts, except the
+    # TERMINAL one (EoT / max_tokens legitimately stop mid-round). A
+    # stale draft row at a fallback position would under-accept the
+    # first post-fallback round.
+    assert rounds, "no speculative round ran"
+    for d, a in rounds[:-1]:
+        assert a == d, rounds

@@ -82,3 +82,25 @@ def test_utf8_buffer_multibyte():
     assert buf.push(b"\xc3") is None
     assert buf.push(b"\xa9") == "é"
     assert buf.push(b"ok") == "ok"
+
+
+def test_token_prompt_rejects_out_of_range_ids(tmp_path):
+    """Negative / out-of-vocab token ids in a token prompt raise the
+    typed InvalidTokenId (embedded vocab indexing used to raise a bare
+    IndexError, and a NEGATIVE id silently wrapped to the vocab end)."""
+    import pytest as _pytest
+
+    from llm_tpu.loader import ModelParameters, load
+    from llm_tpu.testing import make_tiny_file
+    from llm_tpu.tokenizer import InvalidTokenId, Prompt
+
+    path = tmp_path / "m.bin"
+    make_tiny_file("llama", path)
+    model = load(path, "llama", params=ModelParameters(context_size=32))
+    tok = model.tokenizer
+    n = len(tok)
+    assert Prompt.of([2, 3]).to_tokens(tok, False) == [2, 3]
+    with _pytest.raises(InvalidTokenId):
+        Prompt.of([2, -1]).to_tokens(tok, False)
+    with _pytest.raises(InvalidTokenId):
+        Prompt.of([n]).to_tokens(tok, False)
