@@ -517,7 +517,28 @@ def read_engine(
     """Restore a checkpoint INTO a freshly constructed compatible engine
     (same model geometry, engine class, max_streams, and — for paged —
     page_size/n_pages). `on_token` is re-attached to every restored stream
-    (callbacks are process-local and never serialized)."""
+    (callbacks are process-local and never serialized).
+
+    EVERY malformed-checkpoint failure surfaces as SnapshotError: a
+    header that parses as JSON but lacks an expected field (older build,
+    hand edit) used to raise raw KeyError past LlmServer's quarantine
+    try and brick startup instead of serving fresh."""
+    try:
+        return _read_engine_impl(engine, path, on_token)
+    except SnapshotError:
+        raise
+    except (KeyError, IndexError, TypeError, ValueError) as e:
+        raise SnapshotError(
+            f"malformed engine checkpoint {path}: "
+            f"{type(e).__name__}: {e}"
+        ) from e
+
+
+def _read_engine_impl(
+    engine,
+    path: str | Path,
+    on_token: Optional[Callable[[int, str], None]] = None,
+) -> None:
     import jax
 
     from llm_tpu.paged import PagedEngine, PagedKVCache

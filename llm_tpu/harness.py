@@ -84,7 +84,10 @@ def _download_model(config: dict, arch: str) -> Path:
     url = config["url"]
     part = path.with_suffix(path.suffix + ".part")
     print(f"downloading {url} -> {path}", file=sys.stderr)
-    with urllib.request.urlopen(url) as r, open(part, "wb") as out:
+    # timeout: a mirror that accepts the connection but never sends data
+    # must fail the arch with a report, not wedge the whole run
+    with urllib.request.urlopen(url, timeout=120) as r, \
+            open(part, "wb") as out:
         total = int(r.headers.get("Content-Length") or 0)
         done = 0
         while True:
@@ -317,6 +320,7 @@ def case_perplexity(model, case: dict) -> "float":
 
 
 CASE_RUNNERS = {
+    "Hyperparameters": case_hyperparameters_roundtrip,
     "Inference": case_inference,
     "Tokens": case_tokens,
     "Delete": case_delete,
@@ -378,7 +382,15 @@ def run_arch(arch: str, config_dir: Path, overrides: Optional[dict] = None,
     )
     for case in cases:
         (name, body), = case.items()
-        runner = CASE_RUNNERS.get(name, case_hyperparameters_roundtrip)
+        runner = CASE_RUNNERS.get(name)
+        if runner is None:
+            # a typo'd / unknown case must be a visible failure, not a
+            # silent fallback that reports the wrong test as "passed"
+            report.cases.append(TestCaseReport(
+                name, "failed", message=f"unknown test case {name!r}",
+                duration_s=0.0,
+            ))
+            continue
         t0 = time.time()
         try:
             res = runner(model, body)

@@ -363,6 +363,12 @@ class Engine:
         prompt_tokens = Prompt.of(stream.request.prompt).to_tokens(
             self.model.tokenizer, True
         )
+        if not prompt_tokens:
+            # an empty TOKEN-list prompt gets no BOS from to_tokens; the
+            # prefill would run an all-padding dummy chunk and the stream
+            # would sample from garbage logits — retire it instead
+            # (_admit converts this to an error event)
+            raise ValueError("empty prompt")
         if len(prompt_tokens) >= self.spec.n_ctx:
             raise ContextFull()
         stream.tokens = list(prompt_tokens)
@@ -476,10 +482,6 @@ class Engine:
         Host-side postprocessing truncates each stream at EoT / max_tokens /
         context boundary and rewinds its n_past (stale cache is masked).
         """
-        import jax
-
-        from llm_tpu.models.forward import decode_loop_batched
-
         self._admit()
         self._advance_prefills()
         retired = self._drain_retired()

@@ -241,12 +241,16 @@ class _StopScanner:
         if not self.stops:
             return text
         self.buf += text
-        for s in self.stops:
-            idx = self.buf.find(s)
-            if idx >= 0:
-                out, self.buf = self.buf[:idx], ""
-                self.hit = True
-                return out
+        # EARLIEST occurrence across all stop strings wins (list-order
+        # matching leaked text past an earlier-occurring stop)
+        best = min(
+            (i for i in (self.buf.find(s) for s in self.stops) if i >= 0),
+            default=-1,
+        )
+        if best >= 0:
+            out, self.buf = self.buf[:best], ""
+            self.hit = True
+            return out
         # longest tail that is a proper prefix of some stop string
         hold = 0
         for s in self.stops:
@@ -623,10 +627,18 @@ class LlmServer:
         (~20-40 s on a cold TPU) happen before the first client arrives.
         Requires the engine loop to be running."""
         # sampler=None: every engine accepts its own default (the plain
-        # Engine uses the default chain; SpeculativeEngine forces greedy)
+        # Engine uses the default chain; SpeculativeEngine forces greedy).
+        # requires_device_sampler engines (sampled speculative) reject a
+        # request without one — warmup must attach it or the submit fails
+        # silently and the first real client pays the cold compile
+        dev = None
+        if getattr(self.loop.engine, "requires_device_sampler", False):
+            from llm_tpu.ops.sampling import DeviceSampler
+
+            dev = DeviceSampler(kind="sample", temperature=1.0)
         gen = self._events(
             GenerationRequest(prompt=[min(2, self.model.spec.n_vocab - 1)],
-                              max_tokens=2),
+                              max_tokens=2, device_sampler=dev),
             _StopScanner(None),
         )
         for _ in gen:
@@ -872,7 +884,12 @@ def _make_handler(server: LlmServer):
                     if n_choices > 1 and body.get("seed") is not None:
                         b = dict(body, seed=int(body["seed"]) + i)
                     gens.append(server.completion(b))
-            except SamplerConfigurationError as e:
+            except (SamplerConfigurationError, ValueError, TypeError) as e:
+                # SamplerConfigurationError: bad sampler combination;
+                # ValueError/TypeError: malformed numerics anywhere in the
+                # body ({"temperature": "hot"}, a string seed, ...) — all
+                # client errors, all 400s (a traceback-and-hangup here
+                # closed the connection with no response)
                 for g in gens:  # free any already-submitted choices
                     g.close()
                 self._json(400, {"error": str(e)})

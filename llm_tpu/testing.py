@@ -43,9 +43,13 @@ def tiny_hparams(arch: str, **overrides) -> Hyperparameters:
         h.n_head_kv = 1
     for k, v in overrides.items():
         setattr(h, k, v)
-    if arch not in ("falcon",):
+    # derived defaults must not clobber EXPLICIT overrides (a test asking
+    # for GQA via n_head_kv=2 or a custom n_rot would silently get the
+    # default geometry back)
+    if arch not in ("falcon",) and "n_head_kv" not in overrides:
         h.n_head_kv = h.n_head
-    h.n_rot = h.n_embd // h.n_head
+    if "n_rot" not in overrides:
+        h.n_rot = h.n_embd // h.n_head
     return h
 
 

@@ -877,3 +877,28 @@ def test_device_sampler_extension_params(model):
     ms = device_sampler_from_params(
         {"temperature": 0.9, "mirostat": 2, "mirostat_tau": 4.0})
     assert ms is not None and ms.mirostat == 2 and ms.mirostat_tau == 4.0
+
+
+def test_stop_scanner_earliest_match_wins():
+    """With multiple stop strings in one fragment, the EARLIEST occurrence
+    truncates (list-order matching leaked text past an earlier stop)."""
+    s = _StopScanner(["###", "\n"])
+    assert s.push("foo\nbar###") == "foo"
+    assert s.hit
+    # and in the reverse declaration order
+    s2 = _StopScanner(["\n", "###"])
+    assert s2.push("foo###bar\n") == "foo"
+    assert s2.hit
+
+
+def test_empty_token_prompt_retires_with_error(model):
+    """A [] token prompt must retire as an error event, not sample a
+    whole completion from all-padding garbage logits."""
+    from llm_tpu.serve import Engine, GenerationRequest
+
+    engine = Engine(model, max_streams=1, kv_dtype="int8")
+    rid = engine.submit(GenerationRequest(prompt=[], max_tokens=4))
+    while engine.has_work():
+        engine.step()
+    assert engine.finished[rid].finish_reason.startswith("error")
+    assert not engine.finished[rid].text
