@@ -557,12 +557,16 @@ def ensure_checkpoint() -> str:
 def load_model():
     from llm_tpu.loader import ModelParameters, load
 
+    prev = os.environ.get("LLM_TPU_PACK_CACHE")
     os.environ["LLM_TPU_PACK_CACHE"] = "0"  # time the COLD path even if a
     try:  # plane cache from a previous bench run sits in /tmp
         t0 = time.time()
         model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
-    finally:
-        os.environ.pop("LLM_TPU_PACK_CACHE", None)
+    finally:  # restore (not pop): keep any operator-set value live
+        if prev is None:
+            os.environ.pop("LLM_TPU_PACK_CACHE", None)
+        else:
+            os.environ["LLM_TPU_PACK_CACHE"] = prev
     jax.block_until_ready(model.params.layers.wq.lo)
     load_s = time.time() - t0
     size_gb = os.path.getsize(CKPT) / 1e9
@@ -1210,8 +1214,13 @@ def _wait_for_backend(attempts: int = 20, probe_timeout: int = 120) -> None:
             headline = r
         else:
             print(json.dumps(r), flush=True)
-    if headline:
-        print(json.dumps(headline), flush=True)  # driver-parsed line, LAST
+    if headline is None:
+        # never let an arbitrary metric sit in the driver-parsed LAST
+        # line slot (a cached matrix from a partial run may lack the
+        # headline row)
+        raise SystemExit("device backend unreachable and the cached "
+                         "matrix has no headline row")
+    print(json.dumps(headline), flush=True)  # driver-parsed line, LAST
     raise SystemExit(0)
 
 

@@ -92,10 +92,10 @@ def add_generate_args(p: argparse.ArgumentParser) -> None:
                    help="accepted for parity; compute always runs on the TPU")
     g.add_argument("--device-sampling", action="store_true",
                    help="sample on the TPU, decoding N tokens per dispatch "
-                        "(greedy, or temperature/top-k/top-p/min-p/repetition/"
-                        "freqpresence from -s); 2x+ faster "
-                        "decode, but mirostat/tailfree/typical samplers "
-                        "need the host path")
+                        "(greedy, or temperature/top-k/top-p/min-p/tailfree/"
+                        "locallytypical/topa/mirostat1/mirostat2/repetition/"
+                        "freqpresence from -s); 2x+ faster decode. "
+                        "seqrepetition stays host-only")
     g.add_argument("--decode-steps", type=int, default=32,
                    help="tokens generated per dispatch with --device-sampling")
     g.add_argument("--draft-model", default=None,
@@ -262,16 +262,23 @@ def _infer_speculative(args, model) -> None:
     t0 = time.monotonic()
     s.feed_prompt(toks)
 
+    from llm_tpu.tokenizer import TokenUtf8Buffer
+
     decoded = [len(model.tokenizer.decode(s.tokens, True))]
+    utf8 = TokenUtf8Buffer()  # hold back split multi-byte characters
 
     def emit(tok):
-        # whole-sequence decode diff (the HF incremental rule)
+        # whole-sequence decode diff (the HF incremental rule); the UTF-8
+        # buffer keeps a character whose bytes span two accepted tokens
+        # from printing as replacement garbage
         if tok == model.eot_token_id():
             return
         text = model.tokenizer.decode(s.tokens, True)
-        sys.stdout.write(text[decoded[0]:].decode("utf-8", "replace"))
-        sys.stdout.flush()
+        piece = utf8.push(text[decoded[0]:])
         decoded[0] = len(text)
+        if piece:
+            sys.stdout.write(piece)
+            sys.stdout.flush()
 
     out = s.generate(
         args.num_predict if args.num_predict is not None else 2**31,
@@ -292,8 +299,7 @@ def cmd_infer(args) -> None:
     from llm_tpu import session as S
     from llm_tpu import snapshot as snap
 
-    prompt = resolve_prompt(args)
-    model = load_model(args)
+    # pure-argument validation BEFORE the multi-GB model load
     if getattr(args, "draft_model", None):
         if args.sampler_options or args.device_sampling:
             _err("--draft-model supports greedy sampling only")
@@ -302,6 +308,9 @@ def cmd_infer(args) -> None:
                  "(greedy acceptance has no bias hook)")
         if args.load_session or args.save_session or args.persist_session:
             _err("--draft-model does not support session snapshots")
+    prompt = resolve_prompt(args)
+    model = load_model(args)
+    if getattr(args, "draft_model", None):
         return _infer_speculative(args, model)
     config = session_config(args)
 
@@ -334,6 +343,17 @@ def cmd_infer(args) -> None:
                     return v
             return default
 
+        def _primary(kv, rest, field, default):
+            """Host DSL semantics (samplers._configure): a keyless part is
+            the sampler's primary value; otherwise the prefix-matched
+            key=value; otherwise the host class default. (The old
+            rest.split('=')[-1] form took the LAST '='-value regardless of
+            key — `topk:k=40:min_keep=2` silently became top_k=2.)"""
+            for part in filter(None, rest.split(":")):
+                if "=" not in part:
+                    return part.strip()
+            return _kv_get(kv, field, default)
+
         temp, topk, topp, minp = None, 0, 1.0, 0.0
         rep, last_n, freq, pres = 1.0, 64, 0.0, 0.0
         tfz, typ, topa = 1.0, 1.0, (0.0, 0.0)
@@ -345,17 +365,17 @@ def cmd_infer(args) -> None:
                 kvp.split("=", 1) for kvp in rest.split(":") if "=" in kvp
             )
             if key == "temperature":
-                temp = float(rest.split("=")[-1] or rest)
+                temp = float(_primary(kv, rest, "temperature", 0.8))
             elif key == "topk":
-                topk = int(rest.split("=")[-1] or rest)
+                topk = int(_primary(kv, rest, "k", 40))
             elif key == "topp":
-                topp = float(rest.split("=")[-1] or rest)
+                topp = float(_primary(kv, rest, "p", 0.95))
             elif key == "minp":
-                minp = float(rest.split("=")[-1] or rest)
+                minp = float(_primary(kv, rest, "p", 0.0))
             elif key == "tailfree":
-                tfz = float(rest.split("=")[-1] or rest)
+                tfz = float(_primary(kv, rest, "z", 1.0))
             elif key == "locallytypical":
-                typ = float(rest.split("=")[-1] or rest)
+                typ = float(_primary(kv, rest, "p", 1.0))
             elif key == "topa":
                 topa = (float(_kv_get(kv, "a1", 0.0)),
                         float(_kv_get(kv, "a2", 0.0)))
@@ -373,6 +393,14 @@ def cmd_infer(args) -> None:
                 freq = float(_kv_get(kv, "frequency", 0.0))
                 pres = float(_kv_get(kv, "presence", 0.0))
                 last_n = int(_kv_get(kv, "last_n", last_n))
+            else:
+                # mirror the host DSL: an unknown/unsupported sampler must
+                # be a visible error, not a silently-unsampled run
+                raise SystemExit(
+                    f"sampler {name!r} is not available on the device "
+                    "path (--device-sampling); drop the flag to use the "
+                    "host chain"
+                )
         # --token-bias / --ignore-eos ride the DeviceSampler's flat bias,
         # same precedence as the host chain (inference_parameters above)
         if args.token_bias:
@@ -413,7 +441,10 @@ def cmd_infer(args) -> None:
                 args.num_predict if args.num_predict is not None else 2**31,
                 sampler=sampler,
                 n_steps=args.decode_steps,
-                seed=args.seed or 0,
+                # unseeded sampled runs must vary per run like the host
+                # path's default_rng(None) (seed 0 made them identical)
+                seed=(args.seed if args.seed is not None
+                      else int.from_bytes(os.urandom(4), "little")),
                 callback=_print_token,
                 halt_on_eot=halt_on_eot,
             )
@@ -683,14 +714,18 @@ def cmd_chat(args) -> None:
         try:
             sess.feed_prompt(f"{prefix}{line}")
             cb = conversation_inference_callback(stop_sequence, _print_token)
+            from llm_tpu.tokenizer import TokenUtf8Buffer
+
+            utf8 = TokenUtf8Buffer()  # multi-byte chars split over tokens
             while True:
                 try:
                     token = sess.infer_next_token(rng, params)
                 except (S.EndOfText, S.ContextFull):
                     break
-                resp = S.InferenceResponse(
-                    "inferred_token", token.decode("utf-8", errors="replace")
-                )
+                piece = utf8.push(token)
+                if not piece:
+                    continue
+                resp = S.InferenceResponse("inferred_token", piece)
                 if cb(resp) is S.InferenceFeedback.Halt:
                     break
         except S.ContextFull:
@@ -728,6 +763,10 @@ def cmd_serve(args) -> None:
         raise SystemExit("--kv-int4 requires --paged (pool-only format)")
     if args.kv_int4 and args.kv_int8:
         raise SystemExit("--kv-int4 and --kv-int8 conflict; pick one")
+    if args.prefix_cache and (args.multihost or not args.paged):
+        raise SystemExit("--prefix-cache requires --paged (single-host)")
+    if args.multihost and args.draft_model:
+        raise SystemExit("--draft-model with --multihost: not yet")
 
     model = load_model(args)
     draft = None
