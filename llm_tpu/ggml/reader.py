@@ -134,10 +134,20 @@ class GgmlReader:
             ftype_raw = _read_u32(f)
             if n_dims > 2 or n_dims < 0:
                 raise FormatError(f"invariant broken: {n_dims} <= 2")
+            if name_len < 0:
+                raise FormatError(f"invariant broken: name_len {name_len}")
             dims = []
             for _ in range(n_dims):
-                dims.append(_read_i32(f))
-            name = f.read(name_len).decode("utf-8")
+                d = _read_i32(f)
+                if d <= 0:
+                    # a negative dim gives a NEGATIVE calc_size and walks
+                    # `pos` backwards (untyped OSError on the next seek)
+                    raise FormatError(f"invariant broken: dim {d} <= 0")
+                dims.append(d)
+            name_b = f.read(name_len)
+            if len(name_b) != name_len:
+                raise FormatError("unexpected end of file in tensor name")
+            name = name_b.decode("utf-8", errors="replace")
             try:
                 element_type = GgmlType(ftype_raw)
             except ValueError:

@@ -279,8 +279,14 @@ def load(
     )
     if params.n_gqa is not None and spec.arch == "llama":
         hp.n_head_kv = spec.n_head_kv
-
-    start = time.time()
+    if spec.learned_pos:
+        # learned positional embeddings (gpt2/bloom wpe) physically cap
+        # the context at the checkpoint's table height: past it, the
+        # position gather would CLAMP to the last row and silently
+        # degrade every token (JAX out-of-bounds gather semantics)
+        file_ctx = getattr(hp, "n_ctx", 0) or 0
+        if file_ctx and spec.n_ctx > file_ctx:
+            spec = with_runtime_params(spec, context_size=file_ctx)
 
     def tensor_progress(name: str, current: int, total: int) -> None:
         progress(LoadProgress("tensor_loaded", current=current, total=total))
@@ -310,7 +316,6 @@ def load(
         device_params = build_params(ws, spec)
 
     progress(LoadProgress("loaded", byte_size=total_bytes))
-    del start
 
     model = Model(
         arch=arch,

@@ -67,16 +67,25 @@ class ModelSpec:
 # hyperparameters (on-disk codec)
 
 
+class HyperparametersError(ValueError):
+    pass
+
+
+def _read4(f: BinaryIO) -> bytes:
+    b = f.read(4)
+    if len(b) != 4:  # typed error (never struct.error) on truncation
+        raise HyperparametersError(
+            "unexpected end of file in hyperparameters"
+        )
+    return b
+
+
 def _read_i32(f: BinaryIO) -> int:
-    return struct.unpack("<i", f.read(4))[0]
+    return struct.unpack("<i", _read4(f))[0]
 
 
 def _read_f32(f: BinaryIO) -> float:
-    return struct.unpack("<f", f.read(4))[0]
-
-
-class HyperparametersError(ValueError):
-    pass
+    return struct.unpack("<f", _read4(f))[0]
 
 
 @dataclass

@@ -11,8 +11,9 @@ Numerics mirror the ggml CPU ops the reference builds its graphs from
 - rope:        ggml_rope_(custom_)inplace modes 0 (GPT interleaved pairs) and
                2 (NeoX half-rotation), with frequency base/scale overrides
                (context.rs:558-590); theta_j = scale * pos * base^(-2j/n_dims)
-- alibi_bias:  ggml_alibi — per-head slope from n_head rounded down to a
-               power of two, bias = slope * absolute key index
+- alibi_slopes: ggml_alibi's per-head slopes — n_head rounded down to a
+               power of two; bias = slope * absolute key index (inlined
+               at each attention site)
 
 These are deliberately plain jnp: XLA fuses all of them into neighbouring
 matmuls; only the dequant-matmul (ops/qmatmul.py) needs a hand-written
@@ -131,8 +132,7 @@ def alibi_slopes(n_head: int, bias_max: float) -> jnp.ndarray:
     return jnp.asarray(slopes, dtype=jnp.float32)
 
 
-def alibi_bias(
-    slopes: jnp.ndarray, key_positions: jnp.ndarray
-) -> jnp.ndarray:
-    """[H] slopes x [S] absolute key indices -> [H, S] additive bias."""
-    return slopes[:, None] * key_positions.astype(jnp.float32)[None, :]
+# (the slopes-times-key-position product is inlined at each attention
+# site — forward._attention_batched, ring._ring_pass, the paged passes —
+# where the broadcasting shapes differ; alibi_slopes above is the single
+# shared piece)

@@ -247,6 +247,9 @@ def pipeline_step(
     spec, params, ids, n_past, cache, mesh, n_microbatches, window=None
 ):
     """Jitted pipeline forward; cache donated (in-place update)."""
+    from llm_tpu.models.forward import _check_window
+
+    _check_window(window, n_past, extra=ids.shape[1])
     return pipeline_forward_batched(
         spec, params, ids, n_past, cache, mesh, n_microbatches, window
     )

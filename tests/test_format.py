@@ -157,3 +157,34 @@ def test_corrupt_ggjt_load_fails_cleanly(tmp_path):
             load(p, "llama", params=ModelParameters(context_size=32))
         except (FormatError, LoadError, ValueError):
             pass  # clean typed failure (or the flip was harmless)
+
+
+def test_truncated_hyperparameters_typed_error(tmp_path):
+    """Truncation INSIDE the hyperparameter block raises the typed error
+    family, not struct.error (the fuzz seed never drew this cut)."""
+    from llm_tpu.loader import LoadError, ModelParameters, load
+    from llm_tpu.testing import make_tiny_file
+
+    src = tmp_path / "m.bin"
+    make_tiny_file("llama", src)
+    data = src.read_bytes()
+    p = tmp_path / "cut.bin"
+    for cut in (9, 10, 13, 21):  # mid-field cuts inside the hparams
+        p.write_bytes(data[:cut])
+        with pytest.raises((FormatError, LoadError, ValueError)):
+            load(p, "llama", params=ModelParameters(context_size=32))
+
+
+def test_gpt2_context_clamped_to_wpe_table(tmp_path):
+    """learned-position archs cap the runtime context at the checkpoint's
+    positional table height (past it the gather would CLAMP to the last
+    row and silently degrade every token)."""
+    from llm_tpu.loader import ModelParameters, load
+    from llm_tpu.testing import make_tiny_file
+
+    p = tmp_path / "g.bin"
+    make_tiny_file("gpt2", p)  # file n_ctx = 64
+    m = load(p, "gpt2", params=ModelParameters(context_size=2048))
+    assert m.spec.n_ctx == 64
+    m2 = load(p, "gpt2", params=ModelParameters(context_size=32))
+    assert m2.spec.n_ctx == 32  # smaller-than-file stays honored
