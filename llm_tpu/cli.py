@@ -533,15 +533,24 @@ def cmd_verify(args) -> None:
 
     extra = []
     if args.ppl_corpus:
-        extra.append({"Perplexity": {
-            "corpus": args.ppl_corpus,
-            "expected": args.ppl_expected,
-            "tolerance": args.ppl_tolerance,
-        }})
+        case = {"corpus": args.ppl_corpus, "tolerance": args.ppl_tolerance}
+        if args.ppl_expected is not None:
+            case["expected"] = args.ppl_expected
+        extra.append({"Perplexity": case})
+
+    record = bool(getattr(args, "record", False))
+    if record:
+        cfg.setdefault("architecture", arch)
+        if not (overrides.get("model_path") or cfg.get("model_path")
+                or cfg.get("url")):
+            raise SystemExit(
+                "verify --record: needs a local checkpoint (-m) or a "
+                "--config with a model_path/url"
+            )
 
     report = harness.run_arch(arch, harness.DEFAULT_CONFIG_DIR,
                               overrides=overrides, extra_cases=extra,
-                              config=cfg)
+                              config=cfg, record=record)
     ok = report.status == "ok" and all(
         c.status == "passed" for c in report.cases
     )
@@ -552,6 +561,17 @@ def cmd_verify(args) -> None:
         print(line)
     if report.error:
         print(report.error.splitlines()[0], file=sys.stderr)
+    if record and ok and report.recorded is not None:
+        out_path = Path(
+            args.record_out or args.config
+            or harness.DEFAULT_CONFIG_DIR / "real" / f"{arch}.recorded.json"
+        )
+        if args.model_path and args.config and cfg.get("url"):
+            # -m overrode a url-pinned config: the url stays canonical;
+            # don't bake this machine's local path into the shared file
+            report.recorded.pop("model_path", None)
+        out_path.write_text(_json.dumps(report.recorded, indent=2) + "\n")
+        print(f"recorded goldens -> {out_path}")
     print("PASS" if ok else "FAIL")
     if not ok:
         raise SystemExit(1)
@@ -920,6 +940,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ppl-expected", type=float, default=None,
                    help="reference PPL; ours must be <= expected + tolerance")
     p.add_argument("--ppl-tolerance", type=float, default=0.1)
+    p.add_argument("--record", action="store_true",
+                   help="record the observed goldens (Tokens argmax, greedy "
+                   "Inference text, measured PPL) and the file's sha256 "
+                   "into the config instead of asserting them — run this "
+                   "once on a machine that has the real checkpoint")
+    p.add_argument("--record-out", default=None,
+                   help="where to write the recorded config (default: the "
+                   "--config path, or test_configs/real/<arch>.recorded.json)")
     p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser(

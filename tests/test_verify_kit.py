@@ -93,6 +93,87 @@ def test_stale_cache_redownloaded(tmp_path, real_file, monkeypatch):
     assert p.read_bytes() == real_file.read_bytes()
 
 
+def test_record_then_replay(tmp_path, real_file, capsys):
+    """`verify --record` closes the egress gap (VERDICT r4 item 2): it
+    writes the observed goldens + sha256 into the config; a subsequent
+    plain verify against the recorded config must then assert (and pass on)
+    those goldens, and a corrupted golden must fail."""
+    import hashlib
+
+    from llm_tpu.cli import main
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("<t2><t3><t4><t5>" * 80)
+
+    cfg = _config(tmp_path, real_file)
+    main(["verify", "--config", str(cfg), "--record",
+          "--ppl-corpus", str(corpus)])
+    out = capsys.readouterr().out
+    assert "recorded goldens ->" in out and "PASS" in out
+
+    rec = json.loads(cfg.read_text())
+    assert rec["sha256"] == hashlib.sha256(
+        real_file.read_bytes()).hexdigest()
+    cases = {list(c)[0]: c[list(c)[0]] for c in rec["test_cases"]}
+    assert isinstance(cases["Tokens"]["output"], int)
+    assert cases["Tokens"]["output_backend"] == "cpu"
+    assert isinstance(cases["Inference"]["output"], str)
+    assert cases["Perplexity"]["expected"] > 0
+
+    # replay: the recorded goldens are now asserted — and pass
+    main(["verify", "--config", str(cfg)])
+    out = capsys.readouterr().out
+    assert "PASS" in out and "failed" not in out
+
+    # a corrupted golden fails the replay
+    rec["test_cases"][1]["Tokens"]["output"] += 1
+    cfg.write_text(json.dumps(rec))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["verify", "--config", str(cfg)])
+    assert "Tokens: failed" in capsys.readouterr().out
+
+
+def test_record_requires_local_model(tmp_path, capsys):
+    from llm_tpu.cli import main
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"architecture": "llama"}))
+    with pytest.raises(SystemExit, match="record"):
+        main(["verify", "--config", str(cfg), "--record"])
+
+
+def test_record_keeps_url_canonical(tmp_path, real_file, capsys,
+                                    monkeypatch):
+    """Recording with -m against a url-pinned config must not bake the
+    local override path into the shared config."""
+    import hashlib
+
+    from llm_tpu import harness
+    from llm_tpu.cli import main
+
+    monkeypatch.setattr(harness, "TEST_DIR", tmp_path / ".tests")
+    cfg_path = tmp_path / "url.json"
+    cfg_path.write_text(json.dumps({
+        "architecture": "llama",
+        "url": real_file.as_uri(),
+        "filename": "url.bin",
+        "sha256": None,
+        "context_size": 64,
+        "test_cases": [
+            {"Tokens": {"input": "<t5><t7>"}},
+        ],
+    }))
+    main(["verify", "--config", str(cfg_path), "-m", str(real_file),
+          "--record"])
+    capsys.readouterr()
+    rec = json.loads(cfg_path.read_text())
+    assert "model_path" not in rec
+    assert rec["url"] == real_file.as_uri()
+    assert rec["sha256"] == hashlib.sha256(
+        real_file.read_bytes()).hexdigest()
+
+
 def test_ppl_gate(tmp_path, real_file, capsys):
     """The perplexity case measures through session.perplexity and gates
     on expected + tolerance: the measured value passes against itself and
