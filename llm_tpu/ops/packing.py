@@ -510,6 +510,208 @@ def dequant_jnp(qt: QuantTensor, dtype=jnp.float32, trim: bool = True) -> jnp.nd
 
 
 # ---------------------------------------------------------------------------
+# coalesced layout: one contiguous DMA burst per kernel grid step
+#
+# The plane layout above issues 2-4 separate block DMAs per (r, k) grid step
+# (lo / hi / scale / bias), each a STRIDED gather of tile_r*4-byte row
+# fragments out of an R-wide plane. The coalesced layout re-tiles all planes
+# at pack time into a single uint32 buffer ordered so that the whole
+# (r, k) weight block is one linear span of HBM:
+#
+#     buf[(L,) n_r * n_k * rows_tile, tile_r]      rows_tile = lo|hi|scale|bias
+#
+# i.e. for each output tile r and reduction tile k, the lo rows, then hi
+# rows, then scale rows, then bias rows of that block sit consecutively.
+# The kernel reads ONE (rows_tile, tile_r) block per step — a single
+# contiguous DMA — and slices the segments apart in VMEM (static offsets).
+# f32 scale planes are bitcast to uint32; q8_0's int8 plane is byte-packed
+# into uint32 words (two's complement, sign-extending unpack).
+
+
+def coalesced_seg_rows(fmt: QFormat, tile_k: int,
+                       scale_packed: bool) -> tuple[int, int, int, int]:
+    """uint32 rows of each segment (lo, hi, scale, bias) per k-tile."""
+    lo = tile_k // (32 // fmt.lo_bits) if fmt.lo_bits < 8 else tile_k // 4
+    hi = tile_k // (32 // fmt.hi_bits) if fmt.hi_bits else 0
+    sc = tile_k // fmt.gsize // (2 if scale_packed else 1)
+    return lo, hi, sc, (sc if fmt.has_bias else 0)
+
+
+def _bytes_pack_np(a: np.ndarray) -> np.ndarray:
+    """int8 [..., K, R] -> uint32 [..., K/4, R], element e of each word in
+    bits [8e, 8e+8) as a two's-complement byte (unpack sign-extends)."""
+    b = a.view(np.uint8).astype(np.uint32)
+    K, R = b.shape[-2], b.shape[-1]
+    b = b.reshape(*b.shape[:-2], K // 4, 4, R)
+    shifts = (np.arange(4, dtype=np.uint32) * 8).reshape(1, 4, 1)
+    return (b << shifts).sum(axis=-2, dtype=np.uint32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantTensorC:
+    """Coalesced block-quantized matrix (see module comment above).
+
+    `buf` is uint32 [(L,) n_r*n_k*rows_tile, tile_r]; all other fields are
+    static. kp/rp are the padded dims the tiling was built over."""
+
+    fmt_name: str
+    k: int
+    r: int
+    kp: int
+    rp: int
+    tile_k: int
+    tile_r: int
+    scale_packed: bool
+    buf: jnp.ndarray
+    splits: Optional[tuple] = None
+
+    @property
+    def fmt(self) -> QFormat:
+        return _BY_NAME[self.fmt_name][1]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.k, self.r)
+
+    @property
+    def k_padded(self) -> int:
+        return self.kp
+
+    @property
+    def r_padded(self) -> int:
+        return self.rp
+
+    @property
+    def seg_rows(self) -> tuple[int, int, int, int]:
+        return coalesced_seg_rows(self.fmt, self.tile_k, self.scale_packed)
+
+    def tree_flatten(self):
+        aux = (self.fmt_name, self.k, self.r, self.kp, self.rp,
+               self.tile_k, self.tile_r, self.scale_packed, self.splits)
+        return (self.buf,), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (buf,) = children
+        f, k, r, kp, rp, tk, tr, sp, splits = aux
+        return cls(f, k, r, kp, rp, tk, tr, sp, buf, splits)
+
+
+def coalesce_qt(qt: QuantTensor, tile_k: int, tile_r: int,
+                to_device: bool = True) -> QuantTensorC:
+    """Re-tile a QuantTensor's planes (host numpy or device; stacked [L,...]
+    or flat) into the coalesced single-buffer layout. Host-side transform."""
+    fmt = qt.fmt
+    packed = qt.scale_packed
+    Kp, Rp = qt.k_padded, qt.r_padded
+    assert Kp % tile_k == 0 and Rp % tile_r == 0, (Kp, tile_k, Rp, tile_r)
+    n_k, n_r = Kp // tile_k, Rp // tile_r
+    segs = coalesced_seg_rows(fmt, tile_k, packed)
+    assert all(s % 8 == 0 for s in segs if s), (
+        f"coalesce tile_k={tile_k} gives non-8-multiple segment rows {segs} "
+        f"for {fmt.name}"
+    )
+
+    def words(p, kind):
+        if p is None:
+            return None
+        a = np.asarray(p)
+        if kind == "lo" and fmt.lo_bits == 8:
+            a = _bytes_pack_np(a)
+        elif a.dtype == np.float32:
+            a = a.view(np.uint32)
+        return a
+
+    def arrange(p, seg):
+        # [..., n_k*seg, n_r*tile_r] -> [..., n_r, n_k, seg, tile_r]
+        lead = p.shape[:-2]
+        p = p.reshape(*lead, n_k, seg, n_r, tile_r)
+        return np.moveaxis(p, -2, -4)
+
+    parts = []
+    for plane, kind, seg in (
+        (qt.lo, "lo", segs[0]), (qt.hi, "hi", segs[1]),
+        (qt.scale, "scale", segs[2]), (qt.bias, "bias", segs[3]),
+    ):
+        if seg:
+            parts.append(arrange(words(plane, kind), seg))
+    buf = np.concatenate(parts, axis=-2)
+    lead = buf.shape[:-4]
+    buf = np.ascontiguousarray(
+        buf.reshape(*lead, n_r * n_k * sum(segs), tile_r)
+    )
+    return QuantTensorC(
+        fmt.name, qt.k, qt.r, Kp, Rp, tile_k, tile_r, packed,
+        jnp.asarray(buf) if to_device else buf, qt.splits,
+    )
+
+
+def _unpack_bytes_jnp(words: jnp.ndarray) -> jnp.ndarray:
+    """uint32 [Kw, R] of packed two's-complement bytes -> int32 [4*Kw, R]."""
+    return unpack_plane(words, 8, signed=True)
+
+
+def uncoalesce_planes(qtc: QuantTensorC, buf: Optional[jnp.ndarray] = None):
+    """Traceable inverse of coalesce_qt's arrangement: the (lo, hi, scale,
+    bias) plane views of a FLAT (2D) coalesced buffer (scale/bias back in
+    f32 when they were bitcast; q8_0's lo back to int8 VALUES as int32).
+    Stacked callers pass one layer's slice via `buf`."""
+    fmt = qtc.fmt
+    segs = qtc.seg_rows
+    n_k = qtc.kp // qtc.tile_k
+    n_r = qtc.rp // qtc.tile_r
+    rows = sum(segs)
+    b = qtc.buf if buf is None else buf
+    assert b.ndim == 2, "uncoalesce_planes wants a flat buffer"
+    b = b.reshape(n_r, n_k, rows, qtc.tile_r)
+    b = jnp.moveaxis(b, 0, 2)  # [n_k, rows, n_r, tile_r]
+
+    out, off = [], 0
+    for seg in segs:
+        if not seg:
+            out.append(None)
+            continue
+        p = b[:, off : off + seg, :, :]
+        off += seg
+        out.append(p.reshape(n_k * seg, n_r * qtc.tile_r))
+    lo, hi, sc, bias = out
+    if fmt.lo_bits == 8:
+        lo = _unpack_bytes_jnp(lo)
+    if not qtc.scale_packed:
+        sc = jax.lax.bitcast_convert_type(sc, jnp.float32)
+        if bias is not None:
+            bias = jax.lax.bitcast_convert_type(bias, jnp.float32)
+    return lo, hi, sc, bias
+
+
+def dequant_c_jnp(qtc: QuantTensorC, dtype=jnp.float32, trim: bool = True,
+                  buf: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Reference dequantization of the coalesced layout (XLA fallback path
+    and the oracle for coalesced-kernel tests). `buf` overrides qtc.buf
+    (one layer's slice of a stacked tensor)."""
+    fmt = qtc.fmt
+    lo, hi, sc, bias = uncoalesce_planes(qtc, buf)
+    if fmt.lo_bits == 8:
+        q = lo  # already int32 values
+    else:
+        q = unpack_plane(lo, fmt.lo_bits, signed=fmt.signed_lo)
+        if hi is not None:
+            q = q | (unpack_plane(hi, fmt.hi_bits) << fmt.lo_bits)
+    zero = effective_zero(fmt)
+    sc_f = expand_f16x2(sc) if qtc.scale_packed else sc
+    w = (q - zero if zero else q).astype(jnp.float32) * _expand_groups(
+        sc_f, fmt.gsize
+    )
+    if bias is not None:
+        b_f = expand_f16x2(bias) if qtc.scale_packed else bias
+        w = w + _expand_groups(b_f, fmt.gsize)
+    if trim:
+        w = w[: qtc.k, : qtc.r]
+    return w.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
 # int4 KV packing (paged pools)
 
 

@@ -30,8 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from llm_tpu.ops.packing import (
     QuantTensor,
+    QuantTensorC,
     QFormat,
     dequant_jnp,
+    dequant_c_jnp,
     expand_f16x2,
     unpack_plane,
     _expand_groups,
@@ -249,6 +251,211 @@ def _make_kernel(
             out_ref[:] = acc_ref[:].astype(out_dtype)
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# coalesced-layout kernel: one contiguous DMA per grid step
+#
+# The plane kernel above issues one block DMA per plane per grid step, and
+# each of those blocks is a strided gather of tile_r*4-byte row fragments
+# out of an R-wide plane in HBM. The coalesced layout (packing.QuantTensorC)
+# stores each (r, k) weight block — lo rows, hi rows, scale rows, bias rows —
+# as ONE linear span, so the whole block arrives in a single unbroken DMA
+# burst. This is the round-5 experiment against the packed-plane DMA-pattern
+# hypothesis (the fused kernel sustained ~235-288 GB/s vs ~360-415 dense).
+
+
+def _make_kernel_c(fmt, n_k, out_dtype, segs, stacked, scale_packed,
+                   sub_slices):
+    lo_r, hi_r, sc_r, b_r = segs
+
+    def kernel(*refs):
+        i = 1 if stacked else 0
+        x_ref, buf_ref, out_ref, acc_ref = refs[i], refs[i + 1], refs[i + 2], refs[i + 3]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        buf = buf_ref[0] if stacked else buf_ref[:]
+        o = lo_r
+        lo = buf[:lo_r]
+        hi = None
+        if hi_r:
+            hi = buf[o : o + hi_r]
+            o += hi_r
+        scw = buf[o : o + sc_r]
+        o += sc_r
+        bw = buf[o : o + b_r] if b_r else None
+
+        def S(w):
+            if scale_packed:
+                return expand_f16x2(w)
+            return jax.lax.bitcast_convert_type(w, jnp.float32)
+
+        def sub(a, s):
+            if a is None or sub_slices == 1:
+                return a
+            rows = a.shape[0] // sub_slices
+            return a[s * rows : (s + 1) * rows]
+
+        xk = x_ref[:]
+        sub_k = xk.shape[-1] // sub_slices
+        acc = jnp.zeros_like(acc_ref)
+        for s in range(sub_slices):
+            if fmt.lo_bits == 8:
+                q = unpack_plane(sub(lo, s), 8, signed=True)
+            else:
+                q = unpack_plane(sub(lo, s), fmt.lo_bits,
+                                 signed=fmt.signed_lo)
+                if hi is not None:
+                    q = q | (unpack_plane(sub(hi, s), fmt.hi_bits)
+                             << fmt.lo_bits)
+            zero = 0 if (fmt.signed_lo or fmt.lo_bits == 8) else fmt.zero
+            w = (q - zero if zero else q).astype(jnp.float32) * _expand_groups(
+                S(sub(scw, s)), fmt.gsize
+            )
+            if bw is not None:
+                w = w + _expand_groups(S(sub(bw, s)), fmt.gsize)
+            w = w.astype(jnp.bfloat16)
+            x = xk[:, s * sub_k : (s + 1) * sub_k].astype(jnp.bfloat16)
+            acc = acc + jnp.dot(x, w, preferred_element_type=jnp.float32)
+        acc_ref[:] += acc
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return kernel
+
+
+def _pick_sub_c(segs, tile_k: int, target: int) -> int:
+    """Sub-slice count for the coalesced kernel: every non-empty segment's
+    sliced row count must stay a multiple of 8 (static VMEM slicing at
+    sublane granularity) and tile_k must divide evenly."""
+    if target <= 0 or tile_k <= target:
+        return 1
+    for n in range(tile_k // target, 1, -1):
+        if tile_k % n:
+            continue
+        if all(s % n == 0 and (s // n) % 8 == 0 for s in segs if s):
+            return n
+    return 1
+
+
+def coalesce_tiles(fmt: QFormat, Kp: int, Rp: int, packed: bool,
+                   sub_target: int = 2048) -> tuple[int, int, int]:
+    """Default (tile_k, tile_r, sub_slices) for coalescing a weight,
+    decode-optimized: whole-K in one grid step when a bounded sub-slicing
+    keeps the dequant intermediates VMEM-sized, else the largest legal
+    tile_k <= 2048. tile_r <= 512 (lane-dim divisor of Rp)."""
+    from llm_tpu.ops.packing import coalesced_seg_rows
+
+    tile_r = _pick_tile(Rp, 512, 128)
+
+    def legal(tk):
+        segs = coalesced_seg_rows(fmt, tk, packed)
+        return Kp % tk == 0 and all(s % 8 == 0 for s in segs if s)
+
+    if legal(Kp):
+        segs = coalesced_seg_rows(fmt, Kp, packed)
+        n = _pick_sub_c(segs, Kp, sub_target)
+        if Kp <= max(2048, sub_target) or (
+            n > 1 and Kp // n <= max(2048, sub_target)
+        ):
+            return Kp, tile_r, n
+    for tk in range(min(2048, Kp), 63, -64):
+        if legal(tk):
+            segs = coalesced_seg_rows(fmt, tk, packed)
+            return tk, tile_r, _pick_sub_c(segs, tk, sub_target)
+    raise ValueError(
+        f"no legal coalesce tile_k for {fmt.name} Kp={Kp}"
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_pallas_c(x, qtc, *, interpret=False):
+    """x [M, K] @ dequant(coalesced qtc) [K, R] -> [M, R]."""
+    fmt = qtc.fmt
+    Kp, Rp = qtc.kp, qtc.rp
+    tile_k, tile_r = qtc.tile_k, qtc.tile_r
+    segs = qtc.seg_rows
+    rows = sum(segs)
+    n_r, n_k = Rp // tile_r, Kp // tile_k
+    n_sub = _pick_sub_c(segs, tile_k, _sub_k_target() or 2048)
+    M = x.shape[0]
+    Mp = _round_up(max(M, 8), 8)
+    if x.shape != (Mp, Kp):
+        x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
+    x = x.astype(jnp.bfloat16)
+
+    in_specs = [
+        pl.BlockSpec((Mp, tile_k), lambda r, k: (0, k)),
+        pl.BlockSpec((rows, tile_r), lambda r, k: (r * n_k + k, 0)),
+    ]
+    kernel = _make_kernel_c(fmt, n_k, jnp.float32, segs, False,
+                            qtc.scale_packed, n_sub)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_r, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Mp, tile_r), lambda r, k: (0, r)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Rp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_r), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Kp * Rp,
+            bytes_accessed=qtc.buf.size * 4 + x.size * 2 * n_r + Mp * Rp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qtc.buf)
+    return y[:M, : qtc.r]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_pallas_c_stacked(x, qtc, layer, *, interpret=False):
+    """x [M, K] @ dequant(coalesced qtc[layer]) [K, R] -> [M, R]; the layer
+    is selected by scalar-prefetch index maps (no slice copy)."""
+    fmt = qtc.fmt
+    Kp, Rp = qtc.kp, qtc.rp
+    tile_k, tile_r = qtc.tile_k, qtc.tile_r
+    segs = qtc.seg_rows
+    rows = sum(segs)
+    n_r, n_k = Rp // tile_r, Kp // tile_k
+    n_sub = _pick_sub_c(segs, tile_k, _sub_k_target() or 2048)
+    M = x.shape[0]
+    Mp = _round_up(max(M, 8), 8)
+    if x.shape != (Mp, Kp):
+        x = jnp.pad(x, ((0, Mp - M), (0, Kp - x.shape[1])))
+    x = x.astype(jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_r, n_k),
+        in_specs=[
+            pl.BlockSpec((Mp, tile_k), lambda r, k, l: (0, k)),
+            pl.BlockSpec((1, rows, tile_r),
+                         lambda r, k, l: (l[0], r * n_k + k, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mp, tile_r), lambda r, k, l: (0, r)),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_r), jnp.float32)],
+    )
+    kernel = _make_kernel_c(fmt, n_k, jnp.float32, segs, True,
+                            qtc.scale_packed, n_sub)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, Rp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Kp * Rp,
+            bytes_accessed=qtc.buf.size // qtc.buf.shape[0] * 4
+            + x.size * 2 * n_r + Mp * Rp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, qtc.buf)
+    return y[:M, : qtc.r]
 
 
 def _sub_k_target() -> int:
@@ -516,6 +723,22 @@ def qmatmul(x: jnp.ndarray, w, layer=None) -> jnp.ndarray:
     over layers), selects the layer inside the kernel via scalar prefetch —
     no weight-slice copy.
     """
+    if isinstance(w, QuantTensorC):
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        mode = _backend_mode()
+        if layer is not None:
+            if _use_pallas():
+                y = _qmatmul_pallas_c_stacked(
+                    x2, w, layer, interpret=(mode == "interpret")
+                )
+            else:
+                y = x2 @ dequant_c_jnp(w, jnp.float32, buf=w.buf[layer])
+        elif _use_pallas():
+            y = _qmatmul_pallas_c(x2, w, interpret=(mode == "interpret"))
+        else:
+            y = x2 @ dequant_c_jnp(w, jnp.float32)
+        return y.reshape(*lead, w.r)
     if isinstance(w, QuantTensor):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])

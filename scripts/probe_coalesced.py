@@ -1,0 +1,181 @@
+"""A/B the coalesced single-DMA layout against the production plane kernel.
+
+Round-5 experiment (VERDICT #1): the plane kernel issues 2-3 strided block
+DMAs per grid step; the coalesced layout (QuantTensorC) stores each (r, k)
+weight block as one linear HBM span so each step is ONE contiguous burst.
+Methodology per docs/roadmap.md: interleave variants in one process,
+medians-of-many rounds, and report the MARGINAL rate ((t_long - t_short) /
+extra work) so the ~28 ms dispatch RTT and scan fixed costs cancel.
+
+Variants at 7B FFN geometry, stacked over L layers (the production decode
+call shape):
+  plane      production _qmatmul_pallas_stacked, default tiles
+  coal2048   coalesced tile_k=2048 (or largest legal), one DMA per step
+  coalK      coalesced whole-K single k-step (sub-sliced dequant)
+  dense      bf16 matmul, same logical shape (the chip-rate denominator)
+
+Run: python -u scripts/probe_coalesced.py [--shape down] [--rounds N]
+"""
+
+import argparse
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_tpu.ggml.quant import quantize
+from llm_tpu.ggml.types import GgmlType
+import importlib
+
+from llm_tpu.ops.packing import QuantTensor, coalesce_qt, pack_ggml
+
+qm = importlib.import_module("llm_tpu.ops.qmatmul")
+
+L = 4
+SHORT, LONG = 48, 96  # chain reps (x L iterations each)
+
+
+def build(K, R):
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((R, K)) * 0.02).astype(np.float32)
+    qt = pack_ggml(GgmlType.Q4_0, quantize(GgmlType.Q4_0, w), (K, R))
+
+    def st(p):
+        return None if p is None else jnp.stack([p] * L)
+
+    sq = QuantTensor(qt.fmt_name, qt.k, qt.r, st(qt.lo), st(qt.hi),
+                     st(qt.scale), st(qt.bias))
+    plane_bytes = sum(
+        p.nbytes for p in (qt.lo, qt.hi, qt.scale, qt.bias) if p is not None
+    )
+
+    tiles = {}
+    Kp, Rp = qt.k_padded, qt.r_padded
+    tk_def, tr_def, _ = qm.coalesce_tiles(qt.fmt, Kp, Rp, qt.scale_packed)
+    # bounded-tile variant: largest legal tile_k <= 2048
+    for tk in range(min(2048, Kp), 63, -64):
+        from llm_tpu.ops.packing import coalesced_seg_rows
+        segs = coalesced_seg_rows(qt.fmt, tk, qt.scale_packed)
+        if Kp % tk == 0 and all(s % 8 == 0 for s in segs if s):
+            tiles["coal2048"] = (tk, tr_def)
+            break
+    if tk_def != tiles.get("coal2048", (None,))[0]:
+        tiles["coalK"] = (tk_def, tr_def)
+
+    qtcs = {name: coalesce_qt(sq, tk, tr) for name, (tk, tr) in tiles.items()}
+    dense = jnp.asarray((np.asarray(qt.lo) * 0).astype(np.float32))  # unused
+    wd = jax.random.normal(jax.random.PRNGKey(1), (L, Kp, Rp), jnp.bfloat16)
+    del dense
+    return qt, sq, qtcs, wd, plane_bytes, Kp, Rp
+
+
+def make_chains(K, R, sq, qtcs, wd, Kp, Rp):
+    E = K
+
+    def mk(call, reps):
+        @jax.jit
+        def chain(x):
+            def body(h, i):
+                y = call(h, i % L)
+                h2 = y[:, :E] if y.shape[1] >= E else jnp.pad(
+                    y, ((0, 0), (0, E - y.shape[1])))
+                h = h + h2 * 1e-6
+                h = h / (jnp.max(jnp.abs(h)) + 1.0)
+                return h, None
+
+            h, _ = jax.lax.scan(body, x,
+                                jnp.arange(L * reps, dtype=jnp.int32))
+            return h
+
+        return chain
+
+    chains = {}
+    chains["plane"] = {
+        r: mk(lambda h, l: qm._qmatmul_pallas_stacked(h, sq, l), r)
+        for r in (SHORT, LONG)
+    }
+    for name, qtc in qtcs.items():
+        chains[name] = {
+            r: mk(lambda h, l, q=qtc: qm._qmatmul_pallas_c_stacked(h, q, l),
+                  r)
+            for r in (SHORT, LONG)
+        }
+
+    def dense_call(h, l):
+        return jnp.dot(h.astype(jnp.bfloat16), wd[l],
+                       preferred_element_type=jnp.float32)
+
+    chains["dense"] = {r: mk(dense_call, r) for r in (SHORT, LONG)}
+    return chains
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="up", choices=["up", "down"])
+    ap.add_argument("--rounds", type=int, default=7)
+    args = ap.parse_args()
+    K, R = (4096, 11008) if args.shape == "up" else (11008, 4096)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    qt, sq, qtcs, wd, plane_bytes, Kp, Rp = build(K, R)
+    for name, qtc in qtcs.items():
+        print(f"{name}: tile=({qtc.tile_k},{qtc.tile_r}) "
+              f"buf={qtc.buf.nbytes/1e6:.1f}MB "
+              f"grid=({qtc.rp//qtc.tile_r},{qtc.kp//qtc.tile_k})", flush=True)
+    chains = make_chains(K, R, sq, qtcs, wd, Kp, Rp)
+
+    x = jnp.ones((8, K), jnp.float32)
+    # compile everything first
+    for name, cs in chains.items():
+        t0 = time.perf_counter()
+        for r, c in cs.items():
+            float(c(x)[0, 0])
+        print(f"compiled {name} in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    bytes_per = {n: plane_bytes for n in chains}
+    bytes_per["dense"] = Kp * Rp * 2
+
+    results = {n: {SHORT: [], LONG: []} for n in chains}
+    names = list(chains)
+    for rnd in range(args.rounds):
+        for name in names:
+            for r in (SHORT, LONG):
+                t0 = time.perf_counter()
+                float(chains[name][r](x)[0, 0])
+                results[name][r].append(time.perf_counter() - t0)
+        names = names[1:] + names[:1]  # rotate order
+        print(f"round {rnd+1}/{args.rounds} done", flush=True)
+
+    print(f"\nshape K={K} R={R} (padded {Kp}x{Rp}), L={L}, "
+          f"marginal over {(LONG-SHORT)*L} iters")
+    print(f"{'variant':10} {'MB/it':>7} {'us/it(sust)':>12} "
+          f"{'GB/s(sust)':>11} {'us/it(marg)':>12} {'GB/s(marg)':>11}")
+    dense_marg = None
+    rows = []
+    for name in chains:
+        ts = statistics.median(results[name][SHORT])
+        tl = statistics.median(results[name][LONG])
+        sust = tl / (LONG * L)
+        marg = (tl - ts) / ((LONG - SHORT) * L)
+        nb = bytes_per[name]
+        rows.append((name, nb, sust, marg))
+        if name == "dense":
+            dense_marg = nb / marg / 1e9
+        print(f"{name:10} {nb/1e6:7.1f} {sust*1e6:12.1f} "
+              f"{nb/sust/1e9:11.1f} {marg*1e6:12.1f} {nb/marg/1e9:11.1f}",
+              flush=True)
+    if dense_marg:
+        print("\nratios vs dense (marginal):")
+        for name, nb, sust, marg in rows:
+            if name != "dense":
+                print(f"  {name:10} {nb/marg/1e9/dense_marg:.3f}")
+
+
+if __name__ == "__main__":
+    main()

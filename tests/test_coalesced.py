@@ -1,0 +1,159 @@
+"""Coalesced (single-DMA-per-block) weight layout: pack/unpack roundtrip and
+kernel parity vs the plane-layout oracle.
+
+The coalesced layout (llm_tpu/ops/packing.py QuantTensorC) interleaves the
+lo/hi/scale/bias rows of each (R-tile, K-tile) weight block into one
+contiguous uint32 buffer so the Pallas kernel issues ONE linear DMA per grid
+step — the round-5 experiment against the packed-plane DMA-pattern
+hypothesis. Reference analog: the per-qtype fused vec_dot table
+(/root/reference/crates/ggml/sys/src/lib.rs:2900-2974) this kernel replaces.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from llm_tpu.ggml.types import GgmlType
+from llm_tpu.ggml.quant import quantize
+from llm_tpu.ops.packing import (
+    FORMATS,
+    QuantTensor,
+    coalesce_qt,
+    coalesced_seg_rows,
+    dequant_c_jnp,
+    dequant_jnp,
+    pack_ggml,
+)
+from llm_tpu.ops.qmatmul import (
+    _qmatmul_pallas_c,
+    _qmatmul_pallas_c_stacked,
+    coalesce_tiles,
+    qmatmul,
+)
+
+ALL_TYPES = list(FORMATS)
+
+
+def _qt(t: GgmlType, K: int, R: int, seed: int = 0) -> QuantTensor:
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((R, K)) * 0.1).astype(np.float32)
+    return pack_ggml(t, quantize(t, w), (K, R))
+
+
+@pytest.mark.parametrize("t", ALL_TYPES)
+def test_coalesce_dequant_roundtrip(t):
+    K, R = 512, 256
+    qt = _qt(t, K, R)
+    tk, tr, _ = coalesce_tiles(qt.fmt, qt.k_padded, qt.r_padded,
+                               qt.scale_packed)
+    qtc = coalesce_qt(qt, tk, tr)
+    ref = np.asarray(dequant_jnp(qt))
+    got = np.asarray(dequant_c_jnp(qtc))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("t", [GgmlType.Q4_0, GgmlType.Q8_0, GgmlType.Q5_1,
+                               GgmlType.Q4_K, GgmlType.Q6_K])
+def test_coalesce_multi_tile_roundtrip(t):
+    # force several k and r tiles
+    K, R = 2048, 512
+    qt = _qt(t, K, R, seed=3)
+    segs_ok = [tk for tk in (512, 1024)
+               if all(s % 8 == 0
+                      for s in coalesced_seg_rows(qt.fmt, tk,
+                                                  qt.scale_packed) if s)
+               and qt.k_padded % tk == 0]
+    tk = segs_ok[0]
+    qtc = coalesce_qt(qt, tk, 128)
+    np.testing.assert_array_equal(
+        np.asarray(dequant_c_jnp(qtc)), np.asarray(dequant_jnp(qt))
+    )
+
+
+@pytest.mark.parametrize("t", ALL_TYPES)
+def test_coalesced_kernel_interpret(t):
+    K, R = 512, 256
+    qt = _qt(t, K, R, seed=1)
+    tk, tr, _ = coalesce_tiles(qt.fmt, qt.k_padded, qt.r_padded,
+                               qt.scale_packed)
+    qtc = coalesce_qt(qt, tk, tr)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    ref = np.asarray(x) @ np.asarray(dequant_jnp(qt))
+    got = np.asarray(_qmatmul_pallas_c(x, qtc, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t", [GgmlType.Q4_0, GgmlType.Q8_0, GgmlType.Q4_K])
+def test_coalesced_kernel_stacked_interpret(t):
+    K, R, L = 512, 256, 3
+    qts = [_qt(t, K, R, seed=10 + i) for i in range(L)]
+    st = QuantTensor(
+        qts[0].fmt_name, K, R,
+        jnp.stack([q.lo for q in qts]),
+        jnp.stack([q.hi for q in qts]) if qts[0].hi is not None else None,
+        jnp.stack([q.scale for q in qts]),
+        jnp.stack([q.bias for q in qts]) if qts[0].bias is not None else None,
+    )
+    tk, tr, _ = coalesce_tiles(qts[0].fmt, qts[0].k_padded,
+                               qts[0].r_padded, qts[0].scale_packed)
+    qtc = coalesce_qt(st, tk, tr)
+    assert qtc.buf.ndim == 3 and qtc.buf.shape[0] == L
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    for layer in range(L):
+        ref = np.asarray(x) @ np.asarray(dequant_jnp(qts[layer]))
+        got = np.asarray(
+            _qmatmul_pallas_c_stacked(x, qtc, jnp.int32(layer),
+                                      interpret=True)
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_qmatmul_dispatch_xla_fallback():
+    """qmatmul on a QuantTensorC without pallas goes through dequant_c_jnp
+    (flat and layer-selected stacked)."""
+    t = GgmlType.Q4_0
+    K, R, L = 512, 256, 2
+    qts = [_qt(t, K, R, seed=20 + i) for i in range(L)]
+    tk, tr, _ = coalesce_tiles(qts[0].fmt, qts[0].k_padded,
+                               qts[0].r_padded, qts[0].scale_packed)
+    flat = coalesce_qt(qts[0], tk, tr)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 5, K)).astype(np.float32))
+    ref = np.asarray(x).reshape(-1, K) @ np.asarray(dequant_jnp(qts[0]))
+    got = np.asarray(qmatmul(x, flat)).reshape(-1, R)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    st = QuantTensor(
+        qts[0].fmt_name, K, R,
+        jnp.stack([q.lo for q in qts]), None,
+        jnp.stack([q.scale for q in qts]), None,
+    )
+    stc = coalesce_qt(st, tk, tr)
+    ref1 = np.asarray(x).reshape(-1, K) @ np.asarray(dequant_jnp(qts[1]))
+    got1 = np.asarray(qmatmul(x, stc, layer=jnp.int32(1))).reshape(-1, R)
+    np.testing.assert_allclose(got1, ref1, rtol=1e-4, atol=1e-4)
+
+
+def test_sub_slicing_engages():
+    """Whole-K coalescing with sub-slices: K large enough that
+    coalesce_tiles picks sub_slices > 1, kernel still exact."""
+    t = GgmlType.Q4_0
+    K, R = 4096, 256
+    qt = _qt(t, K, R, seed=7)
+    tk, tr, n_sub = coalesce_tiles(qt.fmt, qt.k_padded, qt.r_padded,
+                                   qt.scale_packed)
+    assert tk == qt.k_padded and n_sub == 2
+    qtc = coalesce_qt(qt, tk, tr)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    # bf16-semantics reference (the kernel dots in bf16; at K=4096 the
+    # rounding vs an f32 reference exceeds elementwise rtol)
+    ref = np.asarray(
+        jnp.dot(x.astype(jnp.bfloat16),
+                dequant_jnp(qt).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    )
+    got = np.asarray(_qmatmul_pallas_c(x, qtc, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
