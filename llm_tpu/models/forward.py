@@ -339,7 +339,8 @@ def decode_loop(spec, params, last_logits, n_past, cache, n_steps,
                             return_state)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 12, 13), donate_argnums=(4,))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 12, 13, 14, 15),
+         donate_argnums=(4,))
 def _decode_loop_batched_jit(
     spec,
     params,
@@ -355,6 +356,8 @@ def _decode_loop_batched_jit(
     penalty_state=None,  # sampler state pytree (penalties / mirostat mu)
     logprobs_n: Optional[int] = None,  # static: top-N alternatives per step
     return_state: bool = False,  # static: append the final sampler state
+    mesh=None,  # static: B-sharded cache mesh (see write_cache_batched)
+    h_ax=None,
 ):
     """Batched multi-token decode on device: B streams x n_steps tokens per
     dispatch (sample-then-evaluate per step, like decode_loop). Returns
@@ -386,7 +389,8 @@ def _decode_loop_batched_jit(
         if has_mu:
             out = (out, pst["mu"])
         new_logits, _, c = forward_batched(
-            spec, params, toks[:, None], npast, c, window, write_mask
+            spec, params, toks[:, None], npast, c, window, write_mask,
+            mesh, h_ax
         )
         return (new_logits[:, 0, :], npast + 1, c, k, pst), out
 
@@ -413,12 +417,13 @@ def decode_loop_batched(spec, params, last_logits, n_past, cache, n_steps,
                         window=None, sampler=None, key=None,
                         sampler_values=None, write_mask=None,
                         penalty_state=None, logprobs_n=None,
-                        return_state=False):
+                        return_state=False, mesh=None, h_ax=None):
     _check_window(window, n_past, extra=n_steps)
     return _decode_loop_batched_jit(spec, params, last_logits, n_past, cache,
                                     n_steps, window, sampler, key,
                                     sampler_values, write_mask,
-                                    penalty_state, logprobs_n, return_state)
+                                    penalty_state, logprobs_n, return_state,
+                                    mesh, h_ax)
 
 
 def unpack_decode_out(out, return_state: bool, logprobs_n):
@@ -869,6 +874,8 @@ def write_cache_batched(
     v_news,
     n_past: jnp.ndarray,  # [B]
     write_mask: Optional[jnp.ndarray],  # [B] bool | None (= all write)
+    mesh=None,  # static: shard_map the write over its ("data", ...) mesh
+    h_ax=None,  # static: mesh axis of the cache's H_kv dim (or None)
 ) -> KVCache:
     """Per-stream dynamic_update_slice of the new K/V rows at each stream's
     own n_past.
@@ -881,43 +888,96 @@ def write_cache_batched(
     multi-GB cache every step (~4.3 GB at 7B/B=8 ⇒ +19 ms/step,
     measured); the unrolled DUS chain writes only the touched rows.
 
+    With `mesh` (the multi-host engines' B-sharded cache), the DUS chain
+    runs INSIDE shard_map over the local batch rows: GSPMD cannot prove a
+    per-row DUS at a traced seq position stays shard-local and inserts
+    data-axis collectives (an all-gather of the whole cache per step —
+    DCN traffic on a real pod; caught by the zero-DCN audit in
+    tests/test_multihost.py), while the shard_map body is manifestly
+    local and compiles to zero collectives.
+
     The new rows arrive position-major [n, B, T, H, D] (attention's
     natural output order) and are transposed to the cache's head-major
     [n, B, H, T, D] here — tiny at decode (T=1), and amortized over the
     whole chunk at prefill."""
     quantized = cache.k_scale is not None
-    B = cache.k.shape[1]
     wm = None if write_mask is None else jnp.asarray(write_mask)
 
-    def write_b(c, new, b, p, en):  # c [L,B,H,S,...], new [L,B,H,T,...]
-        upd = lax.slice_in_dim(new, b, b + 1, axis=1)  # [L, 1, H, T, ...]
-        start = (0, b, 0, p) + (0,) * (c.ndim - 4)
-        if en is not None:
-            # masked streams re-write their OWN current values (read-
-            # modify no-op) instead of `new` — per-stream predicated DUS
-            cur = lax.dynamic_slice(c, start, upd.shape)
-            upd = jnp.where(en, upd, cur)
-        return lax.dynamic_update_slice(c, upd, start)
+    def impl(cache, k_news, v_news, n_past, wm):
+        B = cache.k.shape[1]
 
-    def write_all(c, new):
-        new = new.swapaxes(2, 3).astype(c.dtype)  # [n,B,T,H,..]->[n,B,H,T,..]
-        for b in range(B):
-            c = write_b(c, new, b, n_past[b], None if wm is None else wm[b])
-        return c
+        def write_b(c, new, b, p, en):  # c [L,B,H,S,..], new [L,B,H,T,..]
+            upd = lax.slice_in_dim(new, b, b + 1, axis=1)  # [L,1,H,T,..]
+            start = (0, b, 0, p) + (0,) * (c.ndim - 4)
+            if en is not None:
+                # masked streams re-write their OWN current values (read-
+                # modify no-op) instead of `new` — per-stream predicated DUS
+                cur = lax.dynamic_slice(c, start, upd.shape)
+                upd = jnp.where(en, upd, cur)
+            return lax.dynamic_update_slice(c, upd, start)
+
+        def write_all(c, new):
+            new = new.swapaxes(2, 3).astype(c.dtype)  # ->[n,B,H,T,..]
+            for b in range(B):
+                c = write_b(c, new, b, n_past[b],
+                            None if wm is None else wm[b])
+            return c
+
+        if quantized:
+            kq, ks = k_news  # attention already emits (codes, scales)
+            vq, vs = v_news
+            return KVCache(
+                write_all(cache.k, kq),
+                write_all(cache.v, vq),
+                write_all(cache.k_scale, ks),
+                write_all(cache.v_scale, vs),
+            )
+        return KVCache(
+            write_all(cache.k, k_news),
+            write_all(cache.v, v_news),
+        )
+
+    if mesh is None:
+        return impl(cache, k_news, v_news, n_past, wm)
+
+    from jax.sharding import PartitionSpec as P
+
+    if wm is None:
+        wm = jnp.ones(cache.k.shape[1], bool)
+    c_spec = P(None, "data", h_ax, None, None)
+    s_spec = P(None, "data", h_ax, None)
+    new_spec = P(None, "data", None, h_ax, None)
+    news_spec = P(None, "data", None, h_ax)
+    row_spec = P("data")
 
     if quantized:
-        kq, ks = k_news  # attention already emits (codes, scales)
+        kq, ks = k_news
         vq, vs = v_news
-        return KVCache(
-            write_all(cache.k, kq),
-            write_all(cache.v, vq),
-            write_all(cache.k_scale, ks),
-            write_all(cache.v_scale, vs),
-        )
-    return KVCache(
-        write_all(cache.k, k_news),
-        write_all(cache.v, v_news),
-    )
+
+        def local(ck, cv, cks, cvs, kq, ks, vq, vs, pl, wl):
+            out = impl(KVCache(ck, cv, cks, cvs), (kq, ks), (vq, vs),
+                       pl, wl)
+            return out.k, out.v, out.k_scale, out.v_scale
+
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(c_spec, c_spec, s_spec, s_spec, new_spec, news_spec,
+                      new_spec, news_spec, row_spec, row_spec),
+            out_specs=(c_spec, c_spec, s_spec, s_spec),
+        )(cache.k, cache.v, cache.k_scale, cache.v_scale, kq, ks, vq, vs,
+          n_past, wm)
+        return KVCache(*out)
+
+    def local(ck, cv, kn, vn, pl, wl):
+        out = impl(KVCache(ck, cv), kn, vn, pl, wl)
+        return out.k, out.v
+
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(c_spec, c_spec, new_spec, new_spec, row_spec, row_spec),
+        out_specs=(c_spec, c_spec),
+    )(cache.k, cache.v, k_news, v_news, n_past, wm)
+    return KVCache(*out)
 
 
 def forward_batched(
@@ -928,6 +988,8 @@ def forward_batched(
     cache: KVCache,  # [L, B, H_kv, S, D]
     window: Optional[int] = None,
     write_mask: Optional[jnp.ndarray] = None,  # [B] bool
+    mesh=None,  # static: B-sharded cache mesh (see write_cache_batched)
+    h_ax=None,
 ):
     """Batched forward over B independent streams sharing the weights.
 
@@ -949,7 +1011,8 @@ def forward_batched(
     h, (k_news, v_news) = scan_layers_batched(
         spec, params.layers, h, positions, n_past, cache, W
     )
-    new_cache = write_cache_batched(cache, k_news, v_news, n_past, write_mask)
+    new_cache = write_cache_batched(cache, k_news, v_news, n_past,
+                                    write_mask, mesh, h_ax)
     logits, h = head_batched(spec, params, h)
     return logits, h, new_cache
 

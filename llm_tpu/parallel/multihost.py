@@ -169,8 +169,18 @@ class MultiHostEngine(_LocalEngine):
         self.max_streams = row1 - self._row0  # local slots
 
         self._out_sh = (ns("data", None, None), ns("data", None, None), cache_sh)
+        self._h_ax = h_ax
+        _mesh = mesh
+
+        def _step(spec, params, ids, n_past, cache, window, write_mask):
+            # mesh/h_ax route the cache write through shard_map (local
+            # per-row DUS, zero data-axis collectives — see
+            # write_cache_batched)
+            return forward_batched(spec, params, ids, n_past, cache,
+                                   window, write_mask, _mesh, h_ax)
+
         self._step_jit = jax.jit(
-            forward_batched,
+            _step,
             static_argnums=(0, 5),
             donate_argnums=(4,),
             out_shardings=self._out_sh,
@@ -272,11 +282,12 @@ class MultiHostEngine(_LocalEngine):
 
         key = jax.random.PRNGKey(self._steps)  # same on every host
         ret_state = cfg.mirostat_kind != 0
+        g_np, g_mask = self._replicated_rows(n_past, mask)
         out = list(_decode_loop_batched_jit(
             self.spec,
             self.params,
             self._to_global(logits, ("data",)),
-            self._to_global(n_past, ("data",)),
+            g_np,
             self.cache,
             n_steps,
             window_bucket(gmax2 + n_steps, self.spec.n_ctx),
@@ -285,10 +296,12 @@ class MultiHostEngine(_LocalEngine):
             self._to_global(
                 {k: np.asarray(v) for k, v in values.items()}, ("data",)
             ),
-            self._to_global(mask, ("data",)),
+            g_mask,
             self._sampler_state_global(cfg, active, gmax2),
             lpn,
             ret_state,
+            self.mesh,
+            self._h_ax,
         ))
         from llm_tpu.models.forward import unpack_decode_out
 
@@ -339,6 +352,36 @@ class MultiHostEngine(_LocalEngine):
             int(g[:, 2].max()),
             int(g[:, 3].sum()),
         )
+
+    def _replicated_rows(self, *arrs: np.ndarray):
+        """Globally-REPLICATED placement of per-stream scalar rows (n_past,
+        write masks). These feed scalar-indexed cache writes
+        (write_cache_batched reads n_past[b] for a static b): if they were
+        data-sharded, extracting the scalar forces XLA SPMD to communicate
+        across `data` — on a real pod, a DCN all-gather of the whole cache
+        per step (caught by tests/test_multihost.py zero-DCN audit).
+        Replicating costs a few bytes per host over the same allgather
+        budget as _sync."""
+        if jax.process_count() == 1:
+            gs = list(arrs)
+        else:
+            from jax.experimental import multihost_utils
+
+            payload = np.concatenate(
+                [np.array([self._row0], np.int64)]
+                + [a.astype(np.int64) for a in arrs]
+            )
+            g = np.asarray(multihost_utils.process_allgather(payload))
+            B = self.max_streams
+            gs = [
+                np.zeros(self.global_streams, a.dtype) for a in arrs
+            ]
+            for row in np.atleast_2d(g):
+                r0 = int(row[0])
+                for j, a in enumerate(arrs):
+                    gs[j][r0 : r0 + B] = row[1 + j * B : 1 + (j + 1) * B
+                                             ].astype(a.dtype)
+        return tuple(self._to_global(a, ()) for a in gs)
 
     def _to_global(self, arr: np.ndarray, pspec_axes):
         from jax.experimental import multihost_utils
@@ -406,14 +449,18 @@ class MultiHostEngine(_LocalEngine):
 
     def _dispatch(self, ids: np.ndarray, n_past: np.ndarray, window: int,
                   write_mask: np.ndarray):
+        # n_past/write_mask replicated, NOT data-sharded: they index the
+        # cache writes per-stream, and scalar extraction from a sharded
+        # array would put the whole cache on DCN (see _replicated_rows)
+        g_np, g_mask = self._replicated_rows(n_past, write_mask)
         logits, _, self.cache = self._step_jit(
             self.spec,
             self.params,
             self._to_global(ids, ("data",)),
-            self._to_global(n_past, ("data",)),
+            g_np,
             self.cache,
             window,
-            self._to_global(write_mask, ("data",)),
+            g_mask,
         )
         return self._local_rows(logits)
 

@@ -54,7 +54,94 @@ def test_multihost_engine_single_process(model):
     assert [texts[k] for k in sorted(texts)] == refs
 
 
-def test_multihost_engine_int8_single_process(model):
+def test_decode_zero_dcn_bytes(model):
+    """The zero-DCN invariant (multihost.py design note), asserted on the
+    compiled HLO: at decode steady state no collective crosses the `data`
+    axis (= DCN on a real pod); every collective stays within a `model`
+    (ICI) group. Also emits the bytes-per-step-per-axis table the 2-host
+    scaling bound in docs/architecture.md is derived from."""
+    from llm_tpu.parallel.collectives_audit import audit_compiled
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=4,
+                             kv_dtype=jnp.float32, n_batch=4)
+    B = engine.max_streams
+    ids = np.zeros((B, 1), np.int32)
+    n_past = np.arange(B, dtype=np.int32)
+    mask = np.ones(B, bool)
+    g_np, g_mask = engine._replicated_rows(n_past, mask)
+    lowered = engine._step_jit.lower(
+        engine.spec, engine.params,
+        engine._to_global(ids, ("data",)),
+        g_np, engine.cache, 64, g_mask,
+    )
+    res = audit_compiled(lowered.compile(), mesh)
+    by = res.bytes_by_axis
+    # TP all-reduces must exist (the model axis is real communication)...
+    assert any(o.axis == "model" for o in res.ops), res.table()
+    # ...and nothing may cross `data` (DCN on a real deployment)
+    assert by.get("data", 0) == 0 and by.get("mixed", 0) == 0, (
+        "decode step has DCN-crossing collectives:\n" + res.table() + "\n"
+        + "\n".join(o.line for o in res.ops if o.axis in ("data", "mixed"))
+    )
+
+
+def test_step_multi_zero_dcn_bytes(model):
+    """Same invariant for the on-device multi-token decode block — the
+    production steady-state path of step_multi (forward + in-block greedy
+    sampling over n_steps tokens, one dispatch)."""
+    import jax
+
+    from llm_tpu.models.forward import (
+        _decode_loop_batched_jit,
+        window_bucket,
+    )
+    from llm_tpu.ops.sampling import (
+        DeviceSampler,
+        batched_sampler,
+        ensure_value_keys,
+    )
+    from llm_tpu.parallel.collectives_audit import audit_compiled
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostEngine(model, mesh, global_streams=4,
+                             kv_dtype=jnp.float32, n_batch=4)
+    B = engine.max_streams
+    cfg, values = batched_sampler([DeviceSampler.greedy()] * B, B)
+    values = ensure_value_keys(values, cfg, B)
+    logits = np.zeros((B, engine.spec.n_vocab), np.float32)
+    n_past = np.ones(B, np.int32)
+    mask = np.ones(B, bool)
+    n_steps = 4
+    g_np, g_mask = engine._replicated_rows(n_past, mask)
+    lowered = _decode_loop_batched_jit.lower(
+        engine.spec,
+        engine.params,
+        engine._to_global(logits, ("data",)),
+        g_np,
+        engine.cache,
+        n_steps,
+        window_bucket(1 + n_steps, engine.spec.n_ctx),
+        cfg,
+        jax.random.PRNGKey(0),
+        engine._to_global(
+            {k: np.asarray(v) for k, v in values.items()}, ("data",)
+        ),
+        g_mask,
+        None,
+        None,
+        False,
+        mesh,
+        engine._h_ax,
+    )
+    res = audit_compiled(lowered.compile(), mesh)
+    by = res.bytes_by_axis
+    assert any(o.axis == "model" for o in res.ops), res.table()
+    assert by.get("data", 0) == 0 and by.get("mixed", 0) == 0, (
+        "step_multi block has DCN-crossing collectives:\n" + res.table()
+        + "\n" + "\n".join(
+            o.line for o in res.ops if o.axis in ("data", "mixed"))
+    )
     mesh = make_mesh(MeshConfig(data=2, model=4))
     engine = MultiHostEngine(model, mesh, global_streams=2,
                              kv_dtype="int8", n_batch=4)
