@@ -142,6 +142,46 @@ def test_step_multi_zero_dcn_bytes(model):
         + "\n" + "\n".join(
             o.line for o in res.ops if o.axis in ("data", "mixed"))
     )
+
+
+def test_paged_decode_zero_dcn_bytes(model):
+    """Zero-DCN invariant for the PAGED multi-host dispatch (the
+    production serving config): its manual-`data` shard_map must keep
+    every collective off the `data` axis."""
+    import jax
+
+    from llm_tpu.parallel.collectives_audit import audit_compiled
+    from llm_tpu.parallel.multihost import (
+        MultiHostPagedEngine,
+        _mh_paged_step,
+    )
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    engine = MultiHostPagedEngine(
+        model, mesh, global_streams=4, kv_dtype=jnp.bfloat16, n_batch=4,
+        page_size=8,
+    )
+    B = engine.max_streams
+    ids = np.zeros((B, 1), np.int32)
+    n_past = np.zeros(B, np.int32)
+    jitted = jax.jit(_mh_paged_step, static_argnums=(0, 6, 7, 8))
+    lowered = jitted.lower(
+        engine.spec, engine.params,
+        engine._to_global(ids, ("data",)),
+        engine._to_global(n_past, ("data",)),
+        engine._to_global(engine.tables, ("data",)),
+        engine.pool, 2, engine._allow_kernel, engine.mesh,
+    )
+    res = audit_compiled(lowered.compile(), mesh)
+    by = res.bytes_by_axis
+    assert by.get("data", 0) == 0 and by.get("mixed", 0) == 0, (
+        "paged decode step has DCN-crossing collectives:\n" + res.table()
+        + "\n" + "\n".join(
+            o.line for o in res.ops if o.axis in ("data", "mixed"))
+    )
+
+
+def test_multihost_engine_int8_single_process(model):
     mesh = make_mesh(MeshConfig(data=2, model=4))
     engine = MultiHostEngine(model, mesh, global_streams=2,
                              kv_dtype="int8", n_batch=4)
