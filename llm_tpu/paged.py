@@ -993,16 +993,25 @@ class PagedEngine(Engine):
         if not sampled:
             return events
         wp = max(1, -(-(int(n_past.max()) + 1) // self.page_size))
-        logits, _, self.pool = paged_step(
+        logits_dev, _, self.pool = paged_step(
             spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
             jnp.asarray(self.tables), self.pool, wp, self._allow_kernel,
         )
-        logits = np.asarray(logits)[:, 0, :]
-
+        # async-dispatch overlap (see Engine.step): the sampled tokens'
+        # events fire while the device computes the NEXT logits — the
+        # warm-prefix TTFT drops from one full tunnel round-trip to host
+        # time. The tables were captured at dispatch, so a retirement
+        # inside _finish_token cannot free a page this step still writes.
+        emitted = []
         for slot, tok in sampled.items():
+            stream = self.slots[slot]
+            emitted.append((slot, stream))
             events.append(
-                self._finish_token(slot, self.slots[slot], tok, logits[slot])
+                self._finish_token(slot, stream, tok, stream.last_logits)
             )
+        logits = np.asarray(logits_dev)[:, 0, :]
+        for slot, stream in emitted:
+            stream.last_logits = logits[slot]
         return events
 
     # -- multi-step on-device decode ----------------------------------------

@@ -461,17 +461,27 @@ class Engine:
             mask[slot] = True
 
         max_past = int(n_past.max())
-        logits, self.cache = _decode_all(
+        logits_dev, self.cache = _decode_all(
             spec, self.params, jnp.asarray(ids), jnp.asarray(n_past),
             window_bucket(max_past, spec.n_ctx), self.cache,
             jnp.asarray(mask),
         )
-        logits = np.asarray(logits)
-
+        # jax dispatch is async: fire the sampled tokens' events BEFORE
+        # forcing the result. The tokens were sampled from last_logits and
+        # do not depend on this forward (it computes the NEXT step's
+        # logits), so streaming clients receive token t while the device
+        # is busy with t+1 — on a tunneled chip this removes a full
+        # round-trip from TTFT (the warm-prefix path's dominant term).
+        emitted = []
         for slot, tok in sampled.items():
+            stream = self.slots[slot]
+            emitted.append((slot, stream))
             events.append(
-                self._finish_token(slot, self.slots[slot], tok, logits[slot])
+                self._finish_token(slot, stream, tok, stream.last_logits)
             )
+        logits = np.asarray(logits_dev)
+        for slot, stream in emitted:
+            stream.last_logits = logits[slot]
         return events
 
     def step_multi(self, n_steps: int = 16) -> list[tuple[int, str, bool]]:
