@@ -344,6 +344,16 @@ def _pick_sub_c(segs, tile_k: int, target: int) -> int:
     return 1
 
 
+def _sub_target_c(tile_r: int) -> int:
+    """Default K elements per dequant sub-slice: bound the int32/f32/bf16
+    dequant intermediates to ~2M elements (8 MB int32) regardless of
+    tile_r, so wide-R tiles stay within VMEM. LLM_TPU_SUB_K overrides."""
+    env = _sub_k_target()
+    if env:
+        return env
+    return max(512, (2048 * 256) // max(tile_r, 1))
+
+
 def coalesce_tiles(fmt: QFormat, Kp: int, Rp: int, packed: bool,
                    sub_target: int = 2048) -> tuple[int, int, int]:
     """Default (tile_k, tile_r, sub_slices) for coalescing a weight,
@@ -383,7 +393,7 @@ def _qmatmul_pallas_c(x, qtc, *, interpret=False):
     segs = qtc.seg_rows
     rows = sum(segs)
     n_r, n_k = Rp // tile_r, Kp // tile_k
-    n_sub = _pick_sub_c(segs, tile_k, _sub_k_target() or 2048)
+    n_sub = _pick_sub_c(segs, tile_k, _sub_target_c(tile_r))
     M = x.shape[0]
     Mp = _round_up(max(M, 8), 8)
     if x.shape != (Mp, Kp):
@@ -423,7 +433,7 @@ def _qmatmul_pallas_c_stacked(x, qtc, layer, *, interpret=False):
     segs = qtc.seg_rows
     rows = sum(segs)
     n_r, n_k = Rp // tile_r, Kp // tile_k
-    n_sub = _pick_sub_c(segs, tile_k, _sub_k_target() or 2048)
+    n_sub = _pick_sub_c(segs, tile_k, _sub_target_c(tile_r))
     M = x.shape[0]
     Mp = _round_up(max(M, 8), 8)
     if x.shape != (Mp, Kp):

@@ -44,34 +44,42 @@ SHORT, LONG = 48, 96  # chain reps (x L iterations each)
 def build(K, R):
     rng = np.random.default_rng(0)
     w = (rng.standard_normal((R, K)) * 0.02).astype(np.float32)
-    qt = pack_ggml(GgmlType.Q4_0, quantize(GgmlType.Q4_0, w), (K, R))
+    raw = quantize(GgmlType.Q4_0, w)
+    qt = pack_ggml(GgmlType.Q4_0, raw, (K, R))
+    # wide-lane variants need R padded to 512/1024 multiples (2.3% extra
+    # bytes at R=11008 -> 11264): round-5 follow-up after the coalesced
+    # 1-DMA layout measured EQUAL to the plane kernel (the DMA-pattern
+    # hypothesis is dead; per-grid-step overhead is the new suspect, so
+    # try FEWER, BIGGER steps)
+    qt_w = pack_ggml(GgmlType.Q4_0, raw, (K, R), r_multiple=1024)
 
     def st(p):
         return None if p is None else jnp.stack([p] * L)
 
-    sq = QuantTensor(qt.fmt_name, qt.k, qt.r, st(qt.lo), st(qt.hi),
-                     st(qt.scale), st(qt.bias))
+    def stack_qt(q):
+        return QuantTensor(q.fmt_name, q.k, q.r, st(q.lo), st(q.hi),
+                           st(q.scale), st(q.bias))
+
+    sq = stack_qt(qt)
+    sq_w = stack_qt(qt_w)
     plane_bytes = sum(
         p.nbytes for p in (qt.lo, qt.hi, qt.scale, qt.bias) if p is not None
     )
 
-    tiles = {}
     Kp, Rp = qt.k_padded, qt.r_padded
     tk_def, tr_def, _ = qm.coalesce_tiles(qt.fmt, Kp, Rp, qt.scale_packed)
-    # bounded-tile variant: largest legal tile_k <= 2048
-    for tk in range(min(2048, Kp), 63, -64):
-        from llm_tpu.ops.packing import coalesced_seg_rows
-        segs = coalesced_seg_rows(qt.fmt, tk, qt.scale_packed)
-        if Kp % tk == 0 and all(s % 8 == 0 for s in segs if s):
-            tiles["coal2048"] = (tk, tr_def)
-            break
-    if tk_def != tiles.get("coal2048", (None,))[0]:
-        tiles["coalK"] = (tk_def, tr_def)
+    tiles = {"coal2048": (sq, 2048, tr_def)}
+    if tk_def != 2048:
+        tiles["coalK"] = (sq, tk_def, tr_def)
+    for tr in (512, 1024):
+        if qt_w.r_padded % tr == 0:
+            tiles[f"c_r{tr}"] = (sq_w, 2048, tr)
+    if qt_w.k_padded == Kp:  # whole-K + wide lanes: fewest steps of all
+        tiles["cK_r512"] = (sq_w, Kp, 512)
 
-    qtcs = {name: coalesce_qt(sq, tk, tr) for name, (tk, tr) in tiles.items()}
-    dense = jnp.asarray((np.asarray(qt.lo) * 0).astype(np.float32))  # unused
+    qtcs = {name: coalesce_qt(s, tk, tr)
+            for name, (s, tk, tr) in tiles.items()}
     wd = jax.random.normal(jax.random.PRNGKey(1), (L, Kp, Rp), jnp.bfloat16)
-    del dense
     return qt, sq, qtcs, wd, plane_bytes, Kp, Rp
 
 
@@ -79,10 +87,14 @@ def make_chains(K, R, sq, qtcs, wd, Kp, Rp):
     E = K
 
     def mk(call, reps):
+        # weights ride as ARGUMENTS: a closure would bake them into the
+        # program as multi-hundred-MB constants, which blows the tunnel
+        # compile service's request-size limit (HTTP 413, observed) and
+        # distorts compile time
         @jax.jit
-        def chain(x):
+        def chain(x, w):
             def body(h, i):
-                y = call(h, i % L)
+                y = call(h, w, i % L)
                 h2 = y[:, :E] if y.shape[1] >= E else jnp.pad(
                     y, ((0, 0), (0, E - y.shape[1])))
                 h = h + h2 * 1e-6
@@ -96,33 +108,33 @@ def make_chains(K, R, sq, qtcs, wd, Kp, Rp):
         return chain
 
     chains = {}
+    weights = {"plane": sq, "dense": wd, **qtcs}
     chains["plane"] = {
-        r: mk(lambda h, l: qm._qmatmul_pallas_stacked(h, sq, l), r)
+        r: mk(lambda h, w, l: qm._qmatmul_pallas_stacked(h, w, l), r)
         for r in (SHORT, LONG)
     }
-    for name, qtc in qtcs.items():
+    for name in qtcs:
         chains[name] = {
-            r: mk(lambda h, l, q=qtc: qm._qmatmul_pallas_c_stacked(h, q, l),
-                  r)
+            r: mk(lambda h, w, l: qm._qmatmul_pallas_c_stacked(h, w, l), r)
             for r in (SHORT, LONG)
         }
 
-    def dense_call(h, l):
-        return jnp.dot(h.astype(jnp.bfloat16), wd[l],
+    def dense_call(h, w, l):
+        return jnp.dot(h.astype(jnp.bfloat16), w[l],
                        preferred_element_type=jnp.float32)
 
     chains["dense"] = {r: mk(dense_call, r) for r in (SHORT, LONG)}
-    return chains
+    return chains, weights
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="up", choices=["up", "down"])
     ap.add_argument("--rounds", type=int, default=7)
-    # coalK (whole-K single grid step) exceeded the tunnel compile
-    # service's request-size limit (HTTP 413) after a 20-min compile on
-    # 2026-08-20; skip it by default on this chip
-    ap.add_argument("--variants", default="plane,coal2048,dense")
+    ap.add_argument(
+        "--variants",
+        default="plane,coal2048,coalK,c_r512,c_r1024,cK_r512,dense",
+    )
     args = ap.parse_args()
     K, R = (4096, 11008) if args.shape == "up" else (11008, 4096)
 
@@ -132,7 +144,7 @@ def main():
         print(f"{name}: tile=({qtc.tile_k},{qtc.tile_r}) "
               f"buf={qtc.buf.nbytes/1e6:.1f}MB "
               f"grid=({qtc.rp//qtc.tile_r},{qtc.kp//qtc.tile_k})", flush=True)
-    chains = make_chains(K, R, sq, qtcs, wd, Kp, Rp)
+    chains, weights = make_chains(K, R, sq, qtcs, wd, Kp, Rp)
     keep = set(args.variants.split(","))
     chains = {n: c for n, c in chains.items() if n in keep}
 
@@ -141,7 +153,7 @@ def main():
     for name, cs in chains.items():
         t0 = time.perf_counter()
         for r, c in cs.items():
-            float(c(x)[0, 0])
+            float(c(x, weights[name])[0, 0])
         print(f"compiled {name} in {time.perf_counter()-t0:.1f}s", flush=True)
 
     bytes_per = {n: plane_bytes for n in chains}
@@ -153,7 +165,7 @@ def main():
         for name in names:
             for r in (SHORT, LONG):
                 t0 = time.perf_counter()
-                float(chains[name][r](x)[0, 0])
+                float(chains[name][r](x, weights[name])[0, 0])
                 results[name][r].append(time.perf_counter() - t0)
         names = names[1:] + names[:1]  # rotate order
         print(f"round {rnd+1}/{args.rounds} done", flush=True)
