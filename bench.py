@@ -425,6 +425,8 @@ def weight_stream_bytes(params: ModelParams) -> int:
                 total += qt.hi.nbytes
             if qt.bias is not None:
                 total += qt.bias.nbytes
+        elif hasattr(qt, "buf"):  # coalesced layout: one buffer, all planes
+            total += qt.buf.nbytes
         else:
             total += qt.nbytes
     for v in [params.final_norm_w, params.layers.ln1_w, params.layers.ln2_w]:

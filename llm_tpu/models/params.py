@@ -140,8 +140,46 @@ def unfuse_layer_weights(layers: LayerParams) -> LayerParams:
     return dataclasses.replace(layers, **kw)
 
 
+_W_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+             "w_qkv", "w_gate_up")
+
+
+def _coalesce_enabled() -> bool:
+    import os
+
+    return os.environ.get("LLM_TPU_COALESCE", "0") == "1"
+
+
+def coalesce_layer_weights(layer: LayerParams) -> LayerParams:
+    """Rewrite one (unstacked) layer's matmul weights into the coalesced
+    single-DMA-per-block layout (ops/packing.QuantTensorC): all planes of
+    each (R-tile, K-tile) weight block interleave into one linear HBM span,
+    so the decode kernel issues one large contiguous DMA per grid step and
+    runs at bigger lane tiles (round-5 chip A/B: 276 -> 348 GB/s marginal
+    at 7B FFN geometry). Host-side transform (numpy planes in, numpy buf
+    out) so stack_layers still uploads each stacked tensor once."""
+    import dataclasses
+
+    from llm_tpu.ops.packing import QuantTensor
+    from llm_tpu.ops.qmatmul import coalesce_auto
+
+    kw = {}
+    for f in _W_FIELDS:
+        w = getattr(layer, f)
+        if isinstance(w, QuantTensor):
+            c = coalesce_auto(w)
+            if c is not None:
+                kw[f] = c
+    return dataclasses.replace(layer, **kw) if kw else layer
+
+
 def stack_layers(layers: list[LayerParams]) -> LayerParams:
     """Stack per-layer pytrees along a new leading axis for lax.scan.
+
+    With LLM_TPU_COALESCE=1 each layer's quantized matmul weights are first
+    re-tiled into the coalesced layout (see coalesce_layer_weights) —
+    before stacking, so the transform runs on host planes. Launch fusion
+    (LLM_TPU_FUSE=1) composes: fused tensors coalesce too.
 
     Requires homogeneous layers (same quant formats / shapes / bias
     presence) — true for every real GGML checkpoint, where the quantizer
@@ -156,8 +194,14 @@ def stack_layers(layers: list[LayerParams]) -> LayerParams:
     bounded-queue pattern as the pack-cache loader), so the stacking
     memcpy hides under the transfer.
     """
+    import os
     import queue
     import threading
+
+    if _coalesce_enabled() and layers and isinstance(layers[0], LayerParams):
+        if os.environ.get("LLM_TPU_FUSE", "0") == "1":
+            layers = [fuse_layer_weights(l) for l in layers]
+        layers = [coalesce_layer_weights(l) for l in layers]
 
     flats = [jax.tree_util.tree_flatten(l) for l in layers]
     treedef = flats[0][1]
@@ -617,8 +661,23 @@ def build_params(ws: WeightSource, spec: ModelSpec) -> ModelParams:
     # Launch fusion is opt-in: on the bench chip it wins ~7% on small-model
     # SHORT-block decode (per-token interactive sessions) but costs ~1% on
     # 64-token bulk decode blocks, where DMA streams already pipeline.
+    # (With LLM_TPU_COALESCE=1 fusion already happened per-layer inside
+    # stack_layers; this post-stack pass then no-ops.)
     if os.environ.get("LLM_TPU_FUSE", "0") == "1":
         params = dataclasses.replace(
             params, layers=fuse_layer_weights(params.layers)
         )
+    if _coalesce_enabled():
+        # The head matmul streams the biggest single tensor every decode
+        # step; coalesce it too. For tied heads this stores a SEPARATE
+        # coalesced copy (wte must stay planar for embedding row gathers)
+        # — costing one packed head of HBM for the faster stream.
+        from llm_tpu.ops.packing import QuantTensor
+        from llm_tpu.ops.qmatmul import coalesce_auto
+
+        head = params.lm_head if params.lm_head is not None else params.wte
+        if isinstance(head, QuantTensor):
+            c = coalesce_auto(head)
+            if c is not None:
+                params = dataclasses.replace(params, lm_head=c)
     return _params_to_device(params)

@@ -191,10 +191,13 @@ def split_fused(y: jnp.ndarray, splits: tuple) -> "list[jnp.ndarray]":
     return outs
 
 
-def unfuse_quant(qt: QuantTensor) -> "Optional[list[QuantTensor]]":
+def unfuse_quant(qt) -> "Optional[list[QuantTensor]]":
     """Invert fuse_quant by slicing the planes at the padded column offsets
     (exact — blocks only span K). Used by shard_params, which needs the
-    split weights so per-device head/ffn shards stay contiguous."""
+    split weights so per-device head/ffn shards stay contiguous. Coalesced
+    tensors are first converted back to the plane layout."""
+    if isinstance(qt, QuantTensorC):
+        qt = uncoalesce_qt(qt)
     if qt.splits is None:
         return None
     outs, off = [], 0
@@ -598,6 +601,52 @@ class QuantTensorC:
         return cls(f, k, r, kp, rp, tk, tr, sp, buf, splits)
 
 
+def _expand_f16x2_np(words: np.ndarray) -> np.ndarray:
+    """Host inverse of _pack_f16x2_np: uint32 [.., Kg/2, R] packed f16
+    pairs -> exact f32 [.., Kg, R]."""
+    lo = (words & 0xFFFF).astype(np.uint16)
+    hi = (words >> 16).astype(np.uint16)
+    st = np.stack([lo, hi], axis=-2)  # [.., Kg/2, 2, R]
+    out = st.reshape(*words.shape[:-2], words.shape[-2] * 2,
+                     words.shape[-1])
+    return out.view(np.float16).astype(np.float32)
+
+
+def unpack_scales_qt(qt: QuantTensor) -> QuantTensor:
+    """Copy of `qt` with f16-packed scale/bias planes expanded to f32
+    (lossless). Fallback for coalescing at K values whose packed-scale
+    segment rows cannot hit the 8-sublane granularity (e.g. K=768)."""
+    if not qt.scale_packed:
+        return qt
+
+    def ex(p):
+        return None if p is None else _expand_f16x2_np(np.asarray(p))
+
+    return QuantTensor(qt.fmt_name, qt.k, qt.r, qt.lo, qt.hi,
+                       ex(qt.scale), ex(qt.bias), qt.splits)
+
+
+def pad_r_qt(qt: QuantTensor, mult: int) -> QuantTensor:
+    """Pad the R (lanes) axis of every plane up to a multiple of `mult`
+    with zeros (padded scale bits are 0, so padded columns dequantize to 0
+    and the kernels trim them). Lets the coalesced layout use wide lane
+    tiles (tile_r 512) on R values packed at the default 128 multiple."""
+    Rp = qt.r_padded
+    new = _round_up(Rp, mult)
+    if new == Rp:
+        return qt
+
+    def pad(p):
+        if p is None:
+            return None
+        a = np.asarray(p)
+        width = [(0, 0)] * (a.ndim - 1) + [(0, new - Rp)]
+        return np.pad(a, width)
+
+    return QuantTensor(qt.fmt_name, qt.k, qt.r, pad(qt.lo), pad(qt.hi),
+                       pad(qt.scale), pad(qt.bias), qt.splits)
+
+
 def coalesce_qt(qt: QuantTensor, tile_k: int, tile_r: int,
                 to_device: bool = True) -> QuantTensorC:
     """Re-tile a QuantTensor's planes (host numpy or device; stacked [L,...]
@@ -650,6 +699,64 @@ def coalesce_qt(qt: QuantTensor, tile_k: int, tile_r: int,
 def _unpack_bytes_jnp(words: jnp.ndarray) -> jnp.ndarray:
     """uint32 [Kw, R] of packed two's-complement bytes -> int32 [4*Kw, R]."""
     return unpack_plane(words, 8, signed=True)
+
+
+def uncoalesce_qt(qtc: QuantTensorC) -> QuantTensor:
+    """Exact inverse of coalesce_qt, back to the plane layout (host-side
+    numpy). Used by TP sharding, which slices planes per head/ffn shard —
+    the coalesced buffer interleaves R tiles and cannot be column-sliced."""
+    fmt = qtc.fmt
+    segs = qtc.seg_rows
+    n_k = qtc.kp // qtc.tile_k
+    n_r = qtc.rp // qtc.tile_r
+    rows = sum(segs)
+    buf = np.asarray(qtc.buf)
+    stacked = buf.ndim == 3
+
+    def inv(b):
+        b4 = b.reshape(n_r, n_k, rows, qtc.tile_r)
+        b4 = np.moveaxis(b4, 0, 2)  # [n_k, rows, n_r, tile_r]
+        out, off = [], 0
+        for seg in segs:
+            if not seg:
+                out.append(None)
+                continue
+            p = b4[:, off : off + seg]
+            off += seg
+            out.append(
+                np.ascontiguousarray(p.reshape(n_k * seg, n_r * qtc.tile_r))
+            )
+        return out
+
+    if stacked:
+        per = [inv(b) for b in buf]
+        planes = [
+            (np.stack([p[i] for p in per]) if per[0][i] is not None else None)
+            for i in range(4)
+        ]
+    else:
+        planes = inv(buf)
+    lo, hi, sc, bias = planes
+
+    if fmt.lo_bits == 8:
+        # packed two's-complement bytes -> int8 [.., K, R]
+        shifts = (np.arange(4, dtype=np.uint32) * 8)[:, None]
+        b = lo[..., :, None, :] >> shifts.reshape(1, 4, 1)
+        lo = (b & 0xFF).astype(np.uint8).view(np.int8).reshape(
+            *lo.shape[:-2], lo.shape[-2] * 4, lo.shape[-1]
+        )
+    if not qtc.scale_packed:
+        sc = sc.view(np.float32)
+        if bias is not None:
+            bias = bias.view(np.float32)
+    return QuantTensor(
+        qtc.fmt_name, qtc.k, qtc.r,
+        jnp.asarray(lo),
+        jnp.asarray(hi) if hi is not None else None,
+        jnp.asarray(sc),
+        jnp.asarray(bias) if bias is not None else None,
+        qtc.splits,
+    )
 
 
 def uncoalesce_planes(qtc: QuantTensorC, buf: Optional[jnp.ndarray] = None):

@@ -355,14 +355,18 @@ def _sub_target_c(tile_r: int) -> int:
 
 
 def coalesce_tiles(fmt: QFormat, Kp: int, Rp: int, packed: bool,
-                   sub_target: int = 2048) -> tuple[int, int, int]:
+                   sub_target: Optional[int] = None) -> tuple[int, int, int]:
     """Default (tile_k, tile_r, sub_slices) for coalescing a weight,
-    decode-optimized: whole-K in one grid step when a bounded sub-slicing
-    keeps the dequant intermediates VMEM-sized, else the largest legal
-    tile_k <= 2048. tile_r <= 512 (lane-dim divisor of Rp)."""
+    decode-optimized (round-5 chip A/B: fewer, bigger grid steps win —
+    276 -> 348 GB/s marginal): whole-K in one grid step when a bounded
+    sub-slicing keeps the dequant intermediates VMEM-sized, else the
+    largest legal tile_k <= 2048. tile_r <= 512 (lane-dim divisor of Rp;
+    callers pad R via pad_r_qt to make 512 available)."""
     from llm_tpu.ops.packing import coalesced_seg_rows
 
     tile_r = _pick_tile(Rp, 512, 128)
+    if sub_target is None:
+        sub_target = _sub_target_c(tile_r)
 
     def legal(tk):
         segs = coalesced_seg_rows(fmt, tk, packed)
@@ -382,6 +386,26 @@ def coalesce_tiles(fmt: QFormat, Kp: int, Rp: int, packed: bool,
     raise ValueError(
         f"no legal coalesce tile_k for {fmt.name} Kp={Kp}"
     )
+
+
+def coalesce_auto(qt, to_device: bool = False):
+    """QuantTensorC for `qt` under the best legal tiling, or None when no
+    layout admits one (caller keeps the plane layout). Tries the f16-packed
+    scale layout first; falls back to lossless f32-expanded scales (a few %
+    more scale bytes) for K values whose packed-scale segment rows cannot
+    hit the 8-sublane granularity (e.g. gpt2's K=768)."""
+    from llm_tpu.ops.packing import coalesce_qt, pad_r_qt, unpack_scales_qt
+
+    qt = pad_r_qt(qt, 512)  # wide lane tiles; padded columns dequant to 0
+    cands = (qt, unpack_scales_qt(qt)) if qt.scale_packed else (qt,)
+    for cand in cands:
+        try:
+            tk, tr, _ = coalesce_tiles(cand.fmt, cand.k_padded,
+                                       cand.r_padded, cand.scale_packed)
+        except ValueError:
+            continue
+        return coalesce_qt(cand, tk, tr, to_device=to_device)
+    return None
 
 
 @partial(jax.jit, static_argnames=("interpret",))

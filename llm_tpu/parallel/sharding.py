@@ -96,6 +96,13 @@ def _put_weight(w, mesh: Mesh, axis: Optional[str], shard_r: bool, stacked: bool
 
     if w is None:
         return None
+    from llm_tpu.ops.packing import QuantTensorC, uncoalesce_qt
+
+    if isinstance(w, QuantTensorC):
+        # TP slices planes per head/ffn shard; the coalesced buffer
+        # interleaves R tiles, so convert back to the plane layout first
+        # (the coalesced form is the single-chip fast path)
+        w = uncoalesce_qt(w)
     if isinstance(w, QuantTensor):
         if axis is None:
             spec = P(*lead, None, None)

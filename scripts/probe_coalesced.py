@@ -83,6 +83,73 @@ def build(K, R):
     return qt, sq, qtcs, wd, plane_bytes, Kp, Rp
 
 
+def make_stream_chain(qtc, reps, E):
+    """Stream-ONLY kernel over a coalesced buffer: identical grid/blocks
+    to the real kernel but the body just reduces the block (1 VPU add per
+    element, no unpack/dequant/dot). Separates DMA from compute at the
+    production tile size."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = sum(qtc.seg_rows)
+    n_r, n_k = qtc.rp // qtc.tile_r, qtc.kp // qtc.tile_k
+    tile_r = qtc.tile_r
+    Mp = 8
+
+    def kernel(l_ref, x_ref, buf_ref, out_ref, acc_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # Mosaic has no uint32->f32 cast; reduce in int32 then convert.
+        # (And scalar extracts must be 32-bit: cast x's block before [0,0].)
+        s = jnp.sum(buf_ref[0].astype(jnp.int32), axis=0).astype(jnp.float32)
+        acc_ref[:] += s[None, :] * 1e-30 + x_ref[:].astype(jnp.float32)[0, 0]
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_r, n_k),
+        in_specs=[
+            pl.BlockSpec((Mp, qtc.tile_k), lambda r, k, l: (0, k)),
+            pl.BlockSpec((1, rows, tile_r),
+                         lambda r, k, l: (l[0], r * n_k + k, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mp, tile_r), lambda r, k, l: (0, r)),
+        scratch_shapes=[pltpu.VMEM((Mp, tile_r), jnp.float32)],
+    )
+
+    def call(x, w, l):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Mp, qtc.rp), jnp.float32),
+        )(jnp.asarray(l, jnp.int32).reshape(1),
+          jnp.pad(x, ((0, 0), (0, qtc.kp - x.shape[1]))).astype(jnp.bfloat16)
+          if x.shape[1] != qtc.kp else x.astype(jnp.bfloat16), w.buf)
+
+    @jax.jit
+    def chain(x, w):
+        def body(h, i):
+            y = call(h, w, i % L)
+            h2 = y[:, :E] if y.shape[1] >= E else jnp.pad(
+                y, ((0, 0), (0, E - y.shape[1])))
+            h = h + h2 * 1e-6
+            h = h / (jnp.max(jnp.abs(h)) + 1.0)
+            return h, None
+
+        h, _ = jax.lax.scan(body, x, jnp.arange(L * reps, dtype=jnp.int32))
+        return h
+
+    return chain
+
+
 def make_chains(K, R, sq, qtcs, wd, Kp, Rp):
     E = K
 
@@ -124,6 +191,12 @@ def make_chains(K, R, sq, qtcs, wd, Kp, Rp):
                        preferred_element_type=jnp.float32)
 
     chains["dense"] = {r: mk(dense_call, r) for r in (SHORT, LONG)}
+    for name in list(qtcs):
+        sname = f"{name}_stream"
+        chains[sname] = {
+            r: make_stream_chain(qtcs[name], r, E) for r in (SHORT, LONG)
+        }
+        weights[sname] = qtcs[name]
     return chains, weights
 
 

@@ -136,6 +136,114 @@ def test_qmatmul_dispatch_xla_fallback():
     np.testing.assert_allclose(got1, ref1, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("t", ALL_TYPES)
+def test_uncoalesce_roundtrip(t):
+    """coalesce -> uncoalesce reproduces the original planes exactly
+    (dtypes included) — the TP-sharding path depends on this inverse."""
+    from llm_tpu.ops.packing import uncoalesce_qt
+
+    K, R = 1024, 256
+    qt = _qt(t, K, R, seed=31)
+    tk, tr, _ = coalesce_tiles(qt.fmt, qt.k_padded, qt.r_padded,
+                               qt.scale_packed)
+    back = uncoalesce_qt(coalesce_qt(qt, tk, tr))
+    for name in ("lo", "hi", "scale", "bias"):
+        a, b = getattr(qt, name), getattr(back, name)
+        if a is None:
+            assert b is None
+            continue
+        assert np.asarray(a).dtype == np.asarray(b).dtype, name
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    assert (back.k, back.r) == (qt.k, qt.r)
+
+
+def test_unfuse_through_coalesced():
+    """fuse -> coalesce -> unfuse_quant recovers the original members
+    (shard_params' route for launch-fused coalesced weights)."""
+    from llm_tpu.ops.packing import fuse_quant, unfuse_quant
+
+    t = GgmlType.Q4_0
+    K, R = 512, 256
+    qts = [_qt(t, K, R, seed=40 + i) for i in range(3)]
+    fused = fuse_quant(qts)
+    assert fused is not None
+    tk, tr, _ = coalesce_tiles(fused.fmt, fused.k_padded, fused.r_padded,
+                               fused.scale_packed)
+    members = unfuse_quant(coalesce_qt(fused, tk, tr))
+    assert len(members) == 3
+    for got, ref in zip(members, qts):
+        np.testing.assert_array_equal(
+            np.asarray(dequant_jnp(got)), np.asarray(dequant_jnp(ref))
+        )
+
+
+def test_model_coalesce_logit_parity(tmp_path, monkeypatch):
+    """LLM_TPU_COALESCE=1: a loaded model's logits equal the plane-layout
+    model's bit-for-bit (the coalesced layout is a re-tiling, not a
+    requantization), including the tied-head coalesced copy."""
+    from llm_tpu.loader import ModelParameters, load
+    from llm_tpu.ops.packing import QuantTensorC
+    from llm_tpu.session import InferenceSession
+    from llm_tpu.testing import make_tiny_file
+
+    path = tmp_path / "m.bin"
+    # tied head exercises the coalesced head copy; q8_0 the byte-packed lo.
+    # E=512 so the packed-scale segment rows hit sublane granularity (the
+    # default tiny E has no legal coalesce tiling and falls back to planes)
+    make_tiny_file("gpt2", path, element_type=GgmlType.Q8_0,
+                   n_embd=512, n_head=8)
+
+    ref = load(path, "gpt2", params=ModelParameters(context_size=64))
+    s1 = InferenceSession(ref)
+    s1.feed_prompt([2, 5, 7])
+    monkeypatch.setenv("LLM_TPU_COALESCE", "1")
+    got = load(path, "gpt2", params=ModelParameters(context_size=64))
+    assert isinstance(got.params.layers.w_up, QuantTensorC)
+    assert isinstance(got.params.lm_head, QuantTensorC)
+    s2 = InferenceSession(got)
+    s2.feed_prompt([2, 5, 7])
+    np.testing.assert_allclose(s2.last_logits, s1.last_logits,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shard_params_on_coalesced(tmp_path, monkeypatch):
+    """shard_params on a coalesced model converts back to planes and
+    shards; sharded logits match the unsharded ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_tpu.loader import ModelParameters, load
+    from llm_tpu.parallel.sharding import (
+        MeshConfig,
+        make_mesh,
+        shard_params,
+    )
+    from llm_tpu.ops.packing import QuantTensor
+    from llm_tpu.testing import make_tiny_file
+
+    path = tmp_path / "m.bin"
+    make_tiny_file("llama", path, element_type=GgmlType.Q4_0,
+                   n_embd=512, n_head=8)
+    monkeypatch.setenv("LLM_TPU_COALESCE", "1")
+    model = load(path, "llama", params=ModelParameters(context_size=64))
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    sharded = shard_params(model.params, mesh)
+    assert isinstance(sharded.layers.w_up, QuantTensor)
+
+    from llm_tpu.models.forward import forward, init_cache
+
+    ids = jnp.asarray([2, 5, 7], jnp.int32)
+    cache = init_cache(model.spec, jnp.float32)
+    logits_ref, _, _ = forward(model.spec, model.params, ids,
+                               jnp.int32(0), cache)
+    cache2 = init_cache(model.spec, jnp.float32)
+    with mesh:
+        logits_sh, _, _ = forward(model.spec, sharded, ids,
+                                  jnp.int32(0), cache2)
+    np.testing.assert_allclose(np.asarray(logits_sh), np.asarray(logits_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_sub_slicing_engages():
     """Whole-K coalescing with sub-slices: K large enough that
     coalesce_tiles picks sub_slices > 1, kernel still exact."""
