@@ -389,14 +389,36 @@ def coalesce_tiles(fmt: QFormat, Kp: int, Rp: int, packed: bool,
 
 
 def coalesce_auto(qt, to_device: bool = False):
-    """QuantTensorC for `qt` under the best legal tiling, or None when no
-    layout admits one (caller keeps the plane layout). Tries the f16-packed
-    scale layout first; falls back to lossless f32-expanded scales (a few %
-    more scale bytes) for K values whose packed-scale segment rows cannot
-    hit the 8-sublane granularity (e.g. gpt2's K=768)."""
-    from llm_tpu.ops.packing import coalesce_qt, pad_r_qt, unpack_scales_qt
+    """QuantTensorC for `qt` under the best legal tiling, or None when the
+    layout would not pay (caller keeps the plane layout).
 
-    qt = pad_r_qt(qt, 512)  # wide lane tiles; padded columns dequant to 0
+    Size gate (chip-measured): the coalesced win comes from long DMA
+    bursts over big K tiles — at 7B geometry it lifts decode 67.6 -> 77.2
+    tok/s (+13%), but on small-K weights (gpt2's K=768: 2-grid-step
+    kernels, R padded 768 -> 1024 = +33% bytes) the model-level A/B
+    measured 0.556x. So: only coalesce when Kp >= 2048 and the wide-lane
+    R padding wastes <= 5% of the bytes.
+
+    Tries the f16-packed scale layout first; falls back to lossless
+    f32-expanded scales (a few % more scale bytes) for K values whose
+    packed-scale segment rows cannot hit the 8-sublane granularity."""
+    from llm_tpu.ops.packing import (
+        _round_up as _ru,
+        coalesce_qt,
+        pad_r_qt,
+        unpack_scales_qt,
+    )
+
+    min_k = int(os.environ.get("LLM_TPU_COALESCE_MIN_K", "2048") or 0)
+    if qt.k_padded < min_k:
+        return None
+    # widest lane-tile padding whose byte waste stays <= 5% (padded
+    # columns dequant to 0; r_padded is already a 128-multiple, so the
+    # loop always terminates)
+    for mult in (512, 256, 128):
+        if (_ru(qt.r_padded, mult) - qt.r_padded) * 20 <= qt.r_padded:
+            qt = pad_r_qt(qt, mult)
+            break
     cands = (qt, unpack_scales_qt(qt)) if qt.scale_packed else (qt,)
     for cand in cands:
         try:

@@ -197,6 +197,7 @@ def test_model_coalesce_logit_parity(tmp_path, monkeypatch):
     s1 = InferenceSession(ref)
     s1.feed_prompt([2, 5, 7])
     monkeypatch.setenv("LLM_TPU_COALESCE", "1")
+    monkeypatch.setenv("LLM_TPU_COALESCE_MIN_K", "0")  # tiny test shapes
     got = load(path, "gpt2", params=ModelParameters(context_size=64))
     assert isinstance(got.params.layers.w_up, QuantTensorC)
     assert isinstance(got.params.lm_head, QuantTensorC)
@@ -225,6 +226,7 @@ def test_shard_params_on_coalesced(tmp_path, monkeypatch):
     make_tiny_file("llama", path, element_type=GgmlType.Q4_0,
                    n_embd=512, n_head=8)
     monkeypatch.setenv("LLM_TPU_COALESCE", "1")
+    monkeypatch.setenv("LLM_TPU_COALESCE_MIN_K", "0")  # tiny test shapes
     model = load(path, "llama", params=ModelParameters(context_size=64))
     mesh = make_mesh(MeshConfig(data=1, model=4))
     sharded = shard_params(model.params, mesh)
