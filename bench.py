@@ -212,11 +212,19 @@ def _run_smoke_inner() -> int:
 
         sq = QuantTensor(qt.fmt_name, qt.k, qt.r, st(qt.lo), st(qt.hi),
                          st(qt.scale), st(qt.bias))
-        variants = (
+        variants = [
             (f"{fmt.name}/flat", lambda: qmatmul(x, qt)),
             (f"{fmt.name}/stacked",
              lambda: qmatmul(x, sq, layer=jnp.int32(1))),
-        )
+        ]
+        from llm_tpu.ops.qmatmul import coalesce_auto
+
+        cq = coalesce_auto(sq, to_device=True, min_k=0)
+        if cq is not None:
+            variants.append(
+                (f"{fmt.name}/coalesced",
+                 lambda cq=cq: qmatmul(x, cq, layer=jnp.int32(1)))
+            )
         for vname, call in variants:
             try:
                 got = np.asarray(call())
@@ -367,7 +375,7 @@ def probe_qstream_bw(params: ModelParams) -> float:
 
     split = unfuse_layer_weights(params.layers)  # probe on split planes
     gate, up, down = (split.w_gate, split.w_up, split.w_down)
-    L = gate.lo.shape[0]
+    L = gate.buf.shape[0] if hasattr(gate, "buf") else gate.lo.shape[0]
     E = gate.k
     reps = 24  # >=0.5 s per dispatch so the ~28 ms RTT is noise
 
@@ -390,6 +398,8 @@ def probe_qstream_bw(params: ModelParams) -> float:
         return h
 
     def plane_bytes(qt):
+        if hasattr(qt, "buf"):  # coalesced layout
+            return qt.buf.nbytes
         return (
             qt.lo.nbytes + qt.scale.nbytes
             + (qt.hi.nbytes if qt.hi is not None else 0)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from llm_tpu.models.params import LayerParams, ModelParams
-from llm_tpu.ops.packing import QuantTensor
+from llm_tpu.ops.packing import QuantTensor, QuantTensorC
 
 VERSION = 2  # v2: signed-nibble q4_0 lo planes
 _NODE_TYPES = {"ModelParams": ModelParams, "LayerParams": LayerParams}
@@ -55,6 +55,7 @@ def cache_key(model_path, n_gqa=None) -> dict:
         "mtime_ns": st.st_mtime_ns,
         "scale_pack": os.environ.get("LLM_TPU_SCALE_PACK", ""),
         "fuse": os.environ.get("LLM_TPU_FUSE", "0"),
+        "coalesce": os.environ.get("LLM_TPU_COALESCE", "1"),
         "n_gqa": n_gqa,
     }
 
@@ -73,6 +74,20 @@ def _save_node(obj, arrays: list, counter: list) -> dict:
                 n: _save_node(getattr(obj, n), arrays, counter)
                 for n in ("lo", "hi", "scale", "bias")
             },
+        }
+    if isinstance(obj, QuantTensorC):
+        return {
+            "t": "quantc",
+            "fmt": obj.fmt_name,
+            "k": obj.k,
+            "r": obj.r,
+            "kp": obj.kp,
+            "rp": obj.rp,
+            "tile_k": obj.tile_k,
+            "tile_r": obj.tile_r,
+            "scale_packed": obj.scale_packed,
+            "splits": obj.splits,
+            "buf": _save_node(obj.buf, arrays, counter),
         }
     if isinstance(obj, (ModelParams, LayerParams)):
         return {
@@ -101,6 +116,8 @@ def _array_specs(spec: dict, out: list) -> None:
     elif t == "quant":
         for s in spec["planes"].values():
             _array_specs(s, out)
+    elif t == "quantc":
+        _array_specs(spec["buf"], out)
     elif t in _NODE_TYPES:
         for s in spec["fields"].values():
             _array_specs(s, out)
@@ -139,6 +156,15 @@ def _load_node(spec: dict, base: Path, devices: Optional[dict] = None):
             splits = tuple(tuple(s) for s in splits)
         return QuantTensor(spec["fmt"], spec["k"], spec["r"],
                            splits=splits, **planes)
+    if t == "quantc":
+        splits = spec["splits"]
+        if splits is not None:
+            splits = tuple(tuple(s) for s in splits)
+        return QuantTensorC(
+            spec["fmt"], spec["k"], spec["r"], spec["kp"], spec["rp"],
+            spec["tile_k"], spec["tile_r"], spec["scale_packed"],
+            _load_node(spec["buf"], base, devices), splits,
+        )
     cls = _NODE_TYPES[t]
     return cls(**{
         n: _load_node(s, base, devices) for n, s in spec["fields"].items()

@@ -145,9 +145,12 @@ _W_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
 
 
 def _coalesce_enabled() -> bool:
+    # Default ON since round 5: +13% decode at 7B (67.6 -> 77.2 tok/s,
+    # chip A/B scripts/probe_coalesce_model.py); small-K weights are
+    # size-gated in coalesce_auto, so small models keep the plane layout.
     import os
 
-    return os.environ.get("LLM_TPU_COALESCE", "0") == "1"
+    return os.environ.get("LLM_TPU_COALESCE", "1") == "1"
 
 
 def coalesce_layer_weights(layer: LayerParams) -> LayerParams:

@@ -388,7 +388,8 @@ def coalesce_tiles(fmt: QFormat, Kp: int, Rp: int, packed: bool,
     )
 
 
-def coalesce_auto(qt, to_device: bool = False):
+def coalesce_auto(qt, to_device: bool = False,
+                  min_k: Optional[int] = None):
     """QuantTensorC for `qt` under the best legal tiling, or None when the
     layout would not pay (caller keeps the plane layout).
 
@@ -409,7 +410,8 @@ def coalesce_auto(qt, to_device: bool = False):
         unpack_scales_qt,
     )
 
-    min_k = int(os.environ.get("LLM_TPU_COALESCE_MIN_K", "2048") or 0)
+    if min_k is None:
+        min_k = int(os.environ.get("LLM_TPU_COALESCE_MIN_K", "2048") or 0)
     if qt.k_padded < min_k:
         return None
     # widest lane-tile padding whose byte waste stays <= 5% (padded

@@ -22,9 +22,9 @@ def test_run_smoke_reduced(monkeypatch, capsys):
     emitted = []
     monkeypatch.setattr(bench, "emit", lambda *a, **k: emitted.append(a))
     n = bench.run_smoke()
-    # 2 formats x {flat, stacked} + 3 dense-attention geometries
-    # + 2 paged-attention pools (int8, int4)
-    assert n == 2 * 2 + 3 + 2
+    # 2 formats x {flat, stacked, coalesced} + 3 dense-attention
+    # geometries + 2 paged-attention pools (int8, int4)
+    assert n == 2 * 3 + 3 + 2
     assert emitted and emitted[0][0] == "smoke"
 
 
