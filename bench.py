@@ -23,7 +23,7 @@ written to BENCH_MATRIX.json, and the headline line is re-printed last.
 
 Metrics:
   smoke                      variants_ok: every QFormat x kernel variant
-                             (flat/stacked) + dense-attention D=64/80/128
+                             (flat/stacked/coalesced) + dense-attention D=64/80/128
                              really LOWERED on this chip before timing
                              (vs_baseline 1.0 = full sweep, 0.0 = stopped
                              at LLM_TPU_SMOKE_BUDGET); a lowering failure
@@ -42,6 +42,9 @@ Metrics:
                              cache; vs_baseline = fraction of uncached)
   llama7b_q4_0_paged_serve_64streams_int8   64 streams over a paged int8
                                             pool sized to tokens in flight
+  llama7b_q4_0_paged_serve_128streams_int8  128 streams, window-bucketed
+                                            (128-token pages: same tokens
+                                            in flight, 2x rows)
   mpt7b_q4_k_8k_paged_int8_decode      staged config #4: ALiBi + Q4_K +
                                        8K context + int8 paged KV (Pallas
                                        paged-attention kernel)
@@ -770,9 +773,8 @@ def serve_bench(model, decode_rec, roofline_bw):
     )
 
 
-@_section("paged-serve-64")
-def paged_serve_bench(model, decode_rec, roofline_bw):
-    """BASELINE's continuous-batching scale on ONE chip: 64 streams over a
+def _paged_serve_impl(model, decode_rec, roofline_bw, B, PAGE, metric):
+    """BASELINE's continuous-batching scale on ONE chip: B streams over a
     paged int8 pool sized for the TOKENS IN FLIGHT (2 pages/stream) — a
     dense 64-slot int8 cache would need ~34 GB and not fit; the page pool
     holds the same workload in ~4.3 GB.
@@ -783,12 +785,19 @@ def paged_serve_bench(model, decode_rec, roofline_bw):
     single-stream rate, which pretends the 4.4 GB/step of per-stream
     cache reads are overhead — the r4 probe showed the real step BEATS
     even this roofline because cache reads overlap the weight stream at
-    a higher rate; the naive ratio is still printed as a note.)"""
+    a higher rate; the naive ratio is still printed as a note.)
+
+    Round 5 adds the 128-stream row (window-bucketed: 128 x 128-token
+    pages = the same tokens in flight and same pool bytes as 64 x 256):
+    the step is required-traffic bound, so doubling rows at equal KV
+    bytes measured +69% aggregate (2509 -> 4245 tok/s in the probe; the
+    int4 pool re-measured slower than int8 again and stays a capacity
+    lever)."""
     from llm_tpu.paged import PageAllocator, init_paged_cache, paged_decode_loop
 
     spec = model.spec
     params = model.params
-    B, PAGE, PAST = 64, 256, 200
+    PAST = min(200, PAGE - 8)
     pages_per = spec.n_ctx // PAGE
     n_pages = 1 + B  # one page per stream in flight (~2.2 GB/plane; the
     #                  axon compile service crashes above ~8 GB total)
@@ -823,13 +832,27 @@ def paged_serve_bench(model, decode_rec, roofline_bw):
     )
     step_bytes = weight_stream_bytes(params) + kv_bytes
     roofline_agg = B / (step_bytes / roofline_bw)
-    note(f"paged-serve-64: {dt / STEPS * 1e3:.1f} ms/step, traffic "
-         f"{step_bytes / 1e9:.2f} GB/step, naive 64x-single ratio "
+    note(f"paged-serve-{B}: {dt / STEPS * 1e3:.1f} ms/step, traffic "
+         f"{step_bytes / 1e9:.2f} GB/step, naive {B}x-single ratio "
          f"{agg / (B * single):.2f}")
     del pool
-    return emit(
-        "llama7b_q4_0_paged_serve_64streams_int8", agg, "tokens/s/chip",
-        agg / roofline_agg,
+    return emit(metric, agg, "tokens/s/chip", agg / roofline_agg)
+
+
+@_section("paged-serve-64")
+def paged_serve_bench(model, decode_rec, roofline_bw):
+    return _paged_serve_impl(
+        model, decode_rec, roofline_bw, 64, 256,
+        "llama7b_q4_0_paged_serve_64streams_int8",
+    )
+
+
+@_section("paged-serve-128")
+def paged_serve128_bench(model, decode_rec, roofline_bw):
+    """The 128-stream window-bucketed row (see _paged_serve_impl)."""
+    return _paged_serve_impl(
+        model, decode_rec, roofline_bw, 128, 128,
+        "llama7b_q4_0_paged_serve_128streams_int8",
     )
 
 
@@ -1163,6 +1186,7 @@ def main() -> None:
     ttft_bench(model)
     serve_bench(model, headline, roofline_bw)
     paged_serve_bench(model, headline, roofline_bw)
+    paged_serve128_bench(model, headline, roofline_bw)
     prefix_cache_ttft_bench(model)
     perplexity_bench(model)
 
