@@ -1078,15 +1078,16 @@ def gpt2_bench(roofline_bw):
     # of a 64-step block's wall time; big models amortize it at 64
     dt, cache = time_decode_loop(spec, params, cache, 512, window, steps=256)
     step_bytes = weight_stream_bytes(params)  # cache reads overlap
-    # "its own roofline" (VERDICT r4 item 3): the kernel's achievable
-    # stream rate at GPT-2's OWN 768-wide geometry, not the 7B-shape rate
-    # — small tiles stream slower for physical reasons (short bursts,
-    # more per-step overhead), and round 5's coalesced layout moved the
-    # 7B rate but is size-gated off here.
-    own_bw = probe_qstream_bw(params)
-    note(f"gpt2 own-shape kernel rate: {own_bw / 1e9:.0f} GB/s "
-         f"(7B-shape: {roofline_bw / 1e9:.0f})")
-    roofline = own_bw / step_bytes
+    # Denominator note (VERDICT r4 item 3): an "own-geometry kernel rate"
+    # via probe_qstream_bw was tried and measured 71 GB/s — at 768-wide
+    # shapes that probe times per-call dispatch overhead (3 calls of ~2
+    # grid steps each per iteration), not streaming, and the real decode
+    # runs 3x FASTER than it; scoring against it would be meaningless.
+    # The 7B-shape kernel rate stays as the denominator, accepting that
+    # it now includes the coalesced layout's gain which gpt2's small-K
+    # weights are size-gated out of (the honest residual is small-tile
+    # streaming physics; see docs/roadmap.md round-5 log).
+    roofline = roofline_bw / step_bytes
     del cache, params
     return emit(
         "gpt2_117m_q8_0_decode", 1.0 / dt, "tokens/s/chip",

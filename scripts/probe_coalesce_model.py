@@ -45,7 +45,7 @@ def measure_7b(tag):
     return 1.0 / dt
 
 
-def measure_gpt2(tag, coalesce):
+def measure_gpt2(tag, coalesce, head_only=False):
     from llm_tpu.models.spec import ModelSpec
 
     E, H, L, F, V = 768, 12, 12, 3072, 50304
@@ -72,13 +72,13 @@ def measure_gpt2(tag, coalesce):
             return w
 
         lay = params.layers
+        layer_fields = () if head_only else (
+            "wq", "wk", "wv", "wo", "w_up", "w_down")
         params = dataclasses.replace(
             params,
             layers=dataclasses.replace(
-                lay,
-                **{f: c(getattr(lay, f))
-                   for f in ("wq", "wk", "wv", "wo", "w_up", "w_down")},
-            ),
+                lay, **{f: c(getattr(lay, f)) for f in layer_fields},
+            ) if layer_fields else lay,
             lm_head=c(params.lm_head if params.lm_head is not None
                       else params.wte),
         )
@@ -101,11 +101,15 @@ def main():
     args = ap.parse_args()
 
     if not args.skip_gpt2:
+        os.environ["LLM_TPU_COALESCE_MIN_K"] = "0"  # probe overrides gate
         g_plane = measure_gpt2("plane", False)
+        g_head = measure_gpt2("coal-head", True, head_only=True)
         g_coal = measure_gpt2("coalesced", True)
         g_plane2 = measure_gpt2("plane(rpt)", False)
-        print(f"gpt2 ratio: {g_coal / max(g_plane, g_plane2):.3f}",
-              flush=True)
+        os.environ.pop("LLM_TPU_COALESCE_MIN_K", None)
+        base = max(g_plane, g_plane2)
+        print(f"gpt2 ratio all-coal: {g_coal / base:.3f}  "
+              f"head-only: {g_head / base:.3f}", flush=True)
 
     if not args.skip_7b:
         bench.ensure_checkpoint()
