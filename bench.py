@@ -507,11 +507,25 @@ def synth_params(key, fmt: str, E, F, L, V, *, fused_b=False, norm_bias=False,
         w_up=stack(keys[5], E, F), b_up=None,
         w_down=stack(keys[6], F, E), b_down=None,
     )
-    from llm_tpu.models.params import fuse_layer_weights
+    from llm_tpu.models.params import (
+        _coalesce_enabled,
+        coalesce_layer_weights,
+        fuse_layer_weights,
+    )
 
     if os.environ.get("LLM_TPU_FUSE", "0") == "1":
         layers = fuse_layer_weights(layers)
     wte = rand_qt(keys[7], fmt, E, V)
+    head = None if tied_head else rand_qt(keys[8], fmt, E, V)
+    if _coalesce_enabled():
+        # same layout policy as the production loader (stacked planes
+        # coalesce fine; size gate keeps small geometries on planes)
+        from llm_tpu.ops.qmatmul import coalesce_auto
+
+        layers = coalesce_layer_weights(layers, to_device=True)
+        c = coalesce_auto(head if head is not None else wte, to_device=True)
+        if c is not None:
+            head = c
     return ModelParams(
         wte=wte,
         wpe=(
@@ -522,11 +536,16 @@ def synth_params(key, fmt: str, E, F, L, V, *, fused_b=False, norm_bias=False,
         emb_norm_w=None, emb_norm_b=None,
         final_norm_w=jnp.ones(E, jnp.float32),
         final_norm_b=jnp.zeros(E, jnp.float32) if norm_bias else None,
-        lm_head=None if tied_head else rand_qt(keys[8], fmt, E, V),
+        lm_head=head,
         lm_head_b=None,
         layers=layers,
     )
 
+
+
+def _ready_plane(qt):
+    """block_until_ready target that works for both weight layouts."""
+    return qt.buf if hasattr(qt, "buf") else qt.lo
 
 def time_decode_loop(spec, params, cache, n_past, window, steps=DECODE_STEPS):
     """Median time/token of the on-device multi-token decode loop."""
@@ -584,7 +603,7 @@ def load_model():
             os.environ.pop("LLM_TPU_PACK_CACHE", None)
         else:
             os.environ["LLM_TPU_PACK_CACHE"] = prev
-    jax.block_until_ready(model.params.layers.wq.lo)
+    jax.block_until_ready(_ready_plane(model.params.layers.wq))
     load_s = time.time() - t0
     size_gb = os.path.getsize(CKPT) / 1e9
     emit("llama7b_q4_0_load", load_s, "seconds",
@@ -963,7 +982,7 @@ def load_packed_bench(load_rec):
                 pass
     t0 = time.time()
     model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
-    jax.block_until_ready(model.params.layers.wq.lo)
+    jax.block_until_ready(_ready_plane(model.params.layers.wq))
     packed_s = time.time() - t0
     cold_s = load_rec["value"] if load_rec else 0.0
     del model
@@ -1128,7 +1147,7 @@ def llama13b_bench(roofline_bw):
     # ctx 1024 + int8 KV: ~7 GB weights + 0.43 GB cache — the virtualized
     # chip OOMs well under its nominal 16 GB (compile temporaries included)
     model = load(ckpt, "llama", params=ModelParameters(context_size=512))
-    jax.block_until_ready(model.params.layers.wq.lo)
+    jax.block_until_ready(_ready_plane(model.params.layers.wq))
     note(f"13B load {time.time() - t0:.0f}s")
     spec, params = model.spec, model.params
     # B=1 BATCHED decode: the head-major dense-attention kernel reads the

@@ -153,7 +153,8 @@ def _coalesce_enabled() -> bool:
     return os.environ.get("LLM_TPU_COALESCE", "1") == "1"
 
 
-def coalesce_layer_weights(layer: LayerParams) -> LayerParams:
+def coalesce_layer_weights(layer: LayerParams,
+                           to_device: bool = False) -> LayerParams:
     """Rewrite one (unstacked) layer's matmul weights into the coalesced
     single-DMA-per-block layout (ops/packing.QuantTensorC): all planes of
     each (R-tile, K-tile) weight block interleave into one linear HBM span,
@@ -170,7 +171,7 @@ def coalesce_layer_weights(layer: LayerParams) -> LayerParams:
     for f in _W_FIELDS:
         w = getattr(layer, f)
         if isinstance(w, QuantTensor):
-            c = coalesce_auto(w)
+            c = coalesce_auto(w, to_device=to_device)
             if c is not None:
                 kw[f] = c
     return dataclasses.replace(layer, **kw) if kw else layer

@@ -71,6 +71,66 @@ def make_call(qtc, mode):
     sub = 4  # 1024-element K slices
     sk = tile_k // sub
 
+    if mode == "gdot":
+        # x arrives PRE-grouped [K/g, Mp, g] (host/XLA reshape — lane-dim
+        # reshapes are illegal inside Mosaic): per-group batched MXU dots,
+        # scale applied to the [G, Mp, R] partials. VPU per weight: 2
+        # unpack shifts + 1 bf16 cvt (no K-wide broadcast, no K-wide mul).
+        def kernel(l_ref, xg_ref, buf_ref, out_ref, acc_ref):
+            k = pl.program_id(1)
+
+            @pl.when(k == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            buf = buf_ref[0]
+            acc = jnp.zeros_like(acc_ref)
+            Gt = sk // g
+            for s in range(sub):
+                lo = buf[s * (lo_r // sub) : (s + 1) * (lo_r // sub)]
+                scw = buf[lo_r + s * (sc_r // sub)
+                          : lo_r + (s + 1) * (sc_r // sub)]
+                q = unpack_plane(lo, fmt.lo_bits, signed=True)
+                qb = q.astype(jnp.bfloat16).reshape(Gt, g, tile_r)
+                xb = xg_ref[s * Gt : (s + 1) * Gt]  # [Gt, Mp, g]
+                part = jax.lax.dot_general(
+                    xb, qb, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [Gt, Mp, tile_r]
+                sc = expand_f16x2(scw)  # [Gt, tile_r] f32
+                acc = acc + jnp.sum(part * sc[:, None, :], axis=0)
+            acc_ref[:] += acc
+
+            @pl.when(k == n_k - 1)
+            def _():
+                out_ref[:] = acc_ref[:].astype(jnp.float32)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_r, n_k),
+            in_specs=[
+                pl.BlockSpec((tile_k // g, Mp, g),
+                             lambda r, k, l: (k, 0, 0)),
+                pl.BlockSpec((1, rows, tile_r),
+                             lambda r, k, l: (l[0], r * n_k + k, 0)),
+            ],
+            out_specs=pl.BlockSpec((Mp, tile_r), lambda r, k, l: (0, r)),
+            scratch_shapes=[pltpu.VMEM((Mp, tile_r), jnp.float32)],
+        )
+
+        def call(x, w, l):
+            xp = (jnp.pad(x, ((0, 0), (0, qtc.kp - x.shape[1])))
+                  if x.shape[1] != qtc.kp else x)
+            xg = xp.astype(jnp.bfloat16).reshape(
+                Mp, qtc.kp // g, g).swapaxes(0, 1)  # [K/g, Mp, g]
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((Mp, qtc.rp), jnp.float32),
+            )(jnp.asarray(l, jnp.int32).reshape(1), xg, w.buf)
+
+        return call
+
     def kernel(l_ref, x_ref, buf_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
