@@ -56,6 +56,7 @@ def cache_key(model_path, n_gqa=None) -> dict:
         "scale_pack": os.environ.get("LLM_TPU_SCALE_PACK", ""),
         "fuse": os.environ.get("LLM_TPU_FUSE", "0"),
         "coalesce": os.environ.get("LLM_TPU_COALESCE", "1"),
+        "coalesce_min_k": os.environ.get("LLM_TPU_COALESCE_MIN_K", ""),
         "n_gqa": n_gqa,
     }
 

@@ -66,14 +66,22 @@ def build(K, R):
         p.nbytes for p in (qt.lo, qt.hi, qt.scale, qt.bias) if p is not None
     )
 
+    from llm_tpu.ops.packing import coalesced_seg_rows
+
     Kp, Rp = qt.k_padded, qt.r_padded
     tk_def, tr_def, _ = qm.coalesce_tiles(qt.fmt, Kp, Rp, qt.scale_packed)
-    tiles = {"coal2048": (sq, 2048, tr_def)}
-    if tk_def != 2048:
+    tk_small = next(
+        tk for tk in range(min(2048, Kp), 63, -64)
+        if Kp % tk == 0 and all(
+            s % 8 == 0
+            for s in coalesced_seg_rows(qt.fmt, tk, qt.scale_packed) if s)
+    )
+    tiles = {"coal2048": (sq, tk_small, tr_def)}
+    if tk_def != tk_small:
         tiles["coalK"] = (sq, tk_def, tr_def)
     for tr in (512, 1024):
         if qt_w.r_padded % tr == 0:
-            tiles[f"c_r{tr}"] = (sq_w, 2048, tr)
+            tiles[f"c_r{tr}"] = (sq_w, tk_small, tr)
     if qt_w.k_padded == Kp:  # whole-K + wide lanes: fewest steps of all
         tiles["cK_r512"] = (sq_w, Kp, 512)
 
@@ -187,6 +195,8 @@ def make_chains(K, R, sq, qtcs, wd, Kp, Rp):
         }
 
     def dense_call(h, w, l):
+        if h.shape[1] != Kp:
+            h = jnp.pad(h, ((0, 0), (0, Kp - h.shape[1])))
         return jnp.dot(h.astype(jnp.bfloat16), w[l],
                        preferred_element_type=jnp.float32)
 

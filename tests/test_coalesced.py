@@ -177,6 +177,29 @@ def test_unfuse_through_coalesced():
         )
 
 
+def test_fused_coalesced_qmatmul_split():
+    """Launch-fused q|k|v coalesced: one kernel call + split_fused
+    recovers each member's product (incl. the R padding added by
+    coalesce_auto's wide-lane policy)."""
+    from llm_tpu.ops.packing import fuse_quant, split_fused
+    from llm_tpu.ops.qmatmul import coalesce_auto
+
+    t = GgmlType.Q4_0
+    K, R = 512, 256
+    qts = [_qt(t, K, R, seed=50 + i) for i in range(3)]
+    fused = fuse_quant(qts)
+    qtc = coalesce_auto(fused, to_device=True, min_k=0)
+    assert qtc is not None and qtc.splits == fused.splits
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    y = qmatmul(x, qtc)
+    parts = split_fused(y, qtc.splits)
+    assert [p.shape[-1] for p in parts] == [R, R, R]
+    for p, ref_qt in zip(parts, qts):
+        ref = np.asarray(x) @ np.asarray(dequant_jnp(ref_qt))
+        np.testing.assert_allclose(np.asarray(p), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_model_coalesce_logit_parity(tmp_path, monkeypatch):
     """LLM_TPU_COALESCE=1: a loaded model's logits equal the plane-layout
     model's bit-for-bit (the coalesced layout is a re-tiling, not a
