@@ -509,11 +509,12 @@ def synth_params(key, fmt: str, E, F, L, V, *, fused_b=False, norm_bias=False,
     )
     from llm_tpu.models.params import (
         _coalesce_enabled,
+        _fuse_enabled,
         coalesce_layer_weights,
         fuse_layer_weights,
     )
 
-    if os.environ.get("LLM_TPU_FUSE", "0") == "1":
+    if _fuse_enabled():
         layers = fuse_layer_weights(layers)
     wte = rand_qt(keys[7], fmt, E, V)
     head = None if tied_head else rand_qt(keys[8], fmt, E, V)

@@ -35,7 +35,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from llm_tpu.models.params import LayerParams, ModelParams
+from llm_tpu.models.params import (LayerParams, ModelParams,
+                                   _fuse_enabled)
 from llm_tpu.ops.packing import QuantTensor, QuantTensorC
 
 VERSION = 2  # v2: signed-nibble q4_0 lo planes
@@ -54,7 +55,7 @@ def cache_key(model_path, n_gqa=None) -> dict:
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
         "scale_pack": os.environ.get("LLM_TPU_SCALE_PACK", ""),
-        "fuse": os.environ.get("LLM_TPU_FUSE", "0"),
+        "fuse": "1" if _fuse_enabled() else "0",
         "coalesce": os.environ.get("LLM_TPU_COALESCE", "1"),
         "coalesce_min_k": os.environ.get("LLM_TPU_COALESCE_MIN_K", ""),
         "n_gqa": n_gqa,

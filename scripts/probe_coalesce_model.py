@@ -113,12 +113,15 @@ def main():
 
     if not args.skip_7b:
         bench.ensure_checkpoint()
-        os.environ.pop("LLM_TPU_COALESCE", None)
+        # explicit values: the layout defaults ON since round 5, so a
+        # popped env var is NOT the plane layout
+        os.environ["LLM_TPU_COALESCE"] = "0"
         p = measure_7b("plane")
         os.environ["LLM_TPU_COALESCE"] = "1"
         c = measure_7b("coalesced")
-        os.environ.pop("LLM_TPU_COALESCE", None)
+        os.environ["LLM_TPU_COALESCE"] = "0"
         p2 = measure_7b("plane(rpt)")
+        os.environ.pop("LLM_TPU_COALESCE", None)
         print(f"7b ratio: {c / max(p, p2):.3f}", flush=True)
 
 

@@ -80,7 +80,8 @@ def test_fused_model_matches_unfused(tmp_path, monkeypatch, arch):
 
     monkeypatch.setenv("LLM_TPU_FUSE", "1")
     fused_model = _load()
-    monkeypatch.delenv("LLM_TPU_FUSE")
+    # fusion defaults ON under coalescing (round 5) — force it off
+    monkeypatch.setenv("LLM_TPU_FUSE", "0")
     split_model = _load()
 
     assert fused_model.params.layers.w_qkv is not None
