@@ -376,8 +376,28 @@ def probe_qstream_bw(params: ModelParams) -> float:
     per-call overhead dominates it, and its compile took 14 minutes."""
     from llm_tpu.models.params import unfuse_layer_weights
 
-    split = unfuse_layer_weights(params.layers)  # probe on split planes
+    split = unfuse_layer_weights(params.layers)  # probe on split weights
     gate, up, down = (split.w_gate, split.w_up, split.w_down)
+    # unfuse returns PLANE tensors; when the production layers are
+    # coalesced (default since round 5), re-coalesce the split members so
+    # the probe measures the layout the model actually runs — otherwise
+    # the headline denominator silently reverts to the plane rate
+    prod_coalesced = any(
+        hasattr(getattr(params.layers, f), "buf")
+        for f in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                  "w_qkv", "w_gate_up")
+        if getattr(params.layers, f) is not None
+    )
+    if prod_coalesced:
+        from llm_tpu.ops.qmatmul import coalesce_auto
+
+        def rl(qt):
+            if qt is None or hasattr(qt, "buf"):
+                return qt
+            c = coalesce_auto(qt, to_device=True)
+            return c if c is not None else qt
+
+        gate, up, down = rl(gate), rl(up), rl(down)
     if gate is None:  # gelu FFN (gpt2/bloom/mpt): two projections
         gate = up
     L = gate.buf.shape[0] if hasattr(gate, "buf") else gate.lo.shape[0]
@@ -544,8 +564,10 @@ def synth_params(key, fmt: str, E, F, L, V, *, fused_b=False, norm_bias=False,
 
 
 
-def _ready_plane(qt):
-    """block_until_ready target that works for both weight layouts."""
+def _ready_plane(layers):
+    """block_until_ready target that works for both weight layouts and
+    fused/split q|k|v."""
+    qt = layers.w_qkv if layers.wq is None else layers.wq
     return qt.buf if hasattr(qt, "buf") else qt.lo
 
 def time_decode_loop(spec, params, cache, n_past, window, steps=DECODE_STEPS):
@@ -604,7 +626,7 @@ def load_model():
             os.environ.pop("LLM_TPU_PACK_CACHE", None)
         else:
             os.environ["LLM_TPU_PACK_CACHE"] = prev
-    jax.block_until_ready(_ready_plane(model.params.layers.wq))
+    jax.block_until_ready(_ready_plane(model.params.layers))
     load_s = time.time() - t0
     size_gb = os.path.getsize(CKPT) / 1e9
     emit("llama7b_q4_0_load", load_s, "seconds",
@@ -983,7 +1005,7 @@ def load_packed_bench(load_rec):
                 pass
     t0 = time.time()
     model = load(CKPT, "llama", params=ModelParameters(context_size=CTX))
-    jax.block_until_ready(_ready_plane(model.params.layers.wq))
+    jax.block_until_ready(_ready_plane(model.params.layers))
     packed_s = time.time() - t0
     cold_s = load_rec["value"] if load_rec else 0.0
     del model
@@ -1148,7 +1170,7 @@ def llama13b_bench(roofline_bw):
     # ctx 1024 + int8 KV: ~7 GB weights + 0.43 GB cache — the virtualized
     # chip OOMs well under its nominal 16 GB (compile temporaries included)
     model = load(ckpt, "llama", params=ModelParameters(context_size=512))
-    jax.block_until_ready(_ready_plane(model.params.layers.wq))
+    jax.block_until_ready(_ready_plane(model.params.layers))
     note(f"13B load {time.time() - t0:.0f}s")
     spec, params = model.spec, model.params
     # B=1 BATCHED decode: the head-major dense-attention kernel reads the
