@@ -79,6 +79,7 @@ def main():
     cfgs = {
         "s64_int8": (64, 256, "int8"),
         "s128_int8": (128, 128, "int8"),
+        "s256_int8": (256, 64, "int8"),  # next doubling, same pool bytes
         "s64_int4": (64, 256, "int4"),
         "s128_int4": (128, 128, "int4"),
     }

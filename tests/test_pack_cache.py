@@ -118,3 +118,34 @@ def test_pack_lora_bypasses_cache(tmp_path):
         params=ModelParameters(context_size=32, lora_adapters=[str(lora)]),
     )
     assert not np.array_equal(_logits(patched), _logits(base))
+
+
+def test_pack_roundtrip_coalesced(tmp_path, monkeypatch):
+    """quantc nodes (coalesced layout) serialize and reload bit-identically;
+    the cache key invalidates when the layout env changes."""
+    monkeypatch.setenv("LLM_TPU_COALESCE", "1")
+    monkeypatch.setenv("LLM_TPU_COALESCE_MIN_K", "0")
+    path = tmp_path / "m.bin"
+    make_tiny_file("llama", path, element_type=GgmlType.Q4_0,
+                   n_embd=512, n_head=8)
+    m1 = load(path, "llama", params=ModelParameters(context_size=64))
+    from llm_tpu.ops.packing import QuantTensorC
+
+    assert isinstance(m1.params.layers.w_up, QuantTensorC) or isinstance(
+        m1.params.layers.w_gate_up, QuantTensorC)
+    ref = _logits(m1)
+
+    key = cache_key(path)
+    save_packed_params(m1.params, pack_path(path), key)
+    loaded = load_packed_params(pack_path(path), key)
+    assert loaded is not None
+    w = (loaded.layers.w_gate_up if loaded.layers.w_gate_up is not None
+         else loaded.layers.w_up)
+    assert isinstance(w, QuantTensorC)
+    _forbid_build(monkeypatch)
+    m2 = load(path, "llama", params=ModelParameters(context_size=64))
+    np.testing.assert_array_equal(_logits(m2), ref)
+
+    # flipping the layout env must invalidate the key
+    monkeypatch.setenv("LLM_TPU_COALESCE", "0")
+    assert load_packed_params(pack_path(path), cache_key(path)) is None
