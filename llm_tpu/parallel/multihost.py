@@ -447,11 +447,16 @@ class MultiHostEngine(_LocalEngine):
 
     # stepping ------------------------------------------------------------
 
-    def _dispatch(self, ids: np.ndarray, n_past: np.ndarray, window: int,
-                  write_mask: np.ndarray):
-        # n_past/write_mask replicated, NOT data-sharded: they index the
-        # cache writes per-stream, and scalar extraction from a sharded
-        # array would put the whole cache on DCN (see _replicated_rows)
+    def _dispatch_async(self, ids: np.ndarray, n_past: np.ndarray,
+                        window: int, write_mask: np.ndarray):
+        """Dispatch one step, returning the GLOBAL logits array without
+        forcing it — jax dispatch is async, so callers may fire the
+        already-sampled token events while the device computes (the same
+        TTFT overlap as serve.Engine.step).
+
+        n_past/write_mask ride replicated, NOT data-sharded: they index
+        the cache writes per-stream, and scalar extraction from a sharded
+        array would put the whole cache on DCN (see _replicated_rows)."""
         g_np, g_mask = self._replicated_rows(n_past, write_mask)
         logits, _, self.cache = self._step_jit(
             self.spec,
@@ -462,7 +467,13 @@ class MultiHostEngine(_LocalEngine):
             window,
             g_mask,
         )
-        return self._local_rows(logits)
+        return logits
+
+    def _dispatch(self, ids: np.ndarray, n_past: np.ndarray, window: int,
+                  write_mask: np.ndarray):
+        return self._local_rows(
+            self._dispatch_async(ids, n_past, window, write_mask)
+        )
 
     def _global_prefill_chunk(self, gmax: int) -> None:
         from llm_tpu.models.forward import window_bucket
@@ -507,14 +518,19 @@ class MultiHostEngine(_LocalEngine):
             ids[i, 0] = tok
             n_past[i] = s.n_past
             mask[i] = True
-        logits = self._dispatch(
+        logits_g = self._dispatch_async(
             ids, n_past, window_bucket(gmax + 1, spec.n_ctx), mask
-        )[:, 0, :]
-        events = []
+        )
+        # token events fire while the device computes the NEXT logits
+        # (see serve.Engine.step); last_logits refreshes after the force
+        events, emitted = [], []
         for i, tok in sampled.items():
-            events.append(
-                self._finish_token(i, self.slots[i], tok, logits[i])
-            )
+            s = self.slots[i]
+            emitted.append((i, s))
+            events.append(self._finish_token(i, s, tok, s.last_logits))
+        logits = self._local_rows(logits_g)[:, 0, :]
+        for i, s in emitted:
+            s.last_logits = logits[i]
         return events
 
     def step(self) -> list:
@@ -827,7 +843,9 @@ class MultiHostPagedEngine(MultiHostEngine):
         wp = max(1, -(-(gmax + extra) // self.page_size))
         return min(wp, self.pages_per_stream)
 
-    def _paged_dispatch(self, ids: np.ndarray, n_past: np.ndarray, wp: int):
+    def _paged_dispatch_async(self, ids: np.ndarray, n_past: np.ndarray,
+                              wp: int):
+        """Global logits, not yet forced (see _dispatch_async)."""
         logits, _, self.pool = _mh_paged_step(
             self.spec,
             self.params,
@@ -839,7 +857,10 @@ class MultiHostPagedEngine(MultiHostEngine):
             self._allow_kernel,
             self.mesh,
         )
-        return self._local_rows(logits)
+        return logits
+
+    def _paged_dispatch(self, ids: np.ndarray, n_past: np.ndarray, wp: int):
+        return self._local_rows(self._paged_dispatch_async(ids, n_past, wp))
 
     def _frontiers(self) -> np.ndarray:
         """Dummy-row n_past: every slotted stream's write positions start at
@@ -902,14 +923,19 @@ class MultiHostPagedEngine(MultiHostEngine):
                 continue
             sampled[i] = tok
             ids[i, 0] = tok
-        logits = self._paged_dispatch(
+        # tables captured at dispatch: a retirement inside the event loop
+        # cannot free a page this in-flight step still writes
+        logits_g = self._paged_dispatch_async(
             ids, n_past, self._window_pages(gmax, 1)
-        )[:, 0, :]
-        events = []
+        )
+        events, emitted = [], []
         for i, tok in sampled.items():
-            events.append(
-                self._finish_token(i, self.slots[i], tok, logits[i])
-            )
+            s = self.slots[i]
+            emitted.append((i, s))
+            events.append(self._finish_token(i, s, tok, s.last_logits))
+        logits = self._local_rows(logits_g)[:, 0, :]
+        for i, s in emitted:
+            s.last_logits = logits[i]
         return events
 
     def step_multi(self, n_steps: int = 16) -> list:
