@@ -152,7 +152,7 @@ def make_call(qtc, mode):
             q = unpack_plane(lo, fmt.lo_bits, signed=True)  # [sk, tile_r]
             x = x_ref[:, s * sk : (s + 1) * sk].astype(jnp.bfloat16)
             sc = expand_f16x2(scw)  # f32 [sk/g, tile_r]
-            if mode == "base":
+            if mode in ("base", "dimsem"):
                 wv = q.astype(jnp.float32) * _expand_groups(sc, g)
                 acc = acc + jnp.dot(x, wv.astype(jnp.bfloat16),
                                     preferred_element_type=jnp.float32)
@@ -206,11 +206,19 @@ def make_call(qtc, mode):
         scratch_shapes=[pltpu.VMEM((Mp, tile_r), jnp.float32)],
     )
 
+    kw = {}
+    if mode == "dimsem":
+        # r-grid steps are independent (parallel); k accumulates
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+
     def call(x, w, l):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Mp, qtc.rp), jnp.float32),
+            **kw,
         )(jnp.asarray(l, jnp.int32).reshape(1), x, w.buf)
 
     return call
