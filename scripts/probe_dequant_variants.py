@@ -68,7 +68,11 @@ def make_call(qtc, mode):
     tile_r, tile_k = qtc.tile_r, qtc.tile_k
     Mp = 8
     g = fmt.gsize
+    # sub-slice count: mode suffix _subN overrides the default 4
     sub = 4  # 1024-element K slices
+    if "_sub" in mode:
+        mode, n = mode.rsplit("_sub", 1)
+        sub = int(n)
     sk = tile_k // sub
 
     if mode == "gdot":
