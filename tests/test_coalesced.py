@@ -157,6 +157,29 @@ def test_uncoalesce_roundtrip(t):
     assert (back.k, back.r) == (qt.k, qt.r)
 
 
+def test_uncoalesce_roundtrip_stacked_q8():
+    """Stacked (3D) byte-packed planes invert exactly too — the path TP
+    sharding takes for layer-stacked q8_0 weights."""
+    from llm_tpu.ops.packing import QuantTensor, uncoalesce_qt
+
+    K, R, L = 512, 256, 2
+    qts = [_qt(GgmlType.Q8_0, K, R, seed=60 + i) for i in range(L)]
+    st = QuantTensor(
+        qts[0].fmt_name, K, R,
+        jnp.stack([q.lo for q in qts]), None,
+        jnp.stack([q.scale for q in qts]), None,
+    )
+    tk, tr, _ = coalesce_tiles(qts[0].fmt, qts[0].k_padded,
+                               qts[0].r_padded, qts[0].scale_packed)
+    back = uncoalesce_qt(coalesce_qt(st, tk, tr))
+    np.testing.assert_array_equal(
+        np.asarray(back.lo), np.stack([np.asarray(q.lo) for q in qts])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.scale), np.stack([np.asarray(q.scale) for q in qts])
+    )
+
+
 def test_unfuse_through_coalesced():
     """fuse -> coalesce -> unfuse_quant recovers the original members
     (shard_params' route for launch-fused coalesced weights)."""
