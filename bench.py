@@ -1127,8 +1127,11 @@ def gpt2_bench(roofline_bw):
     # runs 3x FASTER than it; scoring against it would be meaningless.
     # The 7B-shape kernel rate stays as the denominator, accepting that
     # it now includes the coalesced layout's gain which gpt2's small-K
-    # weights are size-gated out of (the honest residual is small-tile
-    # streaming physics; see docs/roadmap.md round-5 log).
+    # weights are size-gated out of. The gap to that roofline is CHIP
+    # PHYSICS, not kernel quality: dense-bf16 upcast (zero Pallas calls)
+    # ties this row exactly (docs/probes/round5/gpt2_dense_upcast.log) —
+    # the step is ~11 us-per-kernel dispatch-bound across ~50 sequential
+    # ops, and the 77 MB head already streams at ~695 GB/s.
     roofline = roofline_bw / step_bytes
     del cache, params
     return emit(

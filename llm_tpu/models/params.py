@@ -144,6 +144,121 @@ _W_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
              "w_qkv", "w_gate_up")
 
 
+def _dense_upcast_max_bytes() -> int:
+    """Size gate for the small-model dense-upcast path, in packed bytes.
+
+    LLM_TPU_DENSE_UPCAST: "0" (default) off, "1" always, "auto" —
+    upcast models whose total packed weight bytes fit under
+    LLM_TPU_DENSE_UPCAST_MAX_MB (default 256).
+
+    Default OFF: the round-5 chip A/B (scripts/probe_gpt2_dense.py,
+    docs/probes/round5/gpt2_dense_upcast.log) measured dense-upcast
+    EQUAL to the quantized kernel at GPT-2 117M geometry (1367 vs 1370
+    tok/s) — per-kernel dispatch (~11 us x ~50 sequential ops/step on
+    this virtualized chip) binds small-model decode identically on both
+    paths, so doubling HBM bytes buys nothing here. The knob stays for
+    hardware where the per-op:bandwidth ratio differs."""
+    import os
+
+    v = os.environ.get("LLM_TPU_DENSE_UPCAST", "0")
+    if v == "0":
+        return 0
+    if v == "1":
+        return 1 << 62
+    return int(os.environ.get("LLM_TPU_DENSE_UPCAST_MAX_MB", "256")) << 20
+
+
+def _packed_bytes(w) -> int:
+    if isinstance(w, QuantTensor):
+        n = w.lo.nbytes + w.scale.nbytes
+        if w.hi is not None:
+            n += w.hi.nbytes
+        if w.bias is not None:
+            n += w.bias.nbytes
+        return n
+    if hasattr(w, "buf"):  # QuantTensorC
+        return w.buf.nbytes
+    return getattr(w, "nbytes", 0)
+
+
+def _upcast_weight(w, dtype):
+    """One quantized weight (possibly layer-stacked) -> dense [L?, K, R]."""
+    import dataclasses as _dc
+
+    from llm_tpu.ops.packing import QuantTensorC, dequant_c_jnp, dequant_jnp
+
+    if isinstance(w, QuantTensorC):
+        if w.buf.ndim == 3:  # stacked [L, ...]
+            return jnp.stack([
+                dequant_c_jnp(w, dtype, buf=w.buf[i])
+                for i in range(w.buf.shape[0])
+            ])
+        return dequant_c_jnp(w, dtype)
+    if isinstance(w, QuantTensor):
+        stacked = w.scale.ndim == 3
+        if not stacked:
+            return dequant_jnp(w, dtype)
+        layers = []
+        for i in range(w.scale.shape[0]):
+            sl = QuantTensor(
+                w.fmt_name, w.k, w.r, w.lo[i],
+                w.hi[i] if w.hi is not None else None,
+                w.scale[i],
+                w.bias[i] if w.bias is not None else None,
+            )
+            layers.append(dequant_jnp(sl, dtype))
+        return jnp.stack(layers)
+    return w
+
+
+def upcast_model_weights(params: "ModelParams",
+                         dtype=jnp.bfloat16) -> "ModelParams":
+    """Hold a quantized model's weights DENSE on chip (load format
+    unchanged: q8_0 file in, bf16 HBM residency out — the trade ggml
+    makes per-op in its f16 compute buffers
+    (/root/reference/crates/ggml/src/lib.rs context compute types), made
+    once at load where TPU HBM capacity allows it). Fused launch tensors
+    are unfused first (dense XLA ops carry no splits metadata and have
+    no launch economy to win).
+
+    Measured OFF-by-default (see _dense_upcast_max_bytes): on this chip
+    it exactly ties the quantized kernel at small geometry — both paths
+    are per-kernel-dispatch-bound, so doubling HBM bytes buys nothing —
+    and at large geometry it loses on bytes outright. It becomes the
+    right lever only where dense streaming outruns the quantized kernel
+    by more than the 2x byte inflation (not the case here: 683 vs ~350
+    GB/s marginal)."""
+    import dataclasses as _dc
+
+    layers = unfuse_layer_weights(params.layers)
+    lk = {}
+    for f in _W_FIELDS:
+        w = getattr(layers, f)
+        if w is not None and not isinstance(w, jnp.ndarray):
+            lk[f] = _upcast_weight(w, dtype)
+    if lk:
+        layers = _dc.replace(layers, **lk)
+    pk = {"layers": layers}
+    for f in ("wte", "wpe", "lm_head"):
+        w = getattr(params, f)
+        if w is not None and not isinstance(w, jnp.ndarray):
+            pk[f] = _upcast_weight(w, dtype)
+    return _dc.replace(params, **pk)
+
+
+def maybe_upcast_dense(params: "ModelParams") -> "ModelParams":
+    """Apply the dense-upcast gate (see _dense_upcast_max_bytes)."""
+    total = sum(
+        _packed_bytes(w)
+        for w in [getattr(params.layers, f) for f in _W_FIELDS]
+        + [params.wte, params.lm_head]
+        if w is not None
+    )
+    if total <= _dense_upcast_max_bytes():
+        return upcast_model_weights(params)
+    return params
+
+
 def _coalesce_enabled() -> bool:
     # Default ON since round 5: +13% decode at 7B (67.6 -> 77.2 tok/s,
     # chip A/B scripts/probe_coalesce_model.py); small-K weights are
@@ -698,4 +813,4 @@ def build_params(ws: WeightSource, spec: ModelSpec) -> ModelParams:
             c = coalesce_auto(head)
             if c is not None:
                 params = dataclasses.replace(params, lm_head=c)
-    return _params_to_device(params)
+    return maybe_upcast_dense(_params_to_device(params))
